@@ -1,0 +1,18 @@
+"""Query plans: the engine's declarative query corpus.
+
+Importing this package populates the registry (``plans.registry.QUERIES``)
+with every implemented operator's demonstration query plus its DuckDB
+oracle SQL — the contract consumed by ``__spark_entry__.py``.
+"""
+
+from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
+    eventops,
+    hierarchy,
+    relational,
+    scalar,
+    similarity,
+    textops,
+)
+from atlassian_confluence_data_pipeline_spark.plans.registry import QUERIES, QuerySpec
+
+__all__ = ["QUERIES", "QuerySpec"]

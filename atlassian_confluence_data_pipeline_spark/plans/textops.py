@@ -1,0 +1,302 @@
+"""Text-analysis & deduplication queries (extensions X1/X2/X4 —
+BASELINE.json north star; SURVEY.md §2.11) over the `documents` table.
+
+All the fast-path analytics are built-in column expressions (split,
+higher-order array functions, regexp, md5/sha2) — no Python UDFs. The
+shingle/Jaccard near-dup uses *blocking* (lang + length bucket) so the
+candidate-pair join is an equi-join, not a cross join — the property that
+keeps it alive at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from atlassian_confluence_data_pipeline_spark.catalog import load_table
+from atlassian_confluence_data_pipeline_spark.plans.registry import query
+
+WS = r"\s+"
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.trim(text), WS)
+
+
+def _shingles(words: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles; empty array when fewer than n words."""
+    count = F.size(words) - (n - 1)
+    make = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + off) for off in range(n)]
+        ),
+    )
+    return F.when(count >= 1, F.array_distinct(make)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — corpus statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats_by_lang",
+    oracle="""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+       CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_words
+FROM documents
+GROUP BY 1
+""",
+    tags=("text", "agg"),
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per language: docs, chars, whitespace-token words —
+    integer sums only, so cross-engine exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_chars"
+        ),
+        F.sum(F.size(_words(F.col("text")))).cast("bigint").alias("total_words"),
+    )
+
+
+@query(
+    "doc_quality_scores",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(words) AS INT) AS n_words,
+       CAST(len(list_distinct(words)) AS INT) AS n_uniq_words,
+       round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6) AS uniq_ratio,
+       round(CAST(len(list_filter(words, x -> x IN ('the', 'a', 'of', 'and')))
+             AS DOUBLE) / len(words), 6) AS stopword_ratio,
+       round(CAST(n_chars AS DOUBLE) / len(words), 6) AS avg_word_len
+FROM w
+""",
+    tags=("text", "quality", "hof"),
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals (X4): lexical diversity, stopword
+    ratio, average word length — higher-order array functions, ratios of
+    exact integers (deterministic doubles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    stop = F.array([F.lit(w) for w in ("the", "a", "of", "and")])
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_uniq_words"),
+        F.round(
+            F.size(F.array_distinct(words)).cast("double") / F.size(words), 6
+        ).alias("uniq_ratio"),
+        F.round(
+            F.size(F.filter(words, lambda x: F.array_contains(stop, x))).cast("double")
+            / F.size(words),
+            6,
+        ).alias("stopword_ratio"),
+        F.round(F.col("n_chars").cast("double") / F.size(words), 6).alias(
+            "avg_word_len"
+        ),
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle="""
+WITH scored AS (
+  SELECT lang,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+             x -> x IN ('the', 'a', 'value', 'data'))) AS en_score,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+             x -> x IN ('der', 'und', 'die', 'wert'))) AS de_score
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN en_score >= de_score AND en_score > 0 THEN 'en'
+            WHEN de_score > 0 THEN 'de'
+            ELSE 'unknown' END AS predicted,
+       count(*) AS n_docs
+FROM scored GROUP BY 1, 2
+""",
+    tags=("text", "langid"),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (X4): stopword-hit scoring per candidate
+    language, argmax with deterministic tie-break, confusion counts vs the
+    labeled `lang` column."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+
+    def hits(vocab: tuple[str, ...]) -> Column:
+        arr = F.array([F.lit(w) for w in vocab])
+        return F.size(F.filter(words, lambda x: F.array_contains(arr, x)))
+
+    en = hits(("the", "a", "value", "data"))
+    de = hits(("der", "und", "die", "wert"))
+    predicted = (
+        F.when((en >= de) & (en > 0), "en")
+        .when(de > 0, "de")
+        .otherwise("unknown")
+    )
+    return (
+        docs.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "token_counts",
+    oracle="""
+SELECT source,
+       CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS bpe_ish_tokens
+FROM documents
+GROUP BY 1
+""",
+    tags=("text", "tokenize"),
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (X4): whitespace tokens and a BPE-ish regex
+    tokenization (letter runs / digit runs / single symbols) — the
+    pre-tokenizer shape used by LLM data pipelines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(F.size(_words(F.col("text")))).cast("bigint").alias("ws_tokens"),
+        F.sum(
+            F.size(
+                F.regexp_extract_all(
+                    "text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1 — exact dedup via content hash
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "exact_dedup_docs",
+    oracle="""
+SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+       CAST(min(doc_id) AS BIGINT) AS survivor_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    tags=("dedup", "hash"),
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup X1: canonicalize (lowercase, collapse whitespace),
+    md5-fingerprint, keep min doc_id per group. Hash-groupBy means the
+    shuffle carries 32-byte digests, not document bodies — the 100 TB
+    version of `dropDuplicates(["text"])`."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.lower(F.regexp_replace("text", WS, " "))
+    return (
+        docs.select(F.md5(canon).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 — near-duplicate pairs via blocked shingle-Jaccard
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "near_dup_pairs",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         list_distinct(list_transform(
+           range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 1, 1)),
+           i -> concat_ws(' ',
+                regexp_split_to_array(trim(text), '\\s+')[i],
+                regexp_split_to_array(trim(text), '\\s+')[i+1],
+                regexp_split_to_array(trim(text), '\\s+')[i+2])
+         )) AS sh
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM t a JOIN t b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+ AND abs(a.n_chars - b.n_chars) <= 10
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05
+""",
+    tags=("dedup", "neardup", "jaccard"),
+)
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection X2 (exact n-gram Jaccard with blocking):
+    3-word shingles, candidate pairs restricted to same lang and ±10
+    chars length (bucketed equi-join, adjacent buckets — NOT a cross
+    join), exact Jaccard >= 0.05. The blocked-join shape is what scales:
+    candidates per doc stay O(bucket width), independent of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            _shingles(_words(F.col("text"))).alias("sh"),
+            (F.col("n_chars") / 10).cast("bigint").alias("bucket"),
+        )
+    )
+    left = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        F.col("n_chars").alias("chars_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("bucket").alias("bucket_key"),
+    )
+    # Each right-side doc probes its own bucket and both neighbors; with
+    # bucket width 10 and the ±10-char predicate, every qualifying pair
+    # matches on exactly one probe — no post-join dedup needed. The join
+    # key is (lang, bucket) so candidates stay per-block at scale.
+    right = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        F.col("n_chars").alias("chars_b"),
+        F.col("sh").alias("sh_b"),
+        F.explode(
+            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+        ).alias("bucket_key"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter.cast("double") / union
+    return (
+        left.join(right, ["lang", "bucket_key"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("chars_a") - F.col("chars_b")) <= 10)
+        )
+        .filter(jac >= 0.05)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

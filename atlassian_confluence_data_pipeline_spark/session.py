@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local-mode testing (``local[N]``) with the same knobs we would set on a
+1000-executor cluster: AQE (runtime re-plan + skew-join splitting +
+partition coalescing), Arrow for the Python boundary, UTC session time
+zone (parity with the DuckDB oracle's naive timestamps), and shuffle
+partitions sized to the local core count rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    app_name: str = "atlassian_confluence_data_pipeline_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (fallback 4 for tests).
+    On a real cluster the master/memory settings come from spark-submit;
+    everything set here is master-agnostic except ``local[N]``.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # Shuffle sizing: match parallelism, let AQE coalesce down.
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        .config("spark.default.parallelism", str(max(cpus, 4)))
+        # AQE: runtime re-planning, skew-join splitting, coalescing.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow across the JVM<->Python boundary (pandas UDFs, toPandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Oracle parity: DuckDB timestamps are naive; pin the session to UTC.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Quiet the UI for headless runs.
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
