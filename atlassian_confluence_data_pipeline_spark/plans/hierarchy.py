@@ -54,11 +54,16 @@ def order_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("parent_id") != F.col("o_orderkey"))
         .join(keys, F.col("parent_id") == F.col("key"), "left_semi")
         .select("parent_id", F.col("o_orderkey").alias("child_id"))
+        # materialized once: every loop level re-reads these edges
+        .localCheckpoint(eager=True)
     )
     roots = orders.join(
         edges.select(F.col("child_id").alias("o_orderkey")), "o_orderkey", "left_anti"
     ).select(F.col("o_orderkey").alias("node_id"))
-    walked = expand_hierarchy(edges, roots)
+    # k -> k div 10 is strictly decreasing with a unique parent per child:
+    # provably acyclic, so the visited-set guard (one anti-join per level)
+    # is skipped.
+    walked = expand_hierarchy(edges, roots, check_cycles=False)
     return (
         walked.groupBy("root_id")
         .agg(

@@ -242,12 +242,12 @@ WITH t AS (
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
 FROM t a JOIN t b
   ON a.lang = b.lang AND a.doc_id < b.doc_id
  AND abs(a.n_chars - b.n_chars) <= 10
 WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.05
 """,
     tags=("dedup", "neardup", "jaccard"),
 )
@@ -259,20 +259,22 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates per doc stay O(bucket width), independent of corpus size.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        docs.select(
-            "doc_id",
-            "lang",
-            "n_chars",
-            _shingles(_words(F.col("text"))).alias("sh"),
-            (F.col("n_chars") / 10).cast("bigint").alias("bucket"),
-        )
-    )
+    # Shingle once, keep the shingle *sets* and their sizes; the join then
+    # needs a single array_intersect per candidate pair
+    # (|A∪B| = |A|+|B|-|A∩B|). persist() because both join sides read it.
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        _shingles(_words(F.col("text"))).alias("sh"),
+        (F.col("n_chars") / 10).cast("bigint").alias("bucket"),
+    ).persist()
     left = sh.select(
         F.col("doc_id").alias("doc_a"),
         "lang",
         F.col("n_chars").alias("chars_a"),
         F.col("sh").alias("sh_a"),
+        F.size("sh").alias("n_a"),
         F.col("bucket").alias("bucket_key"),
     )
     # Each right-side doc probes its own bucket and both neighbors; with
@@ -284,19 +286,19 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("n_chars").alias("chars_b"),
         F.col("sh").alias("sh_b"),
+        F.size("sh").alias("n_b"),
         F.explode(
             F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
         ).alias("bucket_key"),
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = inter.cast("double") / union
+    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
     return (
         left.join(right, ["lang", "bucket_key"])
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.abs(F.col("chars_a") - F.col("chars_b")) <= 10)
         )
-        .filter(jac >= 0.05)
+        .filter(jac >= 0.05)  # unrounded threshold — must match the oracle's
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
