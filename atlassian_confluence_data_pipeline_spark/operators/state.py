@@ -1,0 +1,122 @@
+"""State ledger: the processed-versions table + MERGE-style upsert (K3).
+
+The reference persists a key->version dict as one JSON file and rewrites
+the whole file after every processed page (state_manager.py:84-102,
+:42-49 — O(state) I/O per row). The engine's rendering:
+
+- the ledger is a DataFrame/Parquet *table* keyed by ``id``;
+- upsert is a set-level MERGE — ``state ⟕anti updates ∪ updates`` — one
+  shuffle per batch, not one rewrite per row;
+- multi-version batches resolve to latest-per-key first (W2; the
+  reference gets this implicitly from sequential overwrite, :93-99);
+- persistence is snapshot directories + an atomic pointer file, the
+  Delta-less rendering of ``MERGE INTO`` with atomic visibility.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from atlassian_confluence_data_pipeline_spark.operators.dedup import latest_per_key
+
+#: reference ledger row shape (state_manager.py:93-99)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("space_key", T.StringType(), True),
+        T.StructField("version", T.IntegerType(), True),
+        T.StructField("last_modified", T.StringType(), True),
+        T.StructField(
+            "output_paths", T.MapType(T.StringType(), T.StringType()), True
+        ),
+    ]
+)
+
+
+def merge_state(
+    state: DataFrame,
+    updates: DataFrame,
+    key: str | Sequence[str] = "id",
+    version_col: str = "version",
+) -> DataFrame:
+    """Last-write-wins MERGE of ``updates`` into ``state``.
+
+    Updates are first collapsed to the highest version per key
+    (deterministic W2), then: unmatched state rows survive, matched keys
+    take the update row, new keys insert — exactly
+    ``MERGE INTO state USING u ON key WHEN MATCHED UPDATE * WHEN NOT
+    MATCHED INSERT *``, as an anti-join + union (one shuffle each)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    u = latest_per_key(updates, keys, [version_col])
+    return state.join(u.select(*keys), keys, "left_anti").unionByName(u)
+
+
+class StateStore:
+    """Snapshot-directory ledger with an atomic current-pointer.
+
+    Layout::
+
+        {path}/snapshot-{epoch_ns}/   <- parquet snapshots
+        {path}/_CURRENT               <- JSON {"snapshot": "snapshot-..."}
+
+    ``write`` writes the new snapshot fully, then atomically replaces the
+    pointer (os.replace) — readers always see a complete snapshot, never
+    a partial one. This is the engine's Delta-less MERGE commit protocol;
+    on a real deployment the same operator writes through Delta/Iceberg.
+    """
+
+    POINTER = "_CURRENT"
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.path, self.POINTER)
+
+    def current_snapshot(self) -> str | None:
+        try:
+            with open(self._pointer_path()) as fh:
+                return json.load(fh)["snapshot"]
+        except (FileNotFoundError, KeyError, json.JSONDecodeError):
+            return None  # missing/corrupt pointer -> empty ledger
+            # (tolerant-load parity with state_manager.py:20-40)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        snap = self.current_snapshot()
+        if snap is None:
+            return spark.createDataFrame([], STATE_SCHEMA)
+        return spark.read.parquet(os.path.join(self.path, snap))
+
+    def write(self, df: DataFrame) -> str:
+        snap = f"snapshot-{time.time_ns()}"
+        df.write.mode("overwrite").parquet(os.path.join(self.path, snap))
+        fd, tmp = tempfile.mkstemp(dir=self.path, prefix=".ptr-")
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"snapshot": snap}, fh)
+        os.replace(tmp, self._pointer_path())  # atomic visibility flip
+        return snap
+
+    def upsert(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key: str | Sequence[str] = "id",
+        version_col: str = "version",
+    ) -> DataFrame:
+        """Read-merge-write one batch; returns the merged ledger."""
+        merged = merge_state(self.read(spark), updates, key, version_col)
+        # materialize before the pointer flip so the new snapshot never
+        # lazily re-reads the directory it is replacing
+        merged = merged.localCheckpoint(eager=True)
+        self.write(merged)
+        return merged

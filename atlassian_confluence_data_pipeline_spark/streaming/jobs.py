@@ -1,0 +1,115 @@
+"""Streaming jobs over the events fixture (SURVEY.md §2.9).
+
+Mapping from the reference's incremental poll loop:
+
+- lookback window + daily cadence (config_conf.py:39,
+  confluence_client.py:363)        -> micro-batch trigger + watermark
+- version-skip idempotence
+  (state_manager.py:72)            -> dropDuplicatesWithinWatermark /
+                                      idempotent foreachBatch MERGE
+- keyed mutable state across runs
+  (state_manager.py:84-102)        -> foreachBatch MERGE into StateStore
+- late/missed-data recovery sweep
+  (master_script.py:482-579)       -> batch reconciliation job
+                                      (pipeline.incremental_refresh)
+
+Each job returns an *unstarted* streaming DataFrame/writer so callers
+choose sink + trigger; tests drive them with availableNow triggers into
+memory sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events file schema with the raw nanosecond ts (see catalog.load_table)
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as int64
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (one-file 'topic';
+    in production: Kafka/file drops with the same downstream plan)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        # file source needs a directory; glob-filter to the events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts with a lateness bound — the streaming form
+    of the reference's daily poll aggregation."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def sessionized_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (stateful merge of gaps < ``gap``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: tuple[str, ...] = ("user_id", "event_type"), watermark: str = "2 hours"
+) -> DataFrame:
+    """Exactly-once-ish keyed dedup: first arrival per key wins within
+    the watermark horizon (state_manager.py:72 rendered for streams)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def foreach_batch_state_merge(events: DataFrame, store) -> "DataStreamWriter":  # noqa: F821
+    """writeStream.foreachBatch: MERGE each micro-batch's per-user max
+    version into the persistent ledger — idempotent per (id, version),
+    so replayed batches are no-ops."""
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        updates = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.max("event_id").cast("int").alias("version"),
+                F.date_format(F.max("ts"), "yyyy-MM-dd'T'HH:mm:ss").alias(
+                    "last_modified"
+                ),
+            )
+            .select(
+                F.col("user_id").cast("string").alias("id"),
+                F.lit(None).cast("string").alias("title"),
+                F.lit("events").alias("space_key"),
+                "version",
+                "last_modified",
+                F.create_map().cast("map<string,string>").alias("output_paths"),
+            )
+        )
+        store.upsert(batch_df.sparkSession, updates)
+
+    return events.writeStream.foreachBatch(merge_batch)

@@ -1,0 +1,113 @@
+"""Structured Streaming jobs driven end-to-end with availableNow
+triggers into memory sinks, cross-checked against their batch
+equivalents (same plan, batch source)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from atlassian_confluence_data_pipeline_spark.catalog import load_table
+from atlassian_confluence_data_pipeline_spark.operators.state import StateStore
+from atlassian_confluence_data_pipeline_spark.streaming.jobs import (
+    dedup_within_watermark,
+    foreach_batch_state_merge,
+    read_events_stream,
+    sessionized_counts,
+    windowed_counts,
+)
+
+
+def _run_to_memory(df, name: str) -> None:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_windowed_counts_matches_batch(spark, sf_dir):
+    stream = windowed_counts(read_events_stream(spark, sf_dir))
+    name = f"wc_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch = load_table(spark, sf_dir, "events")
+    expected = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .collect()
+    }
+    assert got == expected
+
+
+def test_sessionized_counts_runs(spark, sf_dir):
+    stream = sessionized_counts(read_events_stream(spark, sf_dir))
+    name = f"sc_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql(f"SELECT count(*) AS n FROM {name}").collect()[0]["n"]
+    assert n > 0
+
+
+def test_dedup_within_watermark(spark, sf_dir):
+    stream = dedup_within_watermark(read_events_stream(spark, sf_dir))
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(f"SELECT user_id, event_type, count(*) AS n FROM {name} GROUP BY 1,2")
+    assert out.filter(F.col("n") > 1).count() == 0  # at most one row per key
+
+
+def test_foreach_batch_state_merge(spark, sf_dir, tmp_path):
+    store = StateStore(str(tmp_path / "ledger"))
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        foreach_batch_state_merge(stream, store)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ledger = store.read(spark)
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert ledger.count() == n_users
+    # per-user version is the max event id (last-write-wins)
+    batch_max = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("event_id").alias("m"))
+        .collect()
+    )
+    expected = {str(r["user_id"]): r["m"] for r in batch_max}
+    got = {r["id"]: r["version"] for r in ledger.collect()}
+    assert got == expected
