@@ -46,6 +46,69 @@ def lookup_join(
     return facts.join(F.broadcast(dim) if broadcast_dim else dim, on, how)
 
 
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+) -> DataFrame:
+    """As-of join (backward): for every left row, attach the latest right
+    row with ``right_ts <= left_ts`` within the same ``on`` key.
+
+    Spark has no native ASOF JOIN; a naive range join explodes to
+    O(|left|x|right|) per key. This implementation is the scalable
+    union-and-carry-forward form: tag right rows 0 / left rows 1, sort
+    each key's timeline once, and carry the last non-null right value
+    forward with an unbounded-preceding window — one shuffle on the key,
+    O(n log n) per key, no pair blowup.
+
+    ``right`` must be unique per (on, right_ts) — pre-aggregate ties
+    upstream or the carried value is nondeterministic (same caveat as
+    native ASOF implementations).
+    """
+    from pyspark.sql import Window
+
+    carried = [f"__r_{c}" for c in right_value_cols]
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        *[F.col(c).alias(a) for c, a in zip(right_value_cols, carried)],
+    )
+    l_cols = left.columns
+    l = left.select(
+        *l_cols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        *[F.lit(None).cast(t.dataType).alias(a)
+          for t, a in zip(
+              [right.schema[c] for c in right_value_cols], carried
+          )],
+    )
+    merged = r.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols if c != on],
+        on,
+        "__ts",
+        "__tag",
+        *carried,
+    ).unionByName(l.select(*[c for c in l_cols if c != on], on, "__ts", "__tag", *carried))
+    # right rows sort before left rows at equal ts => ties are inclusive
+    # (right_ts == left_ts counts), matching ASOF ... ON l.ts >= r.ts
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for a in carried:
+        merged = merged.withColumn(a, F.last(a, ignorenulls=True).over(w))
+    out = merged.filter(F.col("__tag") == 1).drop("__ts", "__tag")
+    for c, a in zip(right_value_cols, carried):
+        out = out.withColumnRenamed(a, f"asof_{c}")
+    return out
+
+
 def cdc_delta(
     current: DataFrame,
     state: DataFrame,

@@ -1,0 +1,86 @@
+"""Accuracy/semantic tests for the non-oracle analytics operators:
+approximate distinct error bounds, IVF ANN recall vs brute force, and
+the as-of join against a per-row reference computation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from atlassian_confluence_data_pipeline_spark.catalog import load_table
+from atlassian_confluence_data_pipeline_spark.plans import QUERIES
+from atlassian_confluence_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+)
+
+
+def test_approx_distinct_within_bounds(spark, sf_dir):
+    approx = {
+        r["p_brand"]: r
+        for r in QUERIES["approx_distinct_parts"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    exact = {
+        r["p_brand"]: r
+        for r in li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.countDistinct("l_suppkey").alias("suppliers"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for brand, row in exact.items():
+        # HLL++ default rsd is 5%; allow 15% slack on tiny groups
+        assert abs(approx[brand]["approx_orders"] - row["orders"]) <= max(
+            3, 0.15 * row["orders"]
+        )
+        assert abs(approx[brand]["approx_suppliers"] - row["suppliers"]) <= max(
+            3, 0.15 * row["suppliers"]
+        )
+
+
+def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5)
+    exact_pairs = {
+        (r["query_id"], r["neighbor_id"]) for r in exact.collect()
+    }
+    approx_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["ivf_ann_topk"].fn(spark, sf_dir).collect()
+    }
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # label centroids are a coarse quantizer; probing 2/10 cells must
+    # still recover a solid fraction of true neighbors
+    assert recall >= 0.3, f"recall={recall}"
+    # every approximate result is a real vector pair, ranked, deduped
+    assert all(q != n for q, n in approx_pairs)
+
+
+def test_asof_join_matches_per_row_reference(spark, sf_dir):
+    out = QUERIES["asof_last_click"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in clicks:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_id"]))
+    for rows in by_user.values():
+        rows.sort()
+    import bisect
+
+    for r in out[:200]:
+        rows = by_user[r["user_id"]]
+        # latest click with ts <= purchase_ts; ties -> max event_id
+        i = bisect.bisect_right([t for t, _ in rows], r["purchase_ts"])
+        assert i > 0
+        best_ts = rows[i - 1][0]
+        best_id = max(eid for t, eid in rows if t == best_ts)
+        assert r["asof_click_ts"] == best_ts
+        assert r["asof_click_id"] == best_id
