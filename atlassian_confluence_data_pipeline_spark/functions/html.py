@@ -157,7 +157,16 @@ def process_code_blocks(html: str) -> str:
 
 
 def make_clean_html_udf(base_url: str = ""):
-    """pandas UDF over a string column; one Arrow batch per invocation."""
+    """pandas UDF over a string column; one Arrow batch per invocation.
+
+    Ships this package to the Python workers first — the pickled UDF
+    references this module by name, and workers do not share the
+    driver's sys.path (see pyfiles.py)."""
+    from atlassian_confluence_data_pipeline_spark.pyfiles import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers()
 
     @F.pandas_udf(T.StringType())
     def clean_html_udf(s: pd.Series) -> pd.Series:

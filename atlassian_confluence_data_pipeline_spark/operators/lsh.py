@@ -23,20 +23,31 @@ from pyspark.sql import functions as F
 def minhash_signature(shingles: Column, k: int = 32) -> Column:
     """k-permutation MinHash signature of a shingle *set*.
 
-    Each permutation is xxhash64 salted with the permutation index; the
-    signature element is the min over the shingle set. Empty sets get
-    NULL elements (callers should filter size > 0).
+    Cost shape: each shingle is string-hashed ONCE (xxhash64); the k
+    permutations are affine transforms ``a_i * h32 + b_i`` over the base
+    hash — integer multiply/add per permutation instead of k string
+    hashes (~10x cheaper at corpus scale). The base hash is masked to
+    32 bits so the affine product cannot overflow int64 (ANSI mode
+    throws on overflow). Signature element = min over the set; empty
+    sets get NULL elements (callers should filter size > 0).
 
-    NB: the per-permutation lambda must take exactly ONE parameter — a
+    NB: every per-element lambda must take exactly ONE parameter — a
     two-parameter lambda is interpreted by Spark as (element, index) and
     the salt would silently become the array position."""
+    import random
 
-    def salted(i: int):
-        return lambda s: F.xxhash64(F.lit(i), s)
+    rng = random.Random(0x5EED)
+    base = F.transform(shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF)))
 
-    return F.array(
-        *[F.array_min(F.transform(shingles, salted(i))) for i in range(k)]
-    )
+    def perm(a: int, b: int):
+        return lambda h: F.lit(a) * h + F.lit(b)
+
+    cols = []
+    for _ in range(k):
+        a = rng.getrandbits(31) | 1  # odd multiplier < 2^31
+        b = rng.getrandbits(31)  # a*h32 + b < 2^63: overflow-free
+        cols.append(F.array_min(F.transform(base, perm(a, b))))
+    return F.array(*cols)
 
 
 def lsh_band_keys(signature: Column, bands: int, rows: int) -> list[Column]:

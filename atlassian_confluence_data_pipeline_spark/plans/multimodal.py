@@ -74,9 +74,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs comparison never happens. Rows-only check: xxhash64 is not
     reproducible in DuckDB; semantics covered by tests/test_lsh.py."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", _shingles(_words(F.col("text"))).alias("sh")
-    ).filter(F.size("sh") > 0).persist()
+    sh = (
+        docs.select("doc_id", _words(F.col("text")).alias("w"))
+        .select("doc_id", _shingles(F.col("w")).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
     cand = minhash_lsh_candidates(sh, "doc_id", "sh")
     return verify_candidates_jaccard(cand, sh, "doc_id", "sh", threshold=0.05).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")

@@ -24,17 +24,22 @@ def _words(text: Column) -> Column:
 
 
 def _shingles(words: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles; empty array when fewer than n words."""
-    count = F.size(words) - (n - 1)
-    make = F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + off) for off in range(n)]
-        ),
-    )
-    return F.when(count >= 1, F.array_distinct(make)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Distinct n-word shingles; empty array when fewer than n words.
+
+    PERF: built from n shifted ``slice``s zipped together, so the
+    ``words`` expression is referenced a CONSTANT number of times per
+    row. The naive form — ``element_at(words, i+k)`` inside a
+    ``transform`` over positions — references ``words`` once per shingle
+    position, and Catalyst duplicates the underlying expression per
+    reference (projection collapse re-inlines it), turning one regex
+    split per row into O(shingles) splits per row (~8x slower end-to-end
+    on the near-dup queries)."""
+    count = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    parts = [F.slice(words, i + 1, count) for i in range(n)]
+    zipped = parts[0]
+    for p in parts[1:]:
+        zipped = F.zip_with(zipped, p, lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(zipped)
 
 
 # ---------------------------------------------------------------------------
@@ -93,9 +98,11 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio, average word length — higher-order array functions, ratios of
     exact integers (deterministic doubles)."""
     docs = load_table(spark, sf_dir, "documents")
-    words = _words(F.col("text"))
     stop = F.array([F.lit(w) for w in ("the", "a", "of", "and")])
-    return docs.select(
+    # project words once (split runs once per row; see _shingles PERF note)
+    with_words = docs.select("doc_id", "n_chars", _words(F.col("text")).alias("w"))
+    words = F.col("w")
+    return with_words.select(
         "doc_id",
         F.size(words).alias("n_words"),
         F.size(F.array_distinct(words)).alias("n_uniq_words"),
@@ -137,8 +144,10 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (X4): stopword-hit scoring per candidate
     language, argmax with deterministic tie-break, confusion counts vs the
     labeled `lang` column."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = _words(F.col("text"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", _words(F.col("text")).alias("w")
+    )
+    words = F.col("w")
 
     def hits(vocab: tuple[str, ...]) -> Column:
         arr = F.array([F.lit(w) for w in vocab])
@@ -262,11 +271,18 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shingle once, keep the shingle *sets* and their sizes; the join then
     # needs a single array_intersect per candidate pair
     # (|A∪B| = |A|+|B|-|A∩B|). persist() because both join sides read it.
+    # Words are projected as a real column first so the regex split runs
+    # once per row (see _shingles PERF note).
     sh = docs.select(
         "doc_id",
         "lang",
         "n_chars",
-        _shingles(_words(F.col("text"))).alias("sh"),
+        _words(F.col("text")).alias("w"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        _shingles(F.col("w")).alias("sh"),
         (F.col("n_chars") / 10).cast("bigint").alias("bucket"),
     ).persist()
     left = sh.select(

@@ -73,6 +73,12 @@ def extract_byte_features(attachments: DataFrame, n_buckets: int = 16) -> DataFr
 
     import numpy as np
 
+    from atlassian_confluence_data_pipeline_spark.pyfiles import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers()
+
     def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pd.DataFrame(
