@@ -15,6 +15,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     scalar,
     similarity,
     textops,
+    tpch_like,
 )
 from atlassian_confluence_data_pipeline_spark.plans.registry import QUERIES, QuerySpec
 
