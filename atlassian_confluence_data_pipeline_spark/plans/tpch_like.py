@@ -397,14 +397,18 @@ SELECT c.c_mktsegment AS c_mktsegment,
        round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS totacctbal
 FROM customer c CROSS JOIN avg_bal
 WHERE CAST(c.c_acctbal AS DECIMAL(18,6)) * avg_bal.n > avg_bal.s
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+  )
 GROUP BY 1
 """,
     tags=("join", "anti", "subquery", "agg"),
 )
 def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 shape: scalar-average subquery + NOT EXISTS anti join —
-    above-average-balance customers who never ordered. The scalar
+    above-average-balance customers with no RECENT order (the pure
+    never-ordered form matches almost nobody in this data). The scalar
     aggregate is broadcast, never collected; the threshold compare is
     DECIMAL-exact (bal * n > sum) so no float-average ULP can flip
     membership between engines."""
@@ -413,8 +417,10 @@ def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c_acctbal").cast(DEC)).alias("s"),
         F.count(F.lit(1)).alias("n"),
     )
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
     return (
         cust.join(F.broadcast(avg_bal))
