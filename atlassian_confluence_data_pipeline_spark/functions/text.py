@@ -99,3 +99,32 @@ def join_url(*parts: Column | str) -> Column:
         F.rtrim(F.lit(p) if isinstance(p, str) else p, F.lit("/")) for p in parts
     ]
     return F.concat_ws("/", *cols)
+
+
+def backoff_delay(
+    attempt: Column, base_delay: float = 2.0, rate_limited: Column | None = None,
+    jitter_seed: int | None = None,
+) -> Column:
+    """F14 (confluence_client.py:113-234, formula :120): exponential
+    backoff ``base * 2^(n-1) + jitter(<=0.5s)``, with the 429 rate-limit
+    branch multiplying the base by 5 (:188-194). Connector-internal in
+    the reference; exposed as a column function for retry scheduling of
+    connector partitions. Jitter is seeded for reproducible tests."""
+    base = F.lit(base_delay) * F.when(
+        rate_limited if rate_limited is not None else F.lit(False), 5
+    ).otherwise(1)
+    jitter = (F.rand(jitter_seed) if jitter_seed is not None else F.rand()) * 0.5
+    return base * F.pow(F.lit(2.0), attempt.cast("double") - 1) + jitter
+
+
+def encrypt_column(col: Column, key: str) -> Column:
+    """F15 engine analog (secure_cookie_manager.py:46-70, 90-134: PBKDF2 +
+    Fernet over the cookie JSON): AES-GCM column encryption with Spark's
+    built-in (key must be 16/24/32 bytes). Returns BINARY ciphertext."""
+    return F.aes_encrypt(col.cast("binary"), F.lit(key))
+
+
+def decrypt_column(col: Column, key: str) -> Column:
+    """Inverse of :func:`encrypt_column`; cast the result to string for
+    text payloads."""
+    return F.aes_decrypt(col, F.lit(key))

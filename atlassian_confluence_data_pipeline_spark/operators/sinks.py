@@ -72,6 +72,12 @@ def html_to_pdf(df: DataFrame, html_col: str = "html", out_col: str = "pdf") -> 
     per row."""
     import pandas as pd
 
+    from atlassian_confluence_data_pipeline_spark.pyfiles import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers()
+
     schema_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
