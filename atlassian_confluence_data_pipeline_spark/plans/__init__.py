@@ -12,6 +12,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     lookups,
     multimodal,
     relational,
+    reshape,
     scalar,
     similarity,
     textops,
