@@ -1,0 +1,57 @@
+"""applyInPandasWithState: running per-user stats across micro-batches
+must converge to the batch ground truth."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from atlassian_confluence_data_pipeline_spark.catalog import load_table
+from atlassian_confluence_data_pipeline_spark.streaming.jobs import read_events_stream
+from atlassian_confluence_data_pipeline_spark.streaming.stateful import (
+    running_user_stats,
+)
+
+
+def test_running_user_stats_matches_batch(spark, sf_dir):
+    stream = running_user_stats(read_events_stream(spark, sf_dir))
+    name = f"st_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode may emit a row per key per batch; the LAST row per key
+    # is the converged state
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6), r["max_event_id"])
+        for r in spark.sql(
+            f"""
+            SELECT * FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY n_events DESC
+              ) AS rn FROM {name}
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], round(r["tot"], 6), r["m"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("tot"),
+            F.max("event_id").alias("m"),
+        )
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for uid, exp in expected.items():
+        g = got[uid]
+        assert g[0] == exp[0] and g[2] == exp[2]
+        assert abs(g[1] - exp[1]) < 1e-6
