@@ -16,6 +16,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     reshape,
     scalar,
     similarity,
+    surface2,
     textops,
     tpch_like,
 )
