@@ -54,7 +54,7 @@ def priority_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_pair_trade",  # Q7 shape
     oracle=f"""
 SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
-       year(l.l_shipdate) AS ship_year,
+       CAST(year(l.l_shipdate) AS INT) AS ship_year,
        {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS volume
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey

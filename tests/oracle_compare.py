@@ -52,6 +52,14 @@ def compare_frames(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str) -
     if len(a) != len(b):
         return [f"{name}: row count spark={len(a)} oracle={len(b)}"]
     for col in a.columns:
+        # dtype parity after canonicalization (datetimes normalized to us)
+        # — catches int-width drift like Spark INT vs DuckDB BIGINT, which
+        # a strict driver-side schema compare would reject
+        if len(a) and str(a[col].dtype) != str(b[col].dtype):
+            problems.append(
+                f"{name}.{col}: dtype spark={a[col].dtype} oracle={b[col].dtype}"
+            )
+    for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
             x_nan = x is None or (isinstance(x, float) and math.isnan(x))
