@@ -8,6 +8,7 @@ oracle SQL — the contract consumed by ``__spark_entry__.py``.
 from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     analytics,
     connector,
+    curation,
     eventops,
     hierarchy,
     lookups,

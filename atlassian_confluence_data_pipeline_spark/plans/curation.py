@@ -1,0 +1,130 @@
+"""Training-corpus curation queries (the mandate's LLM-data pipeline,
+end to end): embedding-cosine near-dup, and the composed
+filter -> dedup -> measure curation sweep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from atlassian_confluence_data_pipeline_spark.catalog import load_table
+from atlassian_confluence_data_pipeline_spark.operators.similarity import (
+    cosine_similarity,
+)
+from atlassian_confluence_data_pipeline_spark.plans.registry import query
+from atlassian_confluence_data_pipeline_spark.plans.textops import _words
+
+COS_THRESHOLD = 0.4
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos, 6) AS cos
+FROM p WHERE cos >= {COS_THRESHOLD}
+""",
+    tags=("dedup", "neardup", "vector"),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (the mandate's fifth
+    dedup mode): same-label blocking (the cluster id is the block key —
+    at 100 TB the IVF coarse quantizer supplies it) + exact cosine
+    threshold within blocks. The join is an equi-join on the block key;
+    no all-pairs scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= COS_THRESHOLD)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+@query(
+    "corpus_curation",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(text), '\\s+') AS words,
+         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, fp, len(words) AS n_words,
+         CAST(len(list_filter(words, x -> x IN ('the', 'a', 'of', 'and')))
+              AS DOUBLE) / len(words) AS stop_ratio
+  FROM w
+), kept AS (
+  SELECT * FROM scored WHERE n_words >= 20 AND stop_ratio < 0.08
+), survivors AS (
+  SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY 1
+)
+SELECT k.lang,
+       count(*) AS n_docs,
+       CAST(sum(k.n_words) AS BIGINT) AS total_tokens,
+       round(CAST(sum(k.n_words) AS DOUBLE) / count(*), 4) AS avg_tokens
+FROM kept k JOIN survivors s ON k.doc_id = s.doc_id
+GROUP BY 1
+""",
+    tags=("curation", "dedup", "quality", "pipeline"),
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation sweep a training-data pipeline runs: quality
+    gates (length + stopword ratio) -> exact dedup (fingerprint
+    survivors) -> per-language token accounting. One declarative plan:
+    scan -> project words once -> filter -> hash-group dedup ->
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.lower(F.regexp_replace("text", r"\s+", " "))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(canon).alias("fp"),
+        _words(F.col("text")).alias("w"),
+    ).select(
+        "doc_id",
+        "lang",
+        "fp",
+        F.size("w").alias("n_words"),
+        (
+            F.size(
+                F.filter(
+                    F.col("w"),
+                    lambda x: F.array_contains(
+                        F.array(*[F.lit(s) for s in ("the", "a", "of", "and")]), x
+                    ),
+                )
+            ).cast("double")
+            / F.size("w")
+        ).alias("stop_ratio"),
+    )
+    kept = scored.filter((F.col("n_words") >= 20) & (F.col("stop_ratio") < 0.08))
+    survivors = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        kept.join(survivors, ["fp", "doc_id"], "left_semi")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_tokens"),
+            F.round(F.sum("n_words").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_tokens"
+            ),
+        )
+    )
