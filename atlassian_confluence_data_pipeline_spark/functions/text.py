@@ -117,6 +117,26 @@ def backoff_delay(
     return base * F.pow(F.lit(2.0), attempt.cast("double") - 1) + jitter
 
 
+#: rolling-hash parameters (Rabin-Karp style polynomial hash)
+ROLLING_BASE = 257
+ROLLING_MOD = (1 << 31) - 1  # Mersenne prime; products stay < 2^63
+
+
+def rolling_hash(text: Column) -> Column:
+    """Document fingerprint via a character-level polynomial rolling hash
+    ``h = (h*B + code(c)) mod M`` — the X4 'document fingerprinting
+    (rolling hash)' operator as a pure JVM fold: split to chars,
+    transform to code points, aggregate with modular arithmetic (no UDF,
+    no overflow: B*M < 2^63)."""
+    chars = F.split(text, "")
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("bigint"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda h, c: (h * ROLLING_BASE + c) % ROLLING_MOD,
+    )
+
+
 def encrypt_column(col: Column, key: str) -> Column:
     """F15 engine analog (secure_cookie_manager.py:46-70, 90-134: PBKDF2 +
     Fernet over the cookie JSON): AES-GCM column encryption with Spark's

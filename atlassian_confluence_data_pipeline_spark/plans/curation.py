@@ -59,6 +59,34 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_rolling_fingerprints",
+    oracle="""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(regexp_split_to_array(substr(text, 1, 80), ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+         (h, c) -> (h * 257 + c) % 2147483647
+       ) AS fingerprint
+FROM documents
+""",
+    tags=("text", "fingerprint", "hash"),
+)
+def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via a Rabin-Karp-style polynomial rolling
+    hash (X4): char-code fold with modular arithmetic, pure JVM
+    expressions — engine-portable (unlike murmur/xxhash) so the oracle
+    reproduces it exactly with list_reduce."""
+    from atlassian_confluence_data_pipeline_spark.functions.text import rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        rolling_hash(F.substring("text", 1, 80)).alias("fingerprint"),
+    )
+
+
+@query(
     "corpus_curation",
     oracle="""
 WITH w AS (

@@ -111,3 +111,35 @@ def decode_image(attachments: DataFrame) -> DataFrame:  # pragma: no cover
         "image decode needs PIL/cv2; byte-level features are implemented "
         "in extract_byte_features — same plumbing, real decoder slots in."
     )
+
+
+#: contract schemas for the stubbed media transforms — the Spark-side
+#: shape (signature, Arrow batching, partitioning) is the engine's part;
+#: the decoder body slots in where media libs exist.
+RESIZE_SCHEMA = "owner_id bigint, filename string, content binary, width int, height int"
+FRAME_SAMPLE_SCHEMA = (
+    "owner_id bigint, filename string, frame_index int, frame binary, ts_ms bigint"
+)
+
+
+def resize_image(
+    attachments: DataFrame, width: int, height: int
+) -> DataFrame:  # pragma: no cover
+    """STUB — image resize (mapInPandas over BINARY -> RESIZE_SCHEMA,
+    one Arrow batch per partition). Requires PIL/cv2."""
+    raise NotImplementedError(
+        f"resize to {width}x{height} needs an image library; contract "
+        f"schema: {RESIZE_SCHEMA}"
+    )
+
+
+def sample_frames(
+    videos: DataFrame, every_ms: int = 1000
+) -> DataFrame:  # pragma: no cover
+    """STUB — video frame sampling (mapInPandas over BINARY ->
+    FRAME_SAMPLE_SCHEMA; one decoder process per partition, like the PDF
+    sink's converter amortization). Requires ffmpeg/cv2."""
+    raise NotImplementedError(
+        f"frame sampling every {every_ms}ms needs a video library; "
+        f"contract schema: {FRAME_SAMPLE_SCHEMA}"
+    )

@@ -87,6 +87,44 @@ def dedup_within_watermark(
     )
 
 
+def stream_stream_attribution(
+    events: DataFrame, join_window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: purchases joined to clicks of the
+    same user within the preceding ``join_window`` — the streaming form
+    of the as-of attribution query. Both sides carry watermarks so the
+    join state is bounded; the time-range predicate lets the engine
+    evict matched/expired rows."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            p_user = c_user AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL {join_window}
+            """
+        ),
+    ).select("purchase_id", "p_user", "purchase_ts", "click_id", "click_ts")
+
+
 def foreach_batch_state_merge(events: DataFrame, store) -> "DataStreamWriter":  # noqa: F821
     """writeStream.foreachBatch: MERGE each micro-batch's per-user max
     version into the persistent ledger — idempotent per (id, version),
