@@ -9,6 +9,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from atlassian_confluence_data_pipeline_spark.catalog import load_table
+from atlassian_confluence_data_pipeline_spark.functions.text import (
+    ROLLING_BASE,
+    ROLLING_MOD,
+    rolling_hash,
+)
 from atlassian_confluence_data_pipeline_spark.operators.similarity import (
     cosine_similarity,
 )
@@ -58,15 +63,18 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FP_PREFIX_LEN = 80
+
+
 @query(
     "doc_rolling_fingerprints",
-    oracle="""
+    oracle=f"""
 SELECT doc_id,
        list_reduce(
          list_prepend(CAST(0 AS BIGINT),
-           list_transform(regexp_split_to_array(substr(text, 1, 80), ''),
+           list_transform(regexp_split_to_array(substr(text, 1, {FP_PREFIX_LEN}), ''),
                           c -> CAST(ascii(c) AS BIGINT))),
-         (h, c) -> (h * 257 + c) % 2147483647
+         (h, c) -> (h * {ROLLING_BASE} + c) % {ROLLING_MOD}
        ) AS fingerprint
 FROM documents
 """,
@@ -77,12 +85,10 @@ def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash (X4): char-code fold with modular arithmetic, pure JVM
     expressions — engine-portable (unlike murmur/xxhash) so the oracle
     reproduces it exactly with list_reduce."""
-    from atlassian_confluence_data_pipeline_spark.functions.text import rolling_hash
-
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        rolling_hash(F.substring("text", 1, 80)).alias("fingerprint"),
+        rolling_hash(F.substring("text", 1, FP_PREFIX_LEN)).alias("fingerprint"),
     )
 
 

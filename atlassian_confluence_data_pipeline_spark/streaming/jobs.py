@@ -90,11 +90,13 @@ def dedup_within_watermark(
 def stream_stream_attribution(
     events: DataFrame, join_window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
-    """Stream-stream interval join: purchases joined to clicks of the
-    same user within the preceding ``join_window`` — the streaming form
-    of the as-of attribution query. Both sides carry watermarks so the
-    join state is bounded; the time-range predicate lets the engine
-    evict matched/expired rows."""
+    """Stream-stream interval join: purchases joined to ALL clicks of
+    the same user within the preceding ``join_window`` (1:N multiplicity
+    — unlike the batch ``asof_last_click``, which keeps only the single
+    latest click per purchase; dedup to last-click downstream if 1:1
+    attribution is wanted). Both sides carry watermarks so the join
+    state is bounded; the time-range predicate lets the engine evict
+    matched/expired rows."""
     clicks = (
         events.filter(F.col("event_type") == "click")
         .select(

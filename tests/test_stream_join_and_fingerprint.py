@@ -34,11 +34,14 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    got = {
-        (r["purchase_id"], r["click_id"])
-        for r in spark.sql(f"SELECT * FROM {name}").collect()
-    }
+    try:
+        assert q.awaitTermination(180), "stream did not finish within 180s"
+        got = {
+            (r["purchase_id"], r["click_id"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+    finally:
+        q.stop()
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
@@ -82,7 +85,7 @@ def test_rolling_hash_matches_python_reference(spark):
         assert got[text] == ref(text), text
 
 
-def test_media_stubs_declare_contracts(spark):
+def test_media_stubs_declare_contracts():
     with pytest.raises(NotImplementedError, match="width int, height int"):
         resize_image(None, 224, 224)
     with pytest.raises(NotImplementedError, match="frame_index int"):
