@@ -376,6 +376,39 @@ def embedding_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lineitem_statistics",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+       round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+       round(var_samp(l_discount), 8) AS discount_var,
+       bool_and(l_quantity > 0) AS all_positive_qty,
+       bool_or(l_discount > 0.09) AS any_deep_discount
+FROM lineitem
+GROUP BY 1
+""",
+    tags=("agg", "statistics"),
+)
+def lineitem_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: Pearson correlation, sample covariance/
+    variance/stddev, and boolean aggregates (every/some) — the numeric
+    profiling surface. Rounded outputs absorb the cross-engine
+    difference in numerically-stable accumulation formulas."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_discount"), 8).alias("discount_var"),
+        F.every(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.some(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Approximate distinct (HLL) — rows-only (algorithm-specific estimates)
 # ---------------------------------------------------------------------------
