@@ -91,11 +91,33 @@ class StateStore:
             return None  # missing/corrupt pointer -> empty ledger
             # (tolerant-load parity with state_manager.py:20-40)
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        snap = self.current_snapshot()
+    def list_snapshots(self) -> list[str]:
+        """All retained snapshots, oldest first (names embed epoch-ns)."""
+        return sorted(
+            d for d in os.listdir(self.path) if d.startswith("snapshot-")
+        )
+
+    def read(self, spark: SparkSession, snapshot: str | None = None) -> DataFrame:
+        """Read the current ledger, or time-travel to a named snapshot
+        (every upsert retains its full predecessor until vacuumed)."""
+        snap = snapshot or self.current_snapshot()
         if snap is None:
             return spark.createDataFrame([], STATE_SCHEMA)
         return spark.read.parquet(os.path.join(self.path, snap))
+
+    def vacuum(self, keep: int = 3) -> list[str]:
+        """Drop all but the newest ``keep`` snapshots (never the current
+        one). Returns the removed snapshot names."""
+        import shutil
+
+        snaps = self.list_snapshots()
+        current = self.current_snapshot()
+        removable = [s for s in snaps[:-keep] if s != current] if keep else [
+            s for s in snaps if s != current
+        ]
+        for s in removable:
+            shutil.rmtree(os.path.join(self.path, s), ignore_errors=True)
+        return removable
 
     def write(self, df: DataFrame) -> str:
         snap = f"snapshot-{time.time_ns()}"

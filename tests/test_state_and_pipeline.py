@@ -102,3 +102,22 @@ def test_stats_aggregation(spark):
     assert as_map[("ENG", "new")] == 2  # pages 3, 5
     assert as_map[("ENG", "updated")] == 1  # page 2
     assert as_map[("OPS", "new")] == 2  # pages 6, 7
+
+
+def test_state_store_time_travel_and_vacuum(spark, tmp_path):
+    store = StateStore(str(tmp_path / "ledger"))
+    state = make_state(spark)
+    snap1 = store.write(state)
+    store.upsert(
+        spark, spark.createDataFrame([("7", "t", "OPS", 1, "t", {})], state.schema)
+    )
+    store.upsert(
+        spark, spark.createDataFrame([("8", "t", "OPS", 1, "t", {})], state.schema)
+    )
+    assert store.read(spark).count() == 6  # current
+    # time travel to the first snapshot
+    assert store.read(spark, snapshot=snap1).count() == 4
+    assert len(store.list_snapshots()) == 3
+    removed = store.vacuum(keep=1)
+    assert len(removed) == 2 and snap1 in removed
+    assert store.read(spark).count() == 6  # current snapshot untouched
