@@ -78,10 +78,12 @@ def minhash_lsh_candidates(
         minhash_signature(F.col(shingles_col), k).alias("__sig"),
     ).filter(F.size(F.col("__sig")) == k)
     keys = lsh_band_keys(F.col("__sig"), bands, rows)
+    # materialize: both sides of the self-join read this — unmaterialized,
+    # the whole signature computation runs twice
     banded = sig.select(
         "__id",
         F.posexplode(F.array(*keys)).alias("band_id", "band_key"),
-    )
+    ).localCheckpoint(eager=True)
     left = banded.select(
         F.col("__id").alias("id_a"), "band_id", "band_key"
     )
@@ -173,13 +175,15 @@ def simhash_near_pairs(
         for i in range(chunks)
     ]
     h = hashes.select(F.col(id_col).alias("__id"), F.col("simhash"), *chunk_cols)
+    # materialize: the self-join would otherwise run the upstream
+    # fingerprint aggregation once per side
     banded = h.select(
         "__id",
         "simhash",
         F.posexplode(F.array(*[F.col(f"__c{i}") for i in range(chunks)])).alias(
             "chunk_id", "chunk_val"
         ),
-    )
+    ).localCheckpoint(eager=True)
     left = banded.select(
         F.col("__id").alias("id_a"), F.col("simhash").alias("__h_a"), "chunk_id", "chunk_val"
     )
