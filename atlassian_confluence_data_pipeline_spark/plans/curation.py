@@ -46,14 +46,34 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the IVF coarse quantizer supplies it) + exact cosine
     threshold within blocks. The join is an equi-join on the block key;
     no all-pairs scan."""
+    from atlassian_confluence_data_pipeline_spark.operators.similarity import (
+        dot,
+        l2_norm,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    # Precompute each vector's norm ONCE (identical fold => bitwise-equal
+    # to the oracle's per-pair recomputation) instead of 2 norm folds per
+    # candidate pair — cuts the per-pair work to a single dot product.
+    with_norm = emb.select(
+        "label",
+        "vec_id",
+        F.col("embedding").alias("v"),
+        l2_norm(F.col("embedding")).alias("norm"),
+    ).persist()
+    a = with_norm.select(
+        "label",
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
     )
-    b = emb.select(
-        F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    b = with_norm.select(
+        "label",
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
     )
-    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "label")
         .filter(F.col("id_a") < F.col("id_b"))
