@@ -109,10 +109,29 @@ class ConfluenceFixtureReader(DataSourceReader):
         return True
 
     def read(self, partition: _RangePartition):
-        for i in range(partition.start, partition.end):
-            row = _page(i, self.n_spaces)
-            if self._keep(row):
-                yield row
+        """Yield ONE Arrow batch per partition (columnar hand-off to the
+        JVM — far cheaper than per-row tuple pickling)."""
+        import pyarrow as pa
+
+        rows = [
+            row
+            for i in range(partition.start, partition.end)
+            if self._keep(row := _page(i, self.n_spaces))
+        ]
+        if not rows:
+            return
+        cols = list(zip(*rows))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(cols[0], pa.string()),
+                pa.array(cols[1], pa.string()),
+                pa.array(cols[2], pa.string()),
+                pa.array(cols[3], pa.int32()),
+                pa.array(cols[4], pa.timestamp("us")),
+                pa.array(cols[5], pa.int32()),
+            ],
+            names=["id", "title", "space_key", "version", "last_modified", "n_children"],
+        )
 
 
 class ConfluenceFixtureDataSource(DataSource):
