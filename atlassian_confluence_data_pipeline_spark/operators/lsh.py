@@ -1,63 +1,134 @@
 """Locality-sensitive hashing for near-duplicate detection at scale
 (extension X2): MinHash + banded LSH, and SimHash with chunk-banding.
 
-All pure built-in expressions (xxhash64, higher-order array functions,
-bit ops) — JVM-side, no UDFs, no ML-pipeline fitting step, fully
-deterministic. The candidate-pair joins are *equi-joins on band keys*:
-each document only ever meets documents sharing a band bucket, so the
-pair count stays near-linear in corpus size — the property that makes
-near-dup feasible at 100 TB where exact all-pairs Jaccard is O(n^2).
+All pure built-in expressions (higher-order array functions, modular
+arithmetic, bit ops) — JVM-side, no UDFs, no ML-pipeline fitting step,
+fully deterministic. The candidate-pair joins are *equi-joins on band
+keys*: each document only ever meets documents sharing a band bucket,
+so the pair count stays near-linear in corpus size — the property that
+makes near-dup feasible at 100 TB where exact all-pairs Jaccard is
+O(n^2).
 
-Engine-specific hashes (xxhash64) are not reproducible in DuckDB, so
-these register rows-only checks; exactness is covered by planted-pair
-pytest fixtures plus the oracle-checked exact-Jaccard verifier that
-confirms surviving candidates.
+Hashing is ENGINE-PORTABLE by default: the base hash is the same
+Rabin-Karp polynomial rolling hash as ``functions.text.rolling_hash``
+(char-code fold mod a Mersenne prime), and the k MinHash permutations /
+64 SimHash bit projections are affine transforms ``(a_i*h + b_i) mod M``
+with constants drawn from a seeded RNG shared with the DuckDB oracle
+generator (plans/multimodal.py). Every value — signatures, band keys,
+fingerprints — is therefore reproducible bit-for-bit in any engine with
+64-bit integer arithmetic, which is what lets the driver hash-check
+these paths instead of a rows-only count. An ``portable=False`` flag
+keeps the previous xxhash64 fast path for callers that do not need
+cross-engine parity.
+
+PERF note (the projection-CSE trap, see PLANS.md): the MinHash
+signature is ONE ``F.aggregate`` fold with a k-field struct accumulator
+— the shingle-hash array is referenced exactly once, so Catalyst cannot
+re-inline the (expensive) rolling-hash fold k times, and the signature
+costs a single pass over the shingles instead of k ``array_min``
+passes. Signatures are localCheckpoint-materialized before band keys
+reference them element-wise.
 """
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from atlassian_confluence_data_pipeline_spark.functions.text import (
+    ROLLING_MOD,
+    rolling_hash,
+)
 
-def minhash_signature(shingles: Column, k: int = 32) -> Column:
+#: polynomial-fold constants for combining band slots into one band key
+BAND_BASE = 1000003
+BAND_MOD = ROLLING_MOD  # keys < 2^31: fold products stay < 2^63
+
+#: affine permutation constants (a odd < 2^31, b < 2^31), shared with the
+#: DuckDB oracle SQL generated in plans/multimodal.py — same seed, same
+#: constants, same signatures in both engines.
+def _affine_perms(seed: int, n: int) -> tuple[tuple[int, int], ...]:
+    rng = random.Random(seed)
+    return tuple((rng.getrandbits(31) | 1, rng.getrandbits(31)) for _ in range(n))
+
+
+MINHASH_PERMS = _affine_perms(0x5EED, 64)
+SIMHASH_PERMS = _affine_perms(0x51AB, 64)
+
+#: SimHash bit vote: +1 when the affine projection lands in the top half
+#: of [0, ROLLING_MOD) — an unbiased pseudo-random bit per (token, slot).
+SIMHASH_THRESHOLD = 1 << 30
+
+
+def _portable_hash(s: Column) -> Column:
+    """Engine-portable base hash in [0, ROLLING_MOD): the rolling-hash
+    char fold (same family as doc_rolling_fingerprints, oracle-proven)."""
+    return rolling_hash(s)
+
+
+def _fast_hash(s: Column) -> Column:
+    """xxhash64 masked to 32 bits — cheaper, engine-specific (rows-only
+    checks when used)."""
+    return F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF))
+
+
+def minhash_signature(shingles: Column, k: int = 32, portable: bool = True) -> Column:
     """k-permutation MinHash signature of a shingle *set*.
 
-    Cost shape: each shingle is string-hashed ONCE (xxhash64); the k
-    permutations are affine transforms ``a_i * h32 + b_i`` over the base
-    hash — integer multiply/add per permutation instead of k string
-    hashes (~10x cheaper at corpus scale). The base hash is masked to
-    32 bits so the affine product cannot overflow int64 (ANSI mode
-    throws on overflow). Signature element = min over the set; empty
-    sets get NULL elements (callers should filter size > 0).
+    Cost shape: each shingle is base-hashed ONCE; the k permutations are
+    affine transforms ``(a_i*h + b_i) mod M`` — integer multiply/add per
+    permutation instead of k string hashes. The whole signature is a
+    SINGLE ``F.aggregate`` fold with a k-field struct accumulator
+    (init = M, merge = least(acc_i, perm_i(h))), so the shingle-hash
+    array is referenced once (no Catalyst re-inlining) and the data is
+    scanned once (not k times). Overflow-free: a, h < 2^31 so
+    a*h + b < 2^63. Empty sets keep the init value M — callers filter
+    size(shingles) > 0 (as does the oracle SQL).
 
-    NB: every per-element lambda must take exactly ONE parameter — a
-    two-parameter lambda is interpreted by Spark as (element, index) and
-    the salt would silently become the array position."""
-    import random
+    NB: per-element lambdas must take exactly ONE parameter — a
+    two-parameter lambda is interpreted by Spark as (element, index)."""
+    perms = MINHASH_PERMS[:k]
+    hash_fn = _portable_hash if portable else _fast_hash
+    hs = F.transform(shingles, hash_fn)
+    init = F.struct(
+        *[F.lit(ROLLING_MOD).cast("bigint").alias(f"m{i}") for i in range(k)]
+    )
 
-    rng = random.Random(0x5EED)
-    base = F.transform(shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF)))
+    def merge(acc: Column, h: Column) -> Column:
+        return F.struct(
+            *[
+                F.least(acc[f"m{i}"], (F.lit(a) * h + F.lit(b)) % ROLLING_MOD).alias(
+                    f"m{i}"
+                )
+                for i, (a, b) in enumerate(perms)
+            ]
+        )
 
-    def perm(a: int, b: int):
-        return lambda h: F.lit(a) * h + F.lit(b)
+    def finish(acc: Column) -> Column:
+        return F.array(*[acc[f"m{i}"] for i in range(k)])
 
-    cols = []
-    for _ in range(k):
-        a = rng.getrandbits(31) | 1  # odd multiplier < 2^31
-        b = rng.getrandbits(31)  # a*h32 + b < 2^63: overflow-free
-        cols.append(F.array_min(F.transform(base, perm(a, b))))
-    return F.array(*cols)
+    return F.aggregate(hs, init, merge, finish)
 
 
 def lsh_band_keys(signature: Column, bands: int, rows: int) -> list[Column]:
-    """Hash each band (``rows`` consecutive signature slots) to one key.
+    """One key per band (``rows`` consecutive signature slots): a
+    positional polynomial fold seeded with the band index, so the key
+    encodes WHICH band matched — ``((b*B + s_1) % M * B + s_2) % M ...``
     Two docs collide in a band iff that band's slots all match — the
-    classic (b, r) S-curve: P(candidate) = 1 - (1 - j^r)^b."""
-    return [
-        F.xxhash64(*[F.element_at(signature, b * rows + m + 1) for m in range(rows)])
-        for b in range(bands)
-    ]
+    classic (b, r) S-curve: P(candidate) = 1 - (1 - j^r)^b. The tagged
+    fold is reproducible in DuckDB via list_reduce (plans/multimodal.py).
+
+    ``signature`` must be a MATERIALIZED column (post-checkpoint): the
+    fold references it element-wise bands*rows times."""
+    keys = []
+    for b in range(bands):
+        acc: Column = F.lit(b).cast("bigint")
+        for m in range(rows):
+            acc = (acc * BAND_BASE + F.element_at(signature, b * rows + m + 1)) % BAND_MOD
+        keys.append(acc)
+    return keys
 
 
 def minhash_lsh_candidates(
@@ -66,32 +137,30 @@ def minhash_lsh_candidates(
     shingles_col: str,
     k: int = 32,
     bands: int = 16,
+    portable: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via banded MinHash LSH.
 
-    One pass computes signatures; an explode produces (band_id, band_key)
-    rows; a self-equi-join on the bucket yields candidates, deduped
+    One aggregate-fold pass computes signatures (materialized via eager
+    localCheckpoint so the band keys read a stored column instead of
+    re-deriving the fold 2*bands times); an explode produces band-key
+    rows; a self-equi-join on the tagged key yields candidates, deduped
     because a pair can collide in several bands."""
     rows = k // bands
-    sig = docs.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(F.col(shingles_col), k).alias("__sig"),
-    ).filter(F.size(F.col("__sig")) == k)
+    sig = (
+        docs.filter(F.size(F.col(shingles_col)) > 0)
+        .select(
+            F.col(id_col).alias("__id"),
+            minhash_signature(F.col(shingles_col), k, portable).alias("__sig"),
+        )
+        .localCheckpoint(eager=True)
+    )
     keys = lsh_band_keys(F.col("__sig"), bands, rows)
-    # materialize: both sides of the self-join read this — unmaterialized,
-    # the whole signature computation runs twice
-    banded = sig.select(
-        "__id",
-        F.posexplode(F.array(*keys)).alias("band_id", "band_key"),
-    ).localCheckpoint(eager=True)
-    left = banded.select(
-        F.col("__id").alias("id_a"), "band_id", "band_key"
-    )
-    right = banded.select(
-        F.col("__id").alias("id_b"), "band_id", "band_key"
-    )
+    banded = sig.select("__id", F.explode(F.array(*keys)).alias("band_key"))
+    left = banded.select(F.col("__id").alias("id_a"), "band_key")
+    right = banded.select(F.col("__id").alias("id_b"), "band_key")
     return (
-        left.join(right, ["band_id", "band_key"])
+        left.join(right, "band_key")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -129,25 +198,51 @@ def verify_candidates_jaccard(
 # ---------------------------------------------------------------------------
 
 
-def simhash(docs: DataFrame, id_col: str, tokens_col: str, bits: int = 64) -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    bits: int = 64,
+    portable: bool = True,
+) -> DataFrame:
     """64-bit SimHash per document: sign of the per-bit weighted sum of
-    token hashes (+1 if a token's hash has the bit set, else -1).
+    token-hash projections (+1 / -1 votes).
+
+    Portable path: one rolling hash per token (hashed at the ARRAY level
+    *before* explode, so the fold runs once per token and the 64 vote
+    expressions reference the generator's output attribute — Catalyst
+    cannot re-inline through Generate); bit i votes +1 when the affine
+    projection ``(a_i*h + b_i) mod M`` lands in the top half of the
+    range. xxhash64 path (portable=False): bit i of the 64-bit hash.
 
     Implemented as explode -> one HashAggregate with 64 conditional sums
     -> bit reassembly. One shuffle on the doc id; no Python."""
+    hash_fn = _portable_hash if portable else (lambda t: F.xxhash64(t))
     tok = docs.select(
         F.col(id_col).alias("__id"),
-        F.explode(F.col(tokens_col)).alias("__t"),
-    ).withColumn("__h", F.xxhash64("__t"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"__b{b}")
-        for b in range(bits)
-    ]
-    agg = tok.groupBy("__id").agg(*bit_sums)
+        F.explode(F.transform(F.col(tokens_col), hash_fn)).alias("__h"),
+    )
+    if portable:
+        votes = [
+            F.sum(
+                F.when(
+                    (F.lit(a) * F.col("__h") + F.lit(b)) % ROLLING_MOD
+                    >= SIMHASH_THRESHOLD,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"__b{i}")
+            for i, (a, b) in enumerate(SIMHASH_PERMS[:bits])
+        ]
+    else:
+        votes = [
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"__b{b}")
+            for b in range(bits)
+        ]
+    agg = tok.groupBy("__id").agg(*votes)
     fingerprint = None
     for b in range(bits):
         term = F.when(

@@ -1,10 +1,15 @@
 """Multimodal + LSH queries (extensions X2/X5).
 
-The attachment-stats query is oracle-checked (metadata plumbing is pure
-SQL); the LSH queries use engine-specific hashing (xxhash64) that DuckDB
-cannot reproduce, so they register rows-only — their semantics are
-covered by planted-pair unit tests (tests/test_lsh.py) and by the exact
-Jaccard verifier, which IS oracle-checked via near_dup_pairs.
+All three are oracle-checked. The LSH paths use the engine-portable
+rolling-hash family (functions/text.py ROLLING_BASE/MOD) with affine
+permutation constants drawn from seeded RNGs shared between the Spark
+operators (operators/lsh.py) and the DuckDB oracle SQL *generated
+below from the same constants* — signatures, band keys and SimHash
+fingerprints are reproduced bit-for-bit by DuckDB's list_reduce /
+list_transform, so the driver hash-checks the full candidate+verify
+pipeline, not just row counts. The oracle joins are written all-pairs
+(fine at oracle scale); the Spark side keeps the banded equi-join shape
+that scales.
 """
 
 from __future__ import annotations
@@ -13,7 +18,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from atlassian_confluence_data_pipeline_spark.catalog import load_table
+from atlassian_confluence_data_pipeline_spark.functions.text import (
+    ROLLING_BASE,
+    ROLLING_MOD,
+)
 from atlassian_confluence_data_pipeline_spark.operators.lsh import (
+    BAND_BASE,
+    BAND_MOD,
+    MINHASH_PERMS,
+    SIMHASH_PERMS,
+    SIMHASH_THRESHOLD,
     minhash_lsh_candidates,
     simhash,
     simhash_near_pairs,
@@ -66,32 +80,149 @@ def multimodal_attachment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("minhash_lsh_pairs", oracle=None, tags=("dedup", "neardup", "lsh"))
+# ---------------------------------------------------------------------------
+# Oracle SQL generators — same constants as operators/lsh.py
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 32
+MINHASH_BANDS = 16
+MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
+MINHASH_JACCARD = 0.05
+SIMHASH_MAX_HAMMING = 12
+SIMHASH_CHUNKS = 4
+
+
+def _rh_sql(expr: str) -> str:
+    """DuckDB rendering of functions.text.rolling_hash (char-code fold
+    mod the Mersenne prime) — the idiom already hash-proven by the
+    doc_rolling_fingerprints oracle."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(regexp_split_to_array({expr}, ''), "
+        f"c -> CAST(ascii(c) AS BIGINT))), "
+        f"(h, c) -> (h * {ROLLING_BASE} + c) % {ROLLING_MOD})"
+    )
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n         ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {ROLLING_MOD}))"
+        for a, b in MINHASH_PERMS[:MINHASH_K]
+    )
+    jac = (
+        "CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)"
+        " / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), t AS (
+  SELECT doc_id, list_distinct(list_transform(
+      range(1, greatest(len(w) - 1, 1)),
+      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+  FROM w
+), ne AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {_rh_sql('s')}) AS hs
+  FROM t WHERE len(sh) > 0
+), sig AS (
+  SELECT doc_id, sh,
+         [{mins}] AS sig
+  FROM ne
+), banded AS (
+  SELECT doc_id, sh, list_transform(range(0, {MINHASH_BANDS}), bi ->
+    list_reduce(list_prepend(CAST(bi AS BIGINT),
+        list_transform(range(1, {MINHASH_ROWS} + 1), m -> sig[bi * {MINHASH_ROWS} + m])),
+      (acc, v) -> (acc * {BAND_BASE} + v) % {BAND_MOD})) AS bk
+  FROM sig
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM banded a JOIN banded b
+    ON a.doc_id < b.doc_id AND len(list_intersect(a.bk, b.bk)) > 0
+)
+SELECT id_a, id_b, round({jac}, 6) AS jaccard
+FROM cand
+WHERE {jac} >= {MINHASH_JACCARD}
+"""
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN ({a} * h + {b}) % {ROLLING_MOD} >= {SIMHASH_THRESHOLD}"
+        f" THEN 1 ELSE -1 END) AS v{i}"
+        for i, (a, b) in enumerate(SIMHASH_PERMS)
+    )
+    # bits are disjoint powers of two, so addition == bitwise OR; bit 63
+    # is the negative two's-complement literal (1::BIGINT << 63 would
+    # overflow DuckDB's checked shift).
+    fp_terms = [
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(63)
+    ] + [
+        "CASE WHEN v63 > 0 THEN CAST(-9223372036854775808 AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END"
+    ]
+    fp = "\n       + ".join(fp_terms)
+    width = 64 // SIMHASH_CHUNKS
+    mask = (1 << width) - 1
+    # arithmetic shift + mask == unsigned shift + mask (the mask drops
+    # the sign-extension bits), so chunk equality is portable even for
+    # fingerprints with bit 63 set.
+    chunk_eq = " OR ".join(
+        f"((a.simhash >> {i * width}) & {mask}) = ((b.simhash >> {i * width}) & {mask})"
+        for i in range(SIMHASH_CHUNKS)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+), h AS (
+  SELECT doc_id, unnest(list_transform(toks, t -> {_rh_sql('t')})) AS h
+  FROM w
+), v AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+), fp AS (
+  SELECT doc_id,
+         {fp}
+         AS simhash
+  FROM v
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b
+  ON a.doc_id < b.doc_id AND ({chunk_eq})
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+@query("minhash_lsh_pairs", oracle=_minhash_oracle(), tags=("dedup", "neardup", "lsh"))
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup X2 (scale path): shingle -> 32-perm MinHash
-    -> 8-band bucket join -> exact-Jaccard verify >= 0.05. Candidate
+    -> 16-band bucket join -> exact-Jaccard verify >= 0.05. Candidate
     generation is an equi-join on band buckets (near-linear); the O(n^2)
-    all-pairs comparison never happens. Rows-only check: xxhash64 is not
-    reproducible in DuckDB; semantics covered by tests/test_lsh.py."""
+    all-pairs comparison never happens. Hash-checked: the portable
+    rolling-hash + affine-permutation signature is reproduced exactly by
+    the generated DuckDB oracle (all-pairs at oracle scale)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = (
         docs.select("doc_id", _words(F.col("text")).alias("w"))
         .select("doc_id", _shingles(F.col("w")).alias("sh"))
         .filter(F.size("sh") > 0)
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    cand = minhash_lsh_candidates(sh, "doc_id", "sh")
-    return verify_candidates_jaccard(cand, sh, "doc_id", "sh", threshold=0.05).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    )
+    cand = minhash_lsh_candidates(sh, "doc_id", "sh", k=MINHASH_K, bands=MINHASH_BANDS)
+    return verify_candidates_jaccard(
+        cand, sh, "doc_id", "sh", threshold=MINHASH_JACCARD
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@query("simhash_pairs", oracle=None, tags=("dedup", "neardup", "simhash"))
+@query("simhash_pairs", oracle=_simhash_oracle(), tags=("dedup", "neardup", "simhash"))
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup X2: 64-bit fingerprint per doc (explode + one
-    HashAggregate), candidate pairs via 16-bit chunk pigeonhole banding,
-    exact Hamming filter <= 12. Rows-only (engine-specific hash)."""
+    HashAggregate with 64 affine-projection votes), candidate pairs via
+    16-bit chunk pigeonhole banding, exact Hamming filter <= 12.
+    Hash-checked via the generated DuckDB oracle (same constants)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _words(F.col("text")).alias("toks"))
     hashes = simhash(toks, "doc_id", "toks")
-    return simhash_near_pairs(hashes, "doc_id", max_hamming=12)
+    return simhash_near_pairs(hashes, "doc_id", max_hamming=SIMHASH_MAX_HAMMING)
