@@ -410,48 +410,151 @@ def lineitem_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate distinct (HLL) — rows-only (algorithm-specific estimates)
+# Approximate distinct (HLL) — oracle-paired via portable accuracy assertion
 # ---------------------------------------------------------------------------
 
 
-@query("approx_distinct_parts", oracle=None, tags=("agg", "approx"))
+@query(
+    "approx_distinct_parts",
+    oracle="""
+SELECT p.p_brand AS p_brand,
+       count(DISTINCT l.l_orderkey) AS exact_orders,
+       count(DISTINCT l.l_suppkey) AS exact_suppliers,
+       abs(approx_count_distinct(l.l_orderkey) - count(DISTINCT l.l_orderkey)) * 20
+         <= count(DISTINCT l.l_orderkey) AS orders_within_5pct,
+       abs(approx_count_distinct(l.l_suppkey) - count(DISTINCT l.l_suppkey)) * 20
+         <= count(DISTINCT l.l_suppkey) AS suppliers_within_5pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+""",
+    tags=("agg", "approx"),
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts per brand — the
     sketch-based path for 100 TB cardinality estimation (fixed-size
-    state vs exact distinct's full shuffle). Rows-only: HLL estimates
-    are algorithm-specific, not comparable across engines; accuracy is
-    asserted against exact counts in tests/test_analytics.py."""
+    state vs exact distinct's full shuffle). Raw sketch estimates are
+    algorithm-specific (not comparable across engines), so the
+    hash-checked output is the engine-portable ASSERTION: the exact
+    count plus a within-5%% boolean (``20*|approx-exact| <= exact`` —
+    pure integer arithmetic, no float threshold) that each engine
+    computes from its own sketch. Spark's sketch runs at rsd=0.01 so
+    the 5%% band has comfortable margin; absolute estimate accuracy is
+    additionally asserted in tests/test_analytics.py."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    exact_o = F.count_distinct(F.col("l_orderkey")).alias("exact_orders")
+    exact_s = F.count_distinct(F.col("l_suppkey")).alias("exact_suppliers")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+            exact_o,
+            exact_s,
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("__ao"),
+            F.approx_count_distinct("l_suppkey", rsd=0.01).alias("__as"),
+        )
+        .select(
+            "p_brand",
+            "exact_orders",
+            "exact_suppliers",
+            (
+                F.abs(F.col("__ao") - F.col("exact_orders")) * 20
+                <= F.col("exact_orders")
+            ).alias("orders_within_5pct"),
+            (
+                F.abs(F.col("__as") - F.col("exact_suppliers")) * 20
+                <= F.col("exact_suppliers")
+            ).alias("suppliers_within_5pct"),
         )
     )
 
 
 # ---------------------------------------------------------------------------
-# IVF approximate nearest neighbors — rows-only + recall test
+# IVF approximate nearest neighbors — oracle-paired (deterministic centroids)
 # ---------------------------------------------------------------------------
 
+_IVF_COS = (
+    "list_sum(list_transform(range(1, len({a})+1), i -> {a}[i] * {b}[i]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+)
 
-@query("ivf_ann_topk", oracle=None, tags=("similarity", "ann", "vector"))
+_IVF_ORACLE = f"""
+WITH comp AS (
+  SELECT label, vec_id,
+         unnest(range(1, len(embedding)+1)) AS pos,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings
+), cm AS (
+  SELECT label, pos,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(v ORDER BY vec_id)),
+                     (a, b) -> a + b) / count(*) AS m
+  FROM comp GROUP BY label, pos
+), cent AS (
+  SELECT label AS centroid_id, list(m ORDER BY pos) AS c FROM cm GROUP BY label
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), ca AS (
+  SELECT * FROM (
+    SELECT e.vec_id AS neighbor_id, e.v AS cv, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_IVF_COS.format(a='e.v', b='cent.c')} DESC, cent.centroid_id) AS r
+    FROM e CROSS JOIN cent
+  ) WHERE r = 1
+), qa AS (
+  SELECT * FROM (
+    SELECT e.vec_id AS query_id, e.v AS qv, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_IVF_COS.format(a='e.v', b='cent.c')} DESC, cent.centroid_id) AS r
+    FROM e CROSS JOIN cent WHERE e.vec_id < 10
+  ) WHERE r <= 2
+), p AS (
+  SELECT query_id, neighbor_id, {_IVF_COS.format(a='qv', b='cv')} AS sim
+  FROM qa JOIN ca USING (centroid_id)
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, round(sim, 6) AS sim
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+  ) AS rnk FROM p
+) WHERE rnk <= 5
+"""
+
+
+@query("ivf_ann_topk", oracle=_IVF_ORACLE, tags=("similarity", "ann", "vector"))
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (X3 scale path): coarse-quantize the corpus to
     per-label centroid cells, probe each query's 2 nearest cells only —
-    the scan per query drops from N to ~N*2/cells. Recall vs brute force
-    is asserted in tests/test_analytics.py; rows-only here (cell
-    assignment depends on engine float reduction order)."""
+    the scan per query drops from N to ~N*2/cells. Hash-checked: the
+    centroid mean is a left-to-right double fold in vec_id order
+    (deterministic, engine-portable — a plain avg() differs in reduction
+    order across engines; a DECIMAL sum is order-free but DuckDB's
+    decimal->double conversion drifts 1 ULP), so cell assignment, probe
+    set and top-k ranks reproduce exactly in the DuckDB oracle. Recall
+    vs brute force is additionally asserted in tests/test_analytics.py."""
     from atlassian_confluence_data_pipeline_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = (
-        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        emb.select("label", "vec_id", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
-        .agg(F.avg("v").alias("m"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("vs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            (
+                F.aggregate(
+                    F.transform("vs", lambda s: s["v"].cast("double")),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+                / F.col("n")
+            ).alias("m"),
+        )
         .groupBy("label")
         .agg(
             F.transform(
