@@ -221,13 +221,31 @@ def nation_has_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("clean_documents_html", oracle=None, tags=("html", "udf", "pandas"))
+@query(
+    "clean_documents_html",
+    oracle="""
+SELECT doc_id,
+       concat(
+         '<img src="https://example.org/wiki/download/attachments/',
+         CAST(doc_id AS VARCHAR),
+         '/img.png" style="display: block; margin-left: auto; margin-right: auto;"/><p>',
+         substr(text, 1, 60),
+         '</p><pre class="code-block" data-language="sql"><code>SELECT 1</code></pre>'
+       ) AS html
+FROM documents
+""",
+    tags=("html", "udf", "pandas"),
+)
 def clean_documents_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DOM-rewrite chain F1-F3 as the registry sees it: synthesize
     Confluence-storage-format bodies from documents, run the
-    Arrow-batched clean_html pandas UDF, substitute PAGE_ID. Rows-only:
-    the transform is deliberately non-SQL (that is why it is a UDF);
-    semantics are golden-tested in tests/test_html_functions.py."""
+    Arrow-batched clean_html pandas UDF, substitute PAGE_ID. The body is
+    templated (script + ac:image + text snippet + code macro), so the
+    UDF's expected end-to-end output — script dropped, image macro
+    rewritten to an absolutized <img> with the PAGE_ID substituted, code
+    macro to <pre><code>, CDATA stripped — is a deterministic SQL concat:
+    the oracle IS the golden test, hash-checked per document. Free-form
+    DOM inputs stay covered by tests/test_html_functions.py."""
     from atlassian_confluence_data_pipeline_spark.functions.html import (
         make_clean_html_udf,
     )
