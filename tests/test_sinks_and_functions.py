@@ -53,16 +53,57 @@ def test_one_file_per_row_sink(spark, tmp_path):
         assert fh.read() == "<p>a</p>"
 
 
+def _assert_valid_pdf(payload: bytes, expected_text: str) -> None:
+    """Structural PDF validation, parity with the reference's output
+    check (html_to_pdf_converter.py:153-158) but stricter: magic, EOF,
+    xref offsets that really point at their objects, and the expected
+    text inside a FlateDecode content stream."""
+    import re
+    import zlib
+
+    assert payload.startswith(b"%PDF-1.4")
+    assert payload.rstrip().endswith(b"%%EOF")
+    startxref = int(payload.rsplit(b"startxref", 1)[1].split()[0])
+    xref = payload[startxref:]
+    assert xref.startswith(b"xref")
+    n_objs = int(xref.split(b"\n")[1].split()[1])
+    entries = xref.split(b"\n")[2 : 2 + n_objs]
+    for num, entry in enumerate(entries[1:], start=1):  # skip the free head
+        off = int(entry.split()[0])
+        assert payload[off:].startswith(f"{num} 0 obj".encode())
+    assert b"/Type /Catalog" in payload and b"/Type /Page" in payload
+    streams = re.findall(rb"stream\n(.*?)\nendstream", payload, re.DOTALL)
+    assert streams
+    text = b"".join(zlib.decompress(s) for s in streams)
+    from atlassian_confluence_data_pipeline_spark.functions.pdf import _pdf_escape
+
+    assert _pdf_escape(expected_text) in text
+
+
 def test_html_to_pdf_partition_batching(spark):
     df = spark.createDataFrame(
         [("1", "<p>one</p>"), ("2", "<p>two</p>")], ["id", "html"]
     )
     out = html_to_pdf(df).collect()
     assert {r["id"] for r in out} == {"1", "2"}
-    for r in out:
-        payload = bytes(r["pdf"])
-        assert payload.startswith(b"%PDF-1.4")  # stub container format
-        assert len(payload) > 20
+    by_id = {r["id"]: bytes(r["pdf"]) for r in out}
+    _assert_valid_pdf(by_id["1"], "one")
+    _assert_valid_pdf(by_id["2"], "two")
+
+
+def test_pdf_writer_multipage_and_escapes():
+    from atlassian_confluence_data_pipeline_spark.functions.pdf import (
+        LINES_PER_PAGE,
+        html_to_pdf_bytes,
+    )
+
+    many = "".join(f"<p>line {i} with (parens) and \\slash</p>" for i in range(200))
+    payload = html_to_pdf_bytes(many)
+    _assert_valid_pdf(payload, "line 0 with (parens) and \\slash")
+    assert payload.count(b"/Type /Page ") >= 200 // LINES_PER_PAGE
+    # empty/None inputs still produce a parseable one-page document
+    _assert_valid_pdf(html_to_pdf_bytes(None), "")
+    _assert_valid_pdf(html_to_pdf_bytes("<div></div>"), "")
 
 
 def test_backoff_formula(spark):
