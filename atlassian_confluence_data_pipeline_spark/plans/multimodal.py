@@ -37,6 +37,8 @@ from atlassian_confluence_data_pipeline_spark.plans.registry import query
 from atlassian_confluence_data_pipeline_spark.plans.textops import _shingles, _words
 from atlassian_confluence_data_pipeline_spark.sources.binary import (
     attachments_from_documents,
+    decode_image,
+    image_attachments_from_documents,
 )
 
 
@@ -77,6 +79,42 @@ def multimodal_attachment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("meta.n_bytes").cast("bigint").alias("total_bytes"),
             F.max("meta.n_bytes").cast("int").alias("max_bytes"),
         )
+    )
+
+
+@query(
+    "decoded_image_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(doc_id % 6 + 2 AS INT) AS width,
+       CAST(doc_id % 4 + 2 AS INT) AS height,
+       CAST((doc_id % 6 + 2) * (doc_id % 4 + 2) * 3 AS INT) AS n_pixels,
+       CAST(list_sum(list_transform(range(0, doc_id % 4 + 2), y ->
+         list_sum(list_transform(range(0, doc_id % 6 + 2), x ->
+           list_sum(list_transform(range(0, 3), c ->
+             (doc_id + 7 * x + 13 * y + 101 * c) % 256)))))) AS BIGINT) AS pixel_sum
+FROM documents
+""",
+    tags=("multimodal", "image", "decode"),
+)
+def decoded_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 image decode, hash-checked END TO END: workers encode the
+    deterministic gradient fixtures (BMP for even ids, PPM for odd),
+    the pure-numpy decoders (functions/imaging.py) decode them back via
+    mapInPandas, and per-image dimensions + pixel sums must equal what
+    DuckDB derives symbolically from the same doc_id arithmetic — any
+    byte-level bug in either codec or the Arrow plumbing breaks the
+    value hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_image(image_attachments_from_documents(docs))
+    return decoded.select(
+        F.col("owner_id").alias("doc_id"),
+        "width",
+        "height",
+        F.size("pixels").alias("n_pixels"),
+        F.aggregate(
+            "pixels", F.lit(0).cast("bigint"), lambda a, b: a + b
+        ).alias("pixel_sum"),
     )
 
 

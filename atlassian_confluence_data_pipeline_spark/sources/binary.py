@@ -102,44 +102,219 @@ def extract_byte_features(attachments: DataFrame, n_buckets: int = 16) -> DataFr
     return attachments.mapInPandas(_features, schema=BYTE_FEATURES_SCHEMA)
 
 
-def decode_image(attachments: DataFrame) -> DataFrame:  # pragma: no cover
-    """STUB — image decode requires media libraries absent from this
-    container. The engine-side contract: mapInPandas over the binary
-    column yielding (owner_id, width, height, pixels ARRAY<ARRAY<INT>>).
-    """
-    raise NotImplementedError(
-        "image decode needs PIL/cv2; byte-level features are implemented "
-        "in extract_byte_features — same plumbing, real decoder slots in."
+#: deterministic synthetic image fixtures (BMP/PPM alternating) so the
+#: decode pipeline is exercised end-to-end without external media files
+def image_attachments_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic image attachments derived from `documents`: small
+    RGB gradients (size and pixel pattern are pure functions of doc_id),
+    encoded 24-bit BMP for even ids and P6 PPM for odd — real payloads
+    for the real decoders in functions/imaging.py."""
+    import numpy as np
+
+    from atlassian_confluence_data_pipeline_spark.functions.imaging import (
+        encode_bmp,
+        encode_ppm,
+    )
+    from atlassian_confluence_data_pipeline_spark.pyfiles import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers()
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 6 + 2, d % 4 + 2
+                y, x, c = np.ogrid[:h, :w, :3]
+                px = ((d + 7 * x + 13 * y + 101 * c) % 256).astype(np.uint8)
+                if d % 2 == 0:
+                    rows.append((d, f"img_{d}.bmp", encode_bmp(px)))
+                else:
+                    rows.append((d, f"img_{d}.ppm", encode_ppm(px)))
+            yield pd.DataFrame(rows, columns=["owner_id", "filename", "content"])
+
+    return docs.select("doc_id").mapInPandas(
+        _build, schema="owner_id bigint, filename string, content binary"
     )
 
 
-#: contract schemas for the stubbed media transforms — the Spark-side
-#: shape (signature, Arrow batching, partitioning) is the engine's part;
-#: the decoder body slots in where media libs exist.
+DECODE_SCHEMA = (
+    "owner_id bigint, filename string, width int, height int, "
+    "pixels array<int>, err string"
+)
+
+
+def decode_image(attachments: DataFrame) -> DataFrame:
+    """X5 image decode — REAL for the formats the engine's pure-numpy
+    codecs cover (24-bit BMP, P6 PPM; functions/imaging.py), via
+    mapInPandas over the BINARY column: one Arrow batch per partition,
+    decoder stays columnar-adjacent. Undecodable payloads keep their row
+    with NULL dimensions and the reason in ``err`` (tolerant-load
+    discipline, like the state reader). ``pixels`` is the flattened
+    row-major RGB array — at 100 TB you would keep bytes opaque and
+    compute per-batch features instead of materializing pixels, which is
+    exactly what extract_byte_features does."""
+    from atlassian_confluence_data_pipeline_spark.functions.imaging import (
+        decode_image_bytes,
+    )
+    from atlassian_confluence_data_pipeline_spark.pyfiles import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers()
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for owner, name, content in zip(
+                pdf["owner_id"], pdf["filename"], pdf["content"]
+            ):
+                try:
+                    px = decode_image_bytes(bytes(content))
+                    rows.append(
+                        (owner, name, px.shape[1], px.shape[0],
+                         px.reshape(-1).astype("int32").tolist(), None)
+                    )
+                except ValueError as exc:
+                    rows.append((owner, name, None, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows,
+                columns=["owner_id", "filename", "width", "height", "pixels", "err"],
+            )
+
+    return attachments.select("owner_id", "filename", "content").mapInPandas(
+        _decode, schema=DECODE_SCHEMA
+    )
+
+
 RESIZE_SCHEMA = "owner_id bigint, filename string, content binary, width int, height int"
 FRAME_SAMPLE_SCHEMA = (
     "owner_id bigint, filename string, frame_index int, frame binary, ts_ms bigint"
 )
 
 
-def resize_image(
-    attachments: DataFrame, width: int, height: int
-) -> DataFrame:  # pragma: no cover
-    """STUB — image resize (mapInPandas over BINARY -> RESIZE_SCHEMA,
-    one Arrow batch per partition). Requires PIL/cv2."""
-    raise NotImplementedError(
-        f"resize to {width}x{height} needs an image library; contract "
-        f"schema: {RESIZE_SCHEMA}"
+def resize_image(attachments: DataFrame, width: int, height: int) -> DataFrame:
+    """X5 image resize — REAL nearest-neighbor resize (pure index math,
+    deterministic) for decodable payloads, re-encoded as BMP.
+    Undecodable rows are dropped (they carry no raster to resize); use
+    decode_image to audit them."""
+    import numpy as np  # noqa: F401 - imaging pulls it on the worker
+
+    from atlassian_confluence_data_pipeline_spark.functions.imaging import (
+        decode_image_bytes,
+        encode_bmp,
+        resize_nearest,
+    )
+    from atlassian_confluence_data_pipeline_spark.pyfiles import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers()
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for owner, name, content in zip(
+                pdf["owner_id"], pdf["filename"], pdf["content"]
+            ):
+                try:
+                    px = decode_image_bytes(bytes(content))
+                except ValueError:
+                    continue
+                out = encode_bmp(resize_nearest(px, width, height))
+                rows.append((owner, name, out, width, height))
+            yield pd.DataFrame(
+                rows, columns=["owner_id", "filename", "content", "width", "height"]
+            )
+
+    return attachments.select("owner_id", "filename", "content").mapInPandas(
+        _resize, schema=RESIZE_SCHEMA
+    )
+
+
+def split_concatenated_bmps(data: bytes) -> list[bytes]:
+    """Split a concatenated-BMP stream into frames using each BMP's
+    embedded file-size field (offset 2) — the engine's uncompressed
+    'video' container for the frame-sampling contract."""
+    import struct
+
+    frames, pos = [], 0
+    while pos + 6 <= len(data) and data[pos : pos + 2] == b"BM":
+        size = struct.unpack_from("<I", data, pos + 2)[0]
+        if size < 14 or pos + size > len(data):
+            break
+        frames.append(data[pos : pos + size])
+        pos += size
+    return frames
+
+
+def video_attachments_from_documents(
+    docs: DataFrame, n_frames: int = 8
+) -> DataFrame:
+    """Deterministic 'video' fixtures: ``n_frames`` BMP frames per doc
+    concatenated into one binary payload (frame pixels are a pure
+    function of (doc_id, frame))."""
+    import numpy as np
+
+    from atlassian_confluence_data_pipeline_spark.functions.imaging import encode_bmp
+    from atlassian_confluence_data_pipeline_spark.pyfiles import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers()
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                y, x, c = np.ogrid[:3, :4, :3]
+                payload = b"".join(
+                    encode_bmp(((d + f * 17 + 7 * x + 13 * y + c) % 256).astype("uint8"))
+                    for f in range(n_frames)
+                )
+                rows.append((d, f"vid_{d}.cbmp", payload))
+            yield pd.DataFrame(rows, columns=["owner_id", "filename", "content"])
+
+    return docs.select("doc_id").mapInPandas(
+        _build, schema="owner_id bigint, filename string, content binary"
     )
 
 
 def sample_frames(
-    videos: DataFrame, every_ms: int = 1000
-) -> DataFrame:  # pragma: no cover
-    """STUB — video frame sampling (mapInPandas over BINARY ->
-    FRAME_SAMPLE_SCHEMA; one decoder process per partition, like the PDF
-    sink's converter amortization). Requires ffmpeg/cv2."""
-    raise NotImplementedError(
-        f"frame sampling every {every_ms}ms needs a video library; "
-        f"contract schema: {FRAME_SAMPLE_SCHEMA}"
+    videos: DataFrame, every_ms: int = 1000, frame_interval_ms: int = 40
+) -> DataFrame:
+    """X5 video frame sampling — REAL for the engine's uncompressed
+    concatenated-BMP container: mapInPandas splits each payload into
+    frames (one decoder pass per partition, like the PDF sink's
+    converter amortization) and keeps one frame per ``every_ms`` of
+    timeline (source cadence ``frame_interval_ms`` per frame).
+    Compressed codecs remain the documented ffmpeg path."""
+    from atlassian_confluence_data_pipeline_spark.pyfiles import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers()
+    stride = max(1, every_ms // frame_interval_ms)
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for owner, name, content in zip(
+                pdf["owner_id"], pdf["filename"], pdf["content"]
+            ):
+                for idx, frame in enumerate(split_concatenated_bmps(bytes(content))):
+                    if idx % stride == 0:
+                        rows.append(
+                            (owner, name, idx, frame, idx * frame_interval_ms)
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["owner_id", "filename", "frame_index", "frame", "ts_ms"],
+            )
+
+    return videos.select("owner_id", "filename", "content").mapInPandas(
+        _sample, schema=FRAME_SAMPLE_SCHEMA
     )
