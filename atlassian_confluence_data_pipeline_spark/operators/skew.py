@@ -61,6 +61,59 @@ def salted_agg(
     )
 
 
+def hot_blocks(df: DataFrame, keys: Sequence[str], threshold: int) -> DataFrame:
+    """Block keys whose member count reaches ``threshold`` — the small
+    side of a broadcast tag join (fully distributed; no driver collect
+    of data, and not even of the key list)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= threshold)
+        .select(*keys)
+        .withColumn("__hot", F.lit(True))
+    )
+
+
+def pair_task_salt(
+    df: DataFrame,
+    id_col: str,
+    hot: DataFrame,
+    keys: Sequence[str],
+    n_salts: int,
+    side: str,
+) -> DataFrame:
+    """Add (__u, __v) pair-task coordinates for a blocked SELF-pair join.
+
+    A block of n rows owes n^2 candidate pairs; if one reducer owns the
+    whole block that n^2 is the job's critical path. Rows of blocks
+    tagged in ``hot`` (see :func:`hot_blocks`, broadcast) get a
+    deterministic own-coordinate ``hash(id) % n_salts`` and fan out over
+    the other coordinate, so pair (a, b) is produced EXACTLY ONCE — in
+    task (u_a, v_b) — and the block's pair space spreads over
+    n_salts^2 reducers at n_salts-fold row replication. Non-hot blocks
+    ride task (0, 0) with no replication. Join on
+    ``keys + ["__u", "__v"]`` afterwards; results are identical to the
+    unsalted join (exactness proven in tests/test_scale_patterns.py)."""
+    own = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).cast("int")
+    fan = F.when(
+        F.col("__hot"), F.sequence(F.lit(0), F.lit(n_salts - 1))
+    ).otherwise(F.array(F.lit(0)))
+    tagged = df.join(F.broadcast(hot), list(keys), "left").withColumn(
+        "__hot", F.coalesce(F.col("__hot"), F.lit(False))
+    )
+    own_when = F.when(F.col("__hot"), own).otherwise(F.lit(0))
+    if side == "left":
+        # generators cannot nest inside expressions: explode bare
+        return tagged.withColumn("__u", own_when).withColumn(
+            "__v", F.explode(fan)
+        ).drop("__hot")
+    if side == "right":
+        return tagged.withColumn("__v", own_when).withColumn(
+            "__u", F.explode(fan)
+        ).drop("__hot")
+    raise ValueError(f"side must be left or right, got {side!r}")
+
+
 def salted_join_skewed(
     big: DataFrame,
     small: DataFrame,

@@ -22,6 +22,11 @@ from atlassian_confluence_data_pipeline_spark.plans.textops import _words
 
 COS_THRESHOLD = 0.4
 
+#: label-block skew guard: blocks past this size spread their pair
+#: space over N_EMB_SALTS^2 tasks (fixtures stay far below it)
+EMB_HOT_THRESHOLD = 2000
+N_EMB_SALTS = 8
+
 
 @query(
     "embedding_near_dup_pairs",
@@ -45,22 +50,31 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup mode): same-label blocking (the cluster id is the block key —
     at 100 TB the IVF coarse quantizer supplies it) + exact cosine
     threshold within blocks. The join is an equi-join on the block key;
-    no all-pairs scan."""
+    no all-pairs scan. A hot label (one dominant cluster) is guarded by
+    the exactness-preserving pair-task salting in operators/skew.py."""
     from atlassian_confluence_data_pipeline_spark.operators.similarity import (
         dot,
         l2_norm,
+    )
+    from atlassian_confluence_data_pipeline_spark.operators.skew import (
+        hot_blocks,
+        pair_task_salt,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     # Precompute each vector's norm ONCE (identical fold => bitwise-equal
     # to the oracle's per-pair recomputation) instead of 2 norm folds per
     # candidate pair — cuts the per-pair work to a single dot product.
+    # localCheckpoint (not persist): both sides + the hot census read it,
+    # and the blocks are released with the plan instead of accumulating
+    # in the cache manager across a long bench session.
     with_norm = emb.select(
         "label",
         "vec_id",
         F.col("embedding").alias("v"),
         l2_norm(F.col("embedding")).alias("norm"),
-    ).persist()
+    ).localCheckpoint(eager=True)
+    hot = hot_blocks(with_norm.select("label"), ["label"], EMB_HOT_THRESHOLD)
     a = with_norm.select(
         "label",
         F.col("vec_id").alias("id_a"),
@@ -73,9 +87,11 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("vb"),
         F.col("norm").alias("nb"),
     )
+    a = pair_task_salt(a, "id_a", hot, ["label"], N_EMB_SALTS, "left")
+    b = pair_task_salt(b, "id_b", hot, ["label"], N_EMB_SALTS, "right")
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, "label")
+        a.join(b, ["label", "__u", "__v"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", cos)
         .filter(F.col("cos") >= COS_THRESHOLD)

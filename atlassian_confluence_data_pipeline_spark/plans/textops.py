@@ -18,6 +18,12 @@ from atlassian_confluence_data_pipeline_spark.plans.registry import query
 
 WS = r"\s+"
 
+#: block-skew guard engages when a (lang, bucket) block reaches this
+#: many members — far above fixture block sizes (zero cost there), well
+#: below where a hot block's quadratic pair space would own a reducer
+NEAR_DUP_HOT_THRESHOLD = 2000
+N_PAIR_SALTS = 8
+
 
 def _words(text: Column) -> Column:
     return F.split(F.trim(text), WS)
@@ -266,13 +272,24 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars length (bucketed equi-join, adjacent buckets — NOT a cross
     join), exact Jaccard >= 0.05. The blocked-join shape is what scales:
     candidates per doc stay O(bucket width), independent of corpus size.
+    Block-size skew (one dominant lang x length bucket going quadratic
+    on one reducer) is guarded by pair-task salting: blocks over
+    NEAR_DUP_HOT_THRESHOLD spread their pair space over
+    N_PAIR_SALTS^2 tasks (operators/skew.py, exactness-preserving).
     """
+    from atlassian_confluence_data_pipeline_spark.operators.skew import (
+        hot_blocks,
+        pair_task_salt,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     # Shingle once, keep the shingle *sets* and their sizes; the join then
     # needs a single array_intersect per candidate pair
-    # (|A∪B| = |A|+|B|-|A∩B|). persist() because both join sides read it.
-    # Words are projected as a real column first so the regex split runs
-    # once per row (see _shingles PERF note).
+    # (|A∪B| = |A|+|B|-|A∩B|). localCheckpoint because both join sides
+    # and the hot-block census read it (and, unlike persist, the blocks
+    # are released when the plan is GC'd — no cache-manager leak across a
+    # long session). Words are projected as a real column first so the
+    # regex split runs once per row (see _shingles PERF note).
     sh = docs.select(
         "doc_id",
         "lang",
@@ -284,7 +301,12 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         _shingles(F.col("w")).alias("sh"),
         (F.col("n_chars") / 10).cast("bigint").alias("bucket"),
-    ).persist()
+    ).localCheckpoint(eager=True)
+    hot = hot_blocks(
+        sh.select("lang", F.col("bucket").alias("bucket_key")),
+        ["lang", "bucket_key"],
+        NEAR_DUP_HOT_THRESHOLD,
+    )
     left = sh.select(
         F.col("doc_id").alias("doc_a"),
         "lang",
@@ -307,10 +329,13 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
         ).alias("bucket_key"),
     )
+    keys = ["lang", "bucket_key"]
+    left = pair_task_salt(left, "doc_a", hot, keys, N_PAIR_SALTS, "left")
+    right = pair_task_salt(right, "doc_b", hot, keys, N_PAIR_SALTS, "right")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
     return (
-        left.join(right, ["lang", "bucket_key"])
+        left.join(right, keys + ["__u", "__v"])
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.abs(F.col("chars_a") - F.col("chars_b")) <= 10)

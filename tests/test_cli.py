@@ -29,7 +29,8 @@ def test_cli_list(tmp_path):
     out = _run(["list"], str(tmp_path))
     assert out.returncode == 0, out.stderr[-1000:]
     assert "cdc_classify_orders" in out.stdout
-    assert "[oracle" in out.stdout and "[rows-only" in out.stdout
+    # every registered query is oracle-paired as of round 2
+    assert "[oracle" in out.stdout and "[rows-only" not in out.stdout
 
 
 def test_cli_run_and_unknown(tmp_path):

@@ -107,3 +107,51 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bktest.orders_b")
         spark.sql("DROP TABLE IF EXISTS bktest.customer_b")
         spark.sql("DROP DATABASE IF EXISTS bktest")
+
+
+def test_pair_task_salt_exactness_on_hot_block(spark):
+    """A deliberately hot block must produce IDENTICAL pairs through the
+    salted pair-task grid, with the hot block's rows actually fanned out
+    across tasks (and cold blocks left unreplicated)."""
+    from atlassian_confluence_data_pipeline_spark.operators.skew import (
+        hot_blocks,
+        pair_task_salt,
+    )
+
+    n_salts, threshold = 4, 50
+    # one hot block of 120 members, several cold blocks of 5
+    rows = [(i, "HOT") for i in range(120)] + [
+        (1000 + 10 * b + i, f"cold{b}") for b in range(6) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["id", "block"])
+    hot = hot_blocks(df.select("block"), ["block"], threshold)
+    assert [r["block"] for r in hot.collect()] == ["HOT"]
+
+    left = df.select(F.col("id").alias("id_a"), "block")
+    right = df.select(F.col("id").alias("id_b"), "block")
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in left.join(right, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .collect()
+    }
+    sl = pair_task_salt(left, "id_a", hot, ["block"], n_salts, "left")
+    sr = pair_task_salt(right, "id_b", hot, ["block"], n_salts, "right")
+    salted = {
+        (r["id_a"], r["id_b"])
+        for r in sl.join(sr, ["block", "__u", "__v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .collect()
+    }
+    assert salted == plain  # exactly once per pair, none lost
+
+    # replication shape: hot rows fan out n_salts times, cold rows once
+    per_block = {
+        r["block"]: r["n"]
+        for r in sl.groupBy("block").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_block["HOT"] == 120 * n_salts
+    assert all(v == 5 for k, v in per_block.items() if k != "HOT")
+    # the hot block's pair space is spread over many tasks
+    tasks = sl.filter(F.col("block") == "HOT").select("__u", "__v").distinct().count()
+    assert tasks == n_salts * n_salts
