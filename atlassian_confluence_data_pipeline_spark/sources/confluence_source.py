@@ -70,6 +70,10 @@ class ConfluenceFixtureReader(DataSourceReader):
     def __init__(self, options):
         self.n_pages = int(options.get("n_pages", "1000"))
         self.n_spaces = int(options.get("n_spaces", "5"))
+        # per-request politeness delay, the reference's time.sleep(0.5)
+        # after every page fetch (confluence_client.py:327,346,399,449).
+        # Applied once per partition batch (= one 'request'); 0 = off.
+        self.page_throttle_ms = int(options.get("page_throttle_ms", "0"))
         self.space_eq: str | None = None
         self.version_bounds: list[tuple[str, int]] = []
 
@@ -113,6 +117,10 @@ class ConfluenceFixtureReader(DataSourceReader):
         JVM — far cheaper than per-row tuple pickling)."""
         import pyarrow as pa
 
+        if self.page_throttle_ms > 0:
+            import time
+
+            time.sleep(self.page_throttle_ms / 1000.0)
         rows = [
             row
             for i in range(partition.start, partition.end)
@@ -136,7 +144,7 @@ class ConfluenceFixtureReader(DataSourceReader):
 
 class ConfluenceFixtureDataSource(DataSource):
     """``spark.read.format("confluence_pages")`` — options: n_pages,
-    n_spaces."""
+    n_spaces, page_throttle_ms (per-request rate limit; see reader)."""
 
     @classmethod
     def name(cls) -> str:

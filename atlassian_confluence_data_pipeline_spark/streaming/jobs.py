@@ -37,15 +37,27 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    glob: str = "events.parquet",
+) -> DataFrame:
     """File-source stream over the events fixture (one-file 'topic';
-    in production: Kafka/file drops with the same downstream plan)."""
+    in production: Kafka/file drops with the same downstream plan).
+
+    ``max_files_per_trigger`` is the source-side rate limit — the
+    streaming analog of the reference's 0.5 s/request throttle
+    (confluence_client.py:327,346,399,449): each micro-batch admits at
+    most that many new files, bounding per-trigger state growth and
+    sink pressure instead of gulping the whole backlog in one batch."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        # file source needs a directory; glob-filter to the events file
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        # file source needs a directory; glob-filter to the events file(s)
+        reader.option("pathGlobFilter", glob).parquet(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 

@@ -38,6 +38,26 @@ def test_partitions_follow_pagination():
     assert (parts[2].start, parts[2].end) == (200, 250)
 
 
+def test_page_throttle_rate_limits_requests(spark):
+    """page_throttle_ms models the reference's time.sleep(0.5) per page
+    request: with a 150 ms delay on each of 2 partition-batches the scan
+    must take at least one delay of wall clock (partitions run in
+    parallel), and results are unchanged."""
+    import time
+
+    register(spark)
+    base = (
+        spark.read.format("confluence_pages")
+        .option("n_pages", 200)
+        .option("n_spaces", 3)
+    )
+    t0 = time.monotonic()
+    n = base.option("page_throttle_ms", 150).load().count()
+    elapsed = time.monotonic() - t0
+    assert n == 200
+    assert elapsed >= 0.15
+
+
 def test_end_to_end_read_and_filters(spark):
     register(spark)
     df = (

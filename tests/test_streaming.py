@@ -88,6 +88,33 @@ def test_dedup_within_watermark(spark, sf_dir):
     assert out.filter(F.col("n") > 1).count() == 0  # at most one row per key
 
 
+def test_max_files_per_trigger_paces_batches(spark, sf_dir, tmp_path):
+    """Source rate limiting: with maxFilesPerTrigger=1 a 3-file backlog
+    must drain as 3 micro-batches (not one gulp), with no rows lost."""
+    import shutil
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    for i in range(3):
+        shutil.copy(f"{sf_dir}/events.parquet", src / f"events_{i}.parquet")
+    stream = read_events_stream(
+        spark, str(src), max_files_per_trigger=1, glob="events_*.parquet"
+    )
+    batches: list[int] = []
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: batches.append(df.count())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert len(batches) == 3  # one file admitted per trigger
+    assert sum(batches) == 3 * n_events
+
+
 def test_foreach_batch_state_merge(spark, sf_dir, tmp_path):
     store = StateStore(str(tmp_path / "ledger"))
     stream = read_events_stream(spark, sf_dir)
