@@ -114,6 +114,34 @@ def pair_task_salt(
     raise ValueError(f"side must be left or right, got {side!r}")
 
 
+def guarded_pair_frames(
+    left: DataFrame,
+    right: DataFrame,
+    id_left: str,
+    id_right: str,
+    hot: DataFrame,
+    keys: Sequence[str],
+    n_salts: int,
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Adaptive wrapper around :func:`pair_task_salt` — the AQE
+    philosophy applied to pair-join salting: measure, then pick the
+    plan. The census (``hot``, an aggregate over the block keys) runs
+    first as a tiny job; when it finds NO hot block — the overwhelmingly
+    common case — the inputs come back untouched with the plain join
+    keys, so the cold path pays zero extra plan complexity. Only under
+    real skew do both sides fan out over the pair-task grid.
+
+    The ``isEmpty()`` probe is a scalar plan-selection read (like AQE's
+    runtime statistics), not a data collect."""
+    if hot.isEmpty():
+        return left, right, list(keys)
+    return (
+        pair_task_salt(left, id_left, hot, keys, n_salts, "left"),
+        pair_task_salt(right, id_right, hot, keys, n_salts, "right"),
+        list(keys) + ["__u", "__v"],
+    )
+
+
 def salted_join_skewed(
     big: DataFrame,
     small: DataFrame,

@@ -439,20 +439,32 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure integer arithmetic, no float threshold) that each engine
     computes from its own sketch. Spark's sketch runs at rsd=0.01 so
     the 5%% band has comfortable margin; absolute estimate accuracy is
-    additionally asserted in tests/test_analytics.py."""
+    additionally asserted in tests/test_analytics.py.
+
+    PLAN NOTE: the exact and approx aggregates run as SEPARATE
+    aggregations joined on the (tiny) group key. Mixing count_distinct
+    with approx_count_distinct in one agg makes Catalyst's Expand-based
+    multi-distinct plan treat the sketch as a non-distinct aggregate of
+    the partial stage, whose grouping key includes the distinct column —
+    one 2^p-register HLL buffer PER (brand, orderkey) partial group.
+    At sf0.1 that is ~40x slower (98 s vs 2.5 s) and GC-poisons the JVM;
+    at 100 TB it is an OOM. Two lean aggs + a 25-row broadcast join keep
+    both plans in their fast shape."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    exact_o = F.count_distinct(F.col("l_orderkey")).alias("exact_orders")
-    exact_s = F.count_distinct(F.col("l_suppkey")).alias("exact_suppliers")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand", "l_orderkey", "l_suppkey"
+    )
+    exact = joined.groupBy("p_brand").agg(
+        F.count_distinct(F.col("l_orderkey")).alias("exact_orders"),
+        F.count_distinct(F.col("l_suppkey")).alias("exact_suppliers"),
+    )
+    approx = joined.groupBy("p_brand").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("__ao"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("__as"),
+    )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("p_brand")
-        .agg(
-            exact_o,
-            exact_s,
-            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("__ao"),
-            F.approx_count_distinct("l_suppkey", rsd=0.01).alias("__as"),
-        )
+        exact.join(F.broadcast(approx), "p_brand")
         .select(
             "p_brand",
             "exact_orders",

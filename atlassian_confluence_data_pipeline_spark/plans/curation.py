@@ -57,8 +57,8 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_norm,
     )
     from atlassian_confluence_data_pipeline_spark.operators.skew import (
+        guarded_pair_frames,
         hot_blocks,
-        pair_task_salt,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -87,11 +87,12 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("vb"),
         F.col("norm").alias("nb"),
     )
-    a = pair_task_salt(a, "id_a", hot, ["label"], N_EMB_SALTS, "left")
-    b = pair_task_salt(b, "id_b", hot, ["label"], N_EMB_SALTS, "right")
+    a, b, join_keys = guarded_pair_frames(
+        a, b, "id_a", "id_b", hot, ["label"], N_EMB_SALTS
+    )
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, ["label", "__u", "__v"])
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", cos)
         .filter(F.col("cos") >= COS_THRESHOLD)

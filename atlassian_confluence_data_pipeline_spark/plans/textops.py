@@ -278,8 +278,8 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     N_PAIR_SALTS^2 tasks (operators/skew.py, exactness-preserving).
     """
     from atlassian_confluence_data_pipeline_spark.operators.skew import (
+        guarded_pair_frames,
         hot_blocks,
-        pair_task_salt,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -329,13 +329,13 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
         ).alias("bucket_key"),
     )
-    keys = ["lang", "bucket_key"]
-    left = pair_task_salt(left, "doc_a", hot, keys, N_PAIR_SALTS, "left")
-    right = pair_task_salt(right, "doc_b", hot, keys, N_PAIR_SALTS, "right")
+    left, right, join_keys = guarded_pair_frames(
+        left, right, "doc_a", "doc_b", hot, ["lang", "bucket_key"], N_PAIR_SALTS
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
     return (
-        left.join(right, keys + ["__u", "__v"])
+        left.join(right, join_keys)
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.abs(F.col("chars_a") - F.col("chars_b")) <= 10)

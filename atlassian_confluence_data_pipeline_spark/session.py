@@ -30,6 +30,15 @@ def get_session(
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        # Local mode defaults to a 1g heap regardless of machine size; at
+        # 32 threads that starves wide aggregate folds (LSH signatures)
+        # and block-manager checkpoints. Size it to the box (applies only
+        # when this call actually launches the JVM; on a cluster the
+        # executor/driver memory comes from spark-submit as usual).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
         # Shuffle sizing: match parallelism, let AQE coalesce down.
         .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
         .config("spark.default.parallelism", str(max(cpus, 4)))

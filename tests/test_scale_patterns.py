@@ -155,3 +155,32 @@ def test_pair_task_salt_exactness_on_hot_block(spark):
     # the hot block's pair space is spread over many tasks
     tasks = sl.filter(F.col("block") == "HOT").select("__u", "__v").distinct().count()
     assert tasks == n_salts * n_salts
+
+
+def test_guarded_pair_frames_adaptive(spark):
+    """The adaptive guard must pass inputs through untouched (plain
+    keys, no extra plan nodes) when the census finds no hot block, and
+    engage the pair-task grid when it does."""
+    from atlassian_confluence_data_pipeline_spark.operators.skew import (
+        guarded_pair_frames,
+        hot_blocks,
+    )
+
+    rows = [(i, "b%d" % (i % 4)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["id", "block"])
+    left = df.select(F.col("id").alias("id_a"), "block")
+    right = df.select(F.col("id").alias("id_b"), "block")
+
+    cold_hot = hot_blocks(df.select("block"), ["block"], threshold=1000)
+    gl, gr, keys = guarded_pair_frames(
+        left, right, "id_a", "id_b", cold_hot, ["block"], 4
+    )
+    assert keys == ["block"]
+    assert gl is left and gr is right  # untouched: zero plan overhead
+
+    warm_hot = hot_blocks(df.select("block"), ["block"], threshold=5)
+    gl, gr, keys = guarded_pair_frames(
+        left, right, "id_a", "id_b", warm_hot, ["block"], 4
+    )
+    assert keys == ["block", "__u", "__v"]
+    assert "__u" in gl.columns and "__v" in gr.columns
