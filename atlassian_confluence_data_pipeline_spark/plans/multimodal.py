@@ -34,7 +34,7 @@ from atlassian_confluence_data_pipeline_spark.operators.lsh import (
     verify_candidates_jaccard,
 )
 from atlassian_confluence_data_pipeline_spark.plans.registry import query
-from atlassian_confluence_data_pipeline_spark.plans.textops import _shingles, _words
+from atlassian_confluence_data_pipeline_spark.plans.textops import _words
 from atlassian_confluence_data_pipeline_spark.sources.binary import (
     attachments_from_documents,
     decode_image,
@@ -148,32 +148,39 @@ def _minhash_oracle() -> str:
         for a, b in MINHASH_PERMS[:MINHASH_K]
     )
     jac = (
-        "CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)"
-        " / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))"
+        "CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE)"
+        " / (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b)))"
+    )
+    # shingle hash = polynomial combine of PER-WORD rolling hashes —
+    # mirrors operators/lsh.py shingle_hashes_from_word_hashes exactly
+    comb = (
+        f"((wh[i] * {BAND_BASE} + wh[i+1]) % {ROLLING_MOD}"
+        f" * {BAND_BASE} + wh[i+2]) % {ROLLING_MOD}"
     )
     return f"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), wht AS (
+  SELECT doc_id, list_transform(w, t -> {_rh_sql('t')}) AS wh FROM w
 ), t AS (
   SELECT doc_id, list_distinct(list_transform(
-      range(1, greatest(len(w) - 1, 1)),
-      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
-  FROM w
+      range(1, greatest(len(wh) - 1, 1)),
+      i -> {comb})) AS hs
+  FROM wht
 ), ne AS (
-  SELECT doc_id, sh, list_transform(sh, s -> {_rh_sql('s')}) AS hs
-  FROM t WHERE len(sh) > 0
+  SELECT doc_id, hs FROM t WHERE len(hs) > 0
 ), sig AS (
-  SELECT doc_id, sh,
+  SELECT doc_id, hs,
          [{mins}] AS sig
   FROM ne
 ), banded AS (
-  SELECT doc_id, sh, list_transform(range(0, {MINHASH_BANDS}), bi ->
+  SELECT doc_id, hs, list_transform(range(0, {MINHASH_BANDS}), bi ->
     list_reduce(list_prepend(CAST(bi AS BIGINT),
         list_transform(range(1, {MINHASH_ROWS} + 1), m -> sig[bi * {MINHASH_ROWS} + m])),
       (acc, v) -> (acc * {BAND_BASE} + v) % {BAND_MOD})) AS bk
   FROM sig
 ), cand AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.hs AS hs_a, b.hs AS hs_b
   FROM banded a JOIN banded b
     ON a.doc_id < b.doc_id AND len(list_intersect(a.bk, b.bk)) > 0
 )
@@ -235,22 +242,38 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 
 @query("minhash_lsh_pairs", oracle=_minhash_oracle(), tags=("dedup", "neardup", "lsh"))
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup X2 (scale path): shingle -> 32-perm MinHash
-    -> 16-band bucket join -> exact-Jaccard verify >= 0.05. Candidate
+    """MinHash+LSH near-dup X2 (scale path): per-word rolling hash ->
+    polynomial shingle-hash combine -> 32-perm MinHash -> 16-band bucket
+    join -> Jaccard verify >= 0.05 over the shingle-HASH sets. Candidate
     generation is an equi-join on band buckets (near-linear); the O(n^2)
-    all-pairs comparison never happens. Hash-checked: the portable
-    rolling-hash + affine-permutation signature is reproduced exactly by
-    the generated DuckDB oracle (all-pairs at oracle scale)."""
+    all-pairs comparison never happens.
+
+    PERF: each word is char-folded once even though it sits in 3
+    shingles (~3x less hashing than folding shingle strings), the
+    checkpoint stores bigint arrays instead of string arrays, and the
+    verify intersects bigints. Hash-checked: the whole chain is
+    reproduced bit-for-bit by the generated DuckDB oracle (all-pairs at
+    oracle scale)."""
+    from atlassian_confluence_data_pipeline_spark.functions.text import rolling_hash
+    from atlassian_confluence_data_pipeline_spark.operators.lsh import (
+        shingle_hashes_from_word_hashes,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
+    hs = (
         docs.select("doc_id", _words(F.col("text")).alias("w"))
-        .select("doc_id", _shingles(F.col("w")).alias("sh"))
-        .filter(F.size("sh") > 0)
+        .select("doc_id", F.transform(F.col("w"), rolling_hash).alias("wh"))
+        .select(
+            "doc_id", shingle_hashes_from_word_hashes(F.col("wh")).alias("hs")
+        )
+        .filter(F.size("hs") > 0)
         .localCheckpoint(eager=True)
     )
-    cand = minhash_lsh_candidates(sh, "doc_id", "sh", k=MINHASH_K, bands=MINHASH_BANDS)
+    cand = minhash_lsh_candidates(
+        hs, "doc_id", "hs", k=MINHASH_K, bands=MINHASH_BANDS, pre_hashed=True
+    )
     return verify_candidates_jaccard(
-        cand, sh, "doc_id", "sh", threshold=MINHASH_JACCARD
+        cand, hs, "doc_id", "hs", threshold=MINHASH_JACCARD
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -1,11 +1,10 @@
 """Stream-stream interval join vs its batch equivalent; rolling-hash
-fingerprint vs a pure-python reference; media-stub contracts."""
+fingerprint vs a pure-python reference."""
 
 from __future__ import annotations
 
 import uuid
 
-import pytest
 from pyspark.sql import functions as F
 
 from atlassian_confluence_data_pipeline_spark.catalog import load_table
@@ -13,10 +12,6 @@ from atlassian_confluence_data_pipeline_spark.functions.text import (
     ROLLING_BASE,
     ROLLING_MOD,
     rolling_hash,
-)
-from atlassian_confluence_data_pipeline_spark.sources.binary import (
-    resize_image,
-    sample_frames,
 )
 from atlassian_confluence_data_pipeline_spark.streaming.jobs import (
     read_events_stream,
@@ -83,10 +78,3 @@ def test_rolling_hash_matches_python_reference(spark):
 
     for (text,) in docs:
         assert got[text] == ref(text), text
-
-
-def test_media_stubs_declare_contracts():
-    with pytest.raises(NotImplementedError, match="width int, height int"):
-        resize_image(None, 224, 224)
-    with pytest.raises(NotImplementedError, match="frame_index int"):
-        sample_frames(None)
