@@ -199,3 +199,189 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus rebalancing, sequence packing, decontamination
+# ---------------------------------------------------------------------------
+
+#: per-stratum keep rates (percent): downsample the dominant language,
+#: keep half of everything else — the classic corpus-rebalancing shape
+SAMPLE_RATE_EN = 10
+SAMPLE_RATE_OTHER = 50
+
+#: tokens per packed training sequence; a POWER OF TWO so the oracle's
+#: float division floor is exact (integer / 2^k is exactly representable)
+PACK_BUDGET = 2048
+
+#: 8-gram overlap, the standard benchmark-decontamination window
+DECONTAM_N = 8
+#: fixture stand-in for the benchmark/eval set: the first 20 documents
+DECONTAM_HOLDOUT = 20
+
+_RH_DOCID_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(regexp_split_to_array(CAST(doc_id AS VARCHAR), ''), "
+    "c -> CAST(ascii(c) AS BIGINT))), "
+    f"(h, c) -> (h * {ROLLING_BASE} + c) % {ROLLING_MOD})"
+)
+
+
+@query(
+    "stratified_sample_docs",
+    oracle=f"""
+SELECT doc_id, lang,
+       CAST({_RH_DOCID_SQL} % 100 AS BIGINT) AS bucket
+FROM documents
+WHERE {_RH_DOCID_SQL} % 100
+      < CASE WHEN lang = 'en' THEN {SAMPLE_RATE_EN} ELSE {SAMPLE_RATE_OTHER} END
+""",
+    tags=("curation", "sampling", "pipeline"),
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling — the rebalancing step a
+    training mixture runs (downsample the dominant language, keep more
+    of the rest). The keep decision is ``hash(doc_id) % 100 < rate``
+    with the engine-portable rolling hash, so the SAME documents survive
+    on any engine, any partitioning, any run — reproducible mixtures
+    without materializing a sample table. Embarrassingly parallel: a
+    per-row filter, no shuffle, fully pushdown-friendly."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(rolling_hash(F.col("doc_id").cast("string")), F.lit(100))
+    rate = F.when(F.col("lang") == "en", F.lit(SAMPLE_RATE_EN)).otherwise(
+        F.lit(SAMPLE_RATE_OTHER)
+    )
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+    )
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tok,
+         COALESCE(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT lang,
+       CAST(floor(cum_before / {PACK_BUDGET}) AS BIGINT) AS bin,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+       min(doc_id) AS first_doc
+FROM c GROUP BY 1, 2
+""",
+    tags=("curation", "packing", "window", "pipeline"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (in stable doc_id order, per
+    language stream) to fixed token-budget training bins — a doc starts
+    in the bin where its cumulative-token offset falls. One window
+    cumsum plus an aggregate; the window partitions by language so the
+    state per task is one running sum, and at 100 TB the sort rides the
+    shuffle's range partitioning (no global sort)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.size(_words(F.col("text"))).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return (
+        tok.withColumn(
+            "bin", F.floor(cum_before / F.lit(PACK_BUDGET)).cast("bigint")
+        )
+        .groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+def _decontam_oracle() -> str:
+    from atlassian_confluence_data_pipeline_spark.operators.lsh import BAND_BASE
+
+    rh_tok = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(regexp_split_to_array(t, ''), "
+        "c -> CAST(ascii(c) AS BIGINT))), "
+        f"(h, c) -> (h * {ROLLING_BASE} + c) % {ROLLING_MOD})"
+    )
+    comb = (
+        f"list_reduce(list_transform(range(0, {DECONTAM_N}), k -> wh[i + k]), "
+        f"(a, b) -> (a * {BAND_BASE} + b) % {ROLLING_MOD})"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), wht AS (
+  SELECT doc_id, list_transform(w, t -> {rh_tok}) AS wh FROM w
+), t AS (
+  SELECT doc_id, list_distinct(list_transform(
+      range(1, greatest(len(wh) - {DECONTAM_N - 2}, 1)),
+      i -> {comb})) AS hs
+  FROM wht
+), b AS (
+  SELECT DISTINCT unnest(hs) AS h FROM t WHERE doc_id < {DECONTAM_HOLDOUT}
+), c AS (
+  SELECT doc_id, unnest(hs) AS h FROM t WHERE doc_id >= {DECONTAM_HOLDOUT}
+)
+SELECT c.doc_id AS doc_id, count(DISTINCT c.h) AS n_shared_ngrams
+FROM c JOIN b ON c.h = b.h
+GROUP BY 1
+"""
+
+
+@query(
+    "decontaminate_overlap",
+    oracle=_decontam_oracle(),
+    tags=("curation", "decontamination", "pipeline"),
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    8-gram with the holdout/eval set (here: the first DECONTAM_HOLDOUT
+    docs as the fixture stand-in). The canonical contamination check is
+    an n-gram-hash equi-join — the benchmark side's distinct n-grams are
+    tiny and BROADCAST, so the corpus side streams map-side with no
+    shuffle of the corpus; per-word hashing reuses the portable rolling
+    family so DuckDB reproduces every n-gram hash bit-for-bit."""
+    from atlassian_confluence_data_pipeline_spark.operators.lsh import (
+        shingle_hashes_from_word_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hs = (
+        docs.select("doc_id", _words(F.col("text")).alias("w"))
+        .select("doc_id", F.transform(F.col("w"), rolling_hash).alias("wh"))
+        .select(
+            "doc_id",
+            shingle_hashes_from_word_hashes(F.col("wh"), n=DECONTAM_N).alias("hs"),
+        )
+        .filter(F.size("hs") > 0)
+    )
+    bench = (
+        hs.filter(F.col("doc_id") < DECONTAM_HOLDOUT)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    corpus = hs.filter(F.col("doc_id") >= DECONTAM_HOLDOUT).select(
+        "doc_id", F.explode("hs").alias("h")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("h").alias("n_shared_ngrams"))
+    )

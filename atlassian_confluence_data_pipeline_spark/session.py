@@ -30,14 +30,15 @@ def get_session(
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        # Local mode defaults to a 1g heap regardless of machine size; at
-        # 32 threads that starves wide aggregate folds (LSH signatures)
-        # and block-manager checkpoints. Size it to the box (applies only
-        # when this call actually launches the JVM; on a cluster the
-        # executor/driver memory comes from spark-submit as usual).
+        # Local mode defaults to a 1g heap regardless of machine size,
+        # which leaves no headroom for block-manager checkpoints + wide
+        # aggregates at 32 threads. 4g measured as the sweet spot: bigger
+        # heaps (48g) run this bench ~30% SLOWER across the board (G1
+        # young-gen scaling), 1g has no safety margin. Env-overridable;
+        # on a cluster driver/executor memory comes from spark-submit.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"),
         )
         # Shuffle sizing: match parallelism, let AQE coalesce down.
         .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
