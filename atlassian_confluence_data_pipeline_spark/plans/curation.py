@@ -363,6 +363,12 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # Materialize the n-gram hash table ONCE before the two branches
+    # reference it: without the barrier CollapseProject inlines the
+    # per-word char fold into all n slice references of BOTH branches
+    # (66 copies of the fold in the optimized plan, ~3x the runtime).
+    # Same localCheckpoint discipline as the LSH band tables; on a real
+    # cluster this becomes a reliable checkpoint / cached table.
     hs = (
         docs.select("doc_id", _words(F.col("text")).alias("w"))
         .select("doc_id", F.transform(F.col("w"), rolling_hash).alias("wh"))
@@ -370,7 +376,10 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             shingle_hashes_from_word_hashes(F.col("wh"), n=DECONTAM_N).alias("hs"),
         )
-        .filter(F.size("hs") > 0)
+        # no size(hs) > 0 guard: explode() drops empty arrays for free,
+        # while a filter on the alias re-inlines the WHOLE fold into the
+        # pushed-down predicate (1 -> 17 copies of the char fold, ~2x).
+        .localCheckpoint(eager=True)
     )
     bench = (
         hs.filter(F.col("doc_id") < DECONTAM_HOLDOUT)

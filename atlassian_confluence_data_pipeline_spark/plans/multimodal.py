@@ -266,8 +266,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", shingle_hashes_from_word_hashes(F.col("wh")).alias("hs")
         )
-        .filter(F.size("hs") > 0)
+        # filter AFTER the checkpoint: a size() predicate on the alias
+        # would be substituted with the whole shingle fold on pushdown,
+        # duplicating the char fold per slice reference (measured ~2x);
+        # post-checkpoint it is an O(1) length check on materialized data.
         .localCheckpoint(eager=True)
+        .filter(F.size("hs") > 0)
     )
     cand = minhash_lsh_candidates(
         hs, "doc_id", "hs", k=MINHASH_K, bands=MINHASH_BANDS, pre_hashed=True
