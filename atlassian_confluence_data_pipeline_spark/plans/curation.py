@@ -394,3 +394,109 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("h").alias("n_shared_ngrams"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition scoring, mixture accounting
+# ---------------------------------------------------------------------------
+
+@query(
+    "repetition_scores",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), g AS (
+  SELECT doc_id, w,
+         list_transform(range(1, greatest(len(w), 1)),
+                        i -> w[i] || ' ' || w[i + 1]) AS bg
+  FROM w
+)
+SELECT doc_id,
+       round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+         AS dup_bigram_frac,
+       round(CAST(list_max(list_transform(list_distinct(w),
+               x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w), 6)
+         AS top_word_frac
+FROM g
+WHERE len(w) >= 2
+""",
+    tags=("curation", "quality", "repetition", "pipeline"),
+)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher-style 'rep' quality
+    filters): duplicate-bigram fraction and most-frequent-word dominance.
+    Pure per-row array expressions — embarrassingly parallel, no
+    shuffle, no UDF. Bigrams are built from SLICES of the projected
+    words column (constant reference count — see the projection-CSE
+    note in operators/lsh.py), as plain strings: no hashing needed when
+    the comparison stays within one row."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_words = docs.select("doc_id", _words(F.col("text")).alias("w")).filter(
+        F.size("w") >= 2
+    )
+    w = F.col("w")
+    count = F.size(w) - 1
+    bigrams = F.zip_with(
+        F.slice(w, 1, count),
+        F.slice(w, 2, count),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    top_freq = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda x: F.size(F.filter(w, lambda y: y == x)),
+        )
+    )
+    return with_words.select(
+        "doc_id",
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams),
+            6,
+        ).alias("dup_bigram_frac"),
+        F.round(top_freq.cast("double") / F.size(w), 6).alias("top_word_frac"),
+    )
+
+
+@query(
+    "source_mixture_weights",
+    oracle="""
+WITH t AS (
+  SELECT source, lang,
+         count(*) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, lang, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
+         AS token_share
+FROM t
+""",
+    tags=("curation", "mixture", "pipeline"),
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture accounting: per (source, lang) stratum, document
+    and token counts plus each stratum's share of all corpus tokens —
+    the table a data-mixture spec is tuned against. One hash aggregate
+    over the corpus; the share window runs over the already-aggregated
+    stratum table (|sources| x |langs| rows), so the single-partition
+    window is on grouped data, never on the corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    strata = (
+        docs.select("source", "lang", F.size(_words(F.col("text"))).alias("n_tok"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return strata.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / total, 6).alias("token_share"),
+    )
