@@ -500,3 +500,53 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.col("n_tokens").cast("double") / total, 6).alias("token_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clusters: pairwise near-dup matches -> connected components
+# ---------------------------------------------------------------------------
+
+def _dedup_clusters_oracle() -> str:
+    from atlassian_confluence_data_pipeline_spark.plans.registry import QUERIES
+
+    pairs_sql = QUERIES["near_dup_pairs"].oracle
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n
+)
+SELECT n AS doc_id, min(m) AS cluster_rep FROM reach GROUP BY 1
+"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=_dedup_clusters_oracle(),
+    tags=("curation", "dedup", "graph", "pipeline"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> dedup GROUPS: connected components over the
+    exact-Jaccard pair list (operators/graph.py label propagation),
+    labeling every matched document with its component's minimum doc_id
+    — the representative a keep-one-per-cluster dedup retains. The
+    oracle computes the same components with a recursive CTE over the
+    identical pair SQL. Transitively-linked near-dups (A~B, B~C, A!~C)
+    collapse into ONE cluster — the semantics pairwise filtering alone
+    cannot express."""
+    from atlassian_confluence_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.textops import (
+        near_dup_pairs,
+    )
+
+    pairs = near_dup_pairs(spark, sf_dir)
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
+    )

@@ -184,3 +184,38 @@ def test_guarded_pair_frames_adaptive(spark):
     )
     assert keys == ["block", "__u", "__v"]
     assert "__u" in gl.columns and "__v" in gr.columns
+
+
+class TestConnectedComponents:
+    """operators/graph.py — pairwise matches -> dedup groups."""
+
+    def test_transitive_chain_collapses_to_one_component(self, spark):
+        from atlassian_confluence_data_pipeline_spark.operators.graph import (
+            connected_components,
+        )
+
+        # chain 1-2-3-4 (diameter 3, needs >1 propagation round) plus a
+        # separate pair {10, 11}
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "a bigint, b bigint"
+        )
+        out = {
+            r.node: r.component
+            for r in connected_components(pairs, "a", "b").collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_pair_order_irrelevant(self, spark):
+        from atlassian_confluence_data_pipeline_spark.operators.graph import (
+            connected_components,
+        )
+
+        # reversed/duplicated pairs resolve identically
+        pairs = spark.createDataFrame(
+            [(5, 2), (2, 5), (9, 5)], "a bigint, b bigint"
+        )
+        out = {
+            r.node: r.component
+            for r in connected_components(pairs, "a", "b").collect()
+        }
+        assert out == {2: 2, 5: 2, 9: 2}
