@@ -56,6 +56,7 @@ def _affine_perms(seed: int, n: int) -> tuple[tuple[int, int], ...]:
 
 MINHASH_PERMS = _affine_perms(0x5EED, 64)
 SIMHASH_PERMS = _affine_perms(0x51AB, 64)
+SRP_PERMS = _affine_perms(0x0EED, 64)
 
 #: SimHash bit vote: +1 when the affine projection lands in the top half
 #: of [0, ROLLING_MOD) — an unbiased pseudo-random bit per (token, slot).
@@ -95,6 +96,56 @@ def shingle_hashes_from_word_hashes(
             lambda a, b: (a * base + b) % ROLLING_MOD,
         )
     return F.array_distinct(acc)
+
+
+def srp_fingerprint(vec: Column, bits: int = 64) -> Column:
+    """Signed-random-projection (hyperplane) LSH fingerprint of a dense
+    vector — bit i is the SIGN of the dot product with a pseudo-random
+    ±1 hyperplane, so P(bits differ) = angle/pi (the SRP property that
+    makes Hamming distance a cosine proxy).
+
+    The hyperplane matrix is never stored: its sign at dimension j is
+    the affine-hash bit ``(a_i*j + b_i) mod M >= M/2`` — the same
+    formula regenerates it in any engine, which is what lets DuckDB
+    reproduce every fingerprint bit-for-bit. All ``bits`` running dots
+    are ONE ``F.aggregate`` fold with a struct accumulator over
+    ``zip_with(vec, sequence)`` — the vector is referenced once (no
+    Catalyst re-inlining; see minhash_signature) and each element is
+    folded left-to-right in double precision, bit-identical to the
+    oracle's list_sum. Bit 63 lands on the two's-complement sign bit —
+    downstream chunking uses unsigned shifts (simhash_near_pairs)."""
+    perms = SRP_PERMS[:bits]
+    zipped = F.zip_with(
+        vec,
+        F.sequence(F.lit(0).cast("bigint"), F.size(vec).cast("bigint") - 1),
+        lambda x, i: F.struct(x.cast("double").alias("val"), i.alias("pos")),
+    )
+    init = F.struct(*[F.lit(0.0).alias(f"d{i}") for i in range(bits)])
+
+    def merge(acc: Column, e: Column) -> Column:
+        signed = [
+            F.when(
+                (F.lit(a) * e["pos"] + F.lit(b)) % ROLLING_MOD
+                >= SIMHASH_THRESHOLD,
+                e["val"],
+            ).otherwise(-e["val"])
+            for (a, b) in perms
+        ]
+        return F.struct(
+            *[(acc[f"d{i}"] + s).alias(f"d{i}") for i, s in enumerate(signed)]
+        )
+
+    def finish(acc: Column) -> Column:
+        fp = None
+        for i in range(bits):
+            term = F.when(
+                acc[f"d{i}"] >= 0.0,
+                F.shiftleft(F.lit(1).cast("bigint"), i),
+            ).otherwise(F.lit(0).cast("bigint"))
+            fp = term if fp is None else fp.bitwiseOR(term)
+        return fp
+
+    return F.aggregate(zipped, init, merge, finish)
 
 
 def minhash_signature(

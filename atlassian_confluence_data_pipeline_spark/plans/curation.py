@@ -550,3 +550,114 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup, scale path: signed-random-projection LSH
+# ---------------------------------------------------------------------------
+
+#: SRP near-dup thresholds: cosine floor for a verified pair (0.45 sits
+#: in the fixture's near-dup regime — 4 pairs at sf0.01, 37 at sf0.1),
+#: Hamming ceiling for a candidate (cos 0.45 -> 63 deg -> expected
+#: Hamming 64*63/180 ~ 22; 26 leaves margin), 8-bit pigeonhole chunks
+EMB_LSH_COS = 0.45
+EMB_LSH_MAX_HAMMING = 26
+EMB_LSH_CHUNKS = 8
+
+
+def _embedding_lsh_oracle() -> str:
+    from atlassian_confluence_data_pipeline_spark.operators.lsh import (
+        SIMHASH_THRESHOLD,
+        SRP_PERMS,
+    )
+
+    dots = ",\n         ".join(
+        f"list_sum(list_transform(range(1, len(v)+1), j -> "
+        f"CASE WHEN ({a} * (j-1) + {b}) % {ROLLING_MOD} >= {SIMHASH_THRESHOLD} "
+        f"THEN v[j] ELSE -v[j] END)) AS d{i}"
+        for i, (a, b) in enumerate(SRP_PERMS)
+    )
+    fp_terms = [
+        f"CASE WHEN d{i} >= 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for i in range(63)
+    ] + [
+        "CASE WHEN d63 >= 0 THEN CAST(-9223372036854775808 AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END"
+    ]
+    fp = "\n       + ".join(fp_terms)
+    width = 64 // EMB_LSH_CHUNKS
+    mask = (1 << width) - 1
+    chunk_eq = " OR ".join(
+        f"((a.fp >> {i * width}) & {mask}) = ((b.fp >> {i * width}) & {mask})"
+        for i in range(EMB_LSH_CHUNKS)
+    )
+    cos = (
+        "list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))"
+        " / (sqrt(list_sum(list_transform(a.v, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(b.v, x -> x * x))))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), d AS (
+  SELECT vec_id, v,
+         {dots}
+  FROM e
+), f AS (
+  SELECT vec_id, v,
+       {fp}
+         AS fp
+  FROM d
+), cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb,
+         bit_count(xor(a.fp, b.fp)) AS hamming
+  FROM f a JOIN f b ON a.vec_id < b.vec_id AND ({chunk_eq})
+)
+SELECT id_a, id_b,
+       round({cos.replace('a.v', 'va').replace('b.v', 'vb')}, 6) AS cos
+FROM cand a_unused
+WHERE hamming <= {EMB_LSH_MAX_HAMMING}
+  AND {cos.replace('a.v', 'va').replace('b.v', 'vb')} >= {EMB_LSH_COS}
+"""
+
+
+@query(
+    "embedding_lsh_pairs",
+    oracle=_embedding_lsh_oracle(),
+    tags=("dedup", "neardup", "vector", "lsh"),
+)
+def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, SCALE path: signed-random-projection LSH.
+    Where embedding_near_dup_pairs blocks on the label column (exact
+    within blocks, quadratic in block density — 3.8x at 8x data in
+    SCALING.md), this generates candidates from 64-bit hyperplane-sign
+    fingerprints via the same pigeonhole chunk-banding as SimHash: an
+    equi-join on (chunk_id, chunk_value), near-linear in corpus size,
+    no label needed. Candidates are verified with the exact cosine.
+    Every fingerprint bit is reproduced by the DuckDB oracle (shared
+    affine constants), so the whole chain is value-hash-checked."""
+    from atlassian_confluence_data_pipeline_spark.operators.lsh import (
+        simhash_near_pairs,
+        srp_fingerprint,
+    )
+    from atlassian_confluence_data_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fps = emb.select(
+        "vec_id", srp_fingerprint(F.col("embedding")).alias("simhash")
+    )
+    cand = simhash_near_pairs(
+        fps, "vec_id", max_hamming=EMB_LSH_MAX_HAMMING, chunks=EMB_LSH_CHUNKS
+    )
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= EMB_LSH_COS)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

@@ -73,3 +73,40 @@ def test_simhash_pairs_planted(spark):
     # unrelated random docs should sit far apart in hamming space
     unrelated = {(a, b) for a, b in got if (a, b) not in PLANTED and a < 10 and b < 10}
     assert len(unrelated) <= 2  # allow rare chance collisions, not wholesale
+
+
+def test_srp_fingerprint_recalls_planted_vector_pair(spark):
+    """Near-identical vectors differ in few fingerprint bits, so the
+    chunk-banded candidate join must surface them; an orthogonal vector
+    must not pair with either at a high cosine."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from atlassian_confluence_data_pipeline_spark.operators.lsh import (
+        simhash_near_pairs,
+        srp_fingerprint,
+    )
+    from atlassian_confluence_data_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+    )
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    near = [x + rng.uniform(-0.01, 0.01) for x in base]
+    rows = [(1, base), (2, near)] + [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(3, 13)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    fps = df.select("vec_id", srp_fingerprint(F.col("embedding")).alias("simhash"))
+    cand = simhash_near_pairs(fps, "vec_id", max_hamming=10, chunks=8)
+    va = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    vb = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    verified = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= 0.9)
+    )
+    got = {(r.id_a, r.id_b) for r in verified.collect()}
+    assert got == {(1, 2)}
