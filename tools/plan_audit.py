@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Plan audit: sweep EVERY registered query's optimized + physical plan
+for scale anti-patterns and print a markdown report.
+
+    python tools/plan_audit.py [--sf /root/testdata/sf0.01]
+
+Flags raised:
+- **CartesianProduct** anywhere (always a bug in this engine).
+- **BroadcastNestedLoopJoin** outside the known-intentional list
+  (tiny broadcast side under a non-equi condition — see PLANS.md).
+- **BatchEvalPython** (row-at-a-time Python UDF — the slow path; only
+  ArrowEvalPython / mapInPandas nodes are sanctioned).
+- **Duplicated expensive folds**: more `aggregate(` occurrences in the
+  optimized plan than the query legitimately contains — the
+  projection-CSE / filter-on-alias traps (PLANS.md round-2 note).
+  Threshold is generous (8); the trap produces 16-66 copies.
+
+Exit code 1 if anything is flagged, so CI can gate on it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from atlassian_confluence_data_pipeline_spark.plans import QUERIES  # noqa: E402
+from atlassian_confluence_data_pipeline_spark.session import get_session  # noqa: E402
+
+#: BNLJ nodes that are by design: tiny broadcast side, non-equi or
+#: cross condition (documented in PLANS.md "Intentional BNLJ")
+INTENTIONAL_BNLJ = {
+    "cosine_topk",
+    "ivf_ann_topk",
+    "rich_inactive_customers",
+}
+
+#: queries whose plans legitimately carry many HOF folds (k parallel
+#: aggregate expressions by construction, not accidental duplication)
+MANY_FOLD_OK = {
+    "minhash_lsh_pairs",  # k-slot signature fold + band folds
+    "embedding_lsh_pairs",  # 64 running dots in one struct fold
+    "ivf_ann_topk",  # cosine (dot + 2 norms) at 3 join sites + centroid mean
+}
+
+FOLD_THRESHOLD = 8
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+    spark = get_session("plan-audit", cpus=8)
+    flagged: list[str] = []
+    print("| query | cartesian | BNLJ | py-udf | aggregate( count |")
+    print("|---|---|---|---|---|")
+    for name in sorted(QUERIES):
+        try:
+            df = QUERIES[name].fn(spark, args.sf)
+            opt = df._jdf.queryExecution().optimizedPlan().toString()
+            phys = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # pragma: no cover - audit robustness
+            flagged.append(f"{name}: plan build failed: {e}")
+            print(f"| {name} | ERROR | | | |")
+            continue
+        cartesian = "CartesianProduct" in phys or "Cross" in opt.split("\n")[0]
+        bnlj = "BroadcastNestedLoopJoin" in phys
+        pyudf = "BatchEvalPython" in phys
+        folds = opt.count("aggregate(")
+        row_flags = []
+        if cartesian:
+            row_flags.append("cartesian product")
+        if bnlj and name not in INTENTIONAL_BNLJ:
+            row_flags.append("unexpected BNLJ")
+        if pyudf:
+            row_flags.append("row-at-a-time Python UDF")
+        if folds > FOLD_THRESHOLD and name not in MANY_FOLD_OK:
+            row_flags.append(f"{folds} aggregate-folds (CSE trap?)")
+        for fl in row_flags:
+            flagged.append(f"{name}: {fl}")
+        print(
+            f"| {name} | {'X' if cartesian else ''} |"
+            f" {'X' if bnlj else ''} | {'X' if pyudf else ''} | {folds} |"
+        )
+    print()
+    if flagged:
+        print("FLAGGED:")
+        for f in flagged:
+            print(" -", f)
+        return 1
+    print(f"OK: {len(QUERIES)} queries, nothing flagged.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
