@@ -491,6 +491,47 @@ _IVF_COS = (
     " * sqrt(list_sum(list_transform({b}, x -> x * x))))"
 )
 
+def _deterministic_mean_vectors(
+    df, group_col: str, vec_col: str = "embedding", id_col: str = "vec_id"
+):
+    """Per-group elementwise mean vector with a DETERMINISTIC reduction:
+    each dimension's values are collected as (id, v) structs, sorted by
+    id, and folded left-to-right in double precision — bit-identical to
+    the oracle's ``list_reduce(list(v ORDER BY id))``. A plain avg()
+    would reduce in partition order and drift across engines/runs.
+    Returns (group_col, n, mean_vec). Scale shape: two hash aggregates;
+    the per-(group, pos) state is the value list of ONE dimension of one
+    group — bounded by group size, never by corpus size."""
+    return (
+        df.select(group_col, id_col, F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy(group_col, "pos")
+        .agg(
+            F.array_sort(F.collect_list(F.struct(id_col, "v"))).alias("vs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            group_col,
+            "pos",
+            "n",
+            (
+                F.aggregate(
+                    F.transform("vs", lambda s: s["v"].cast("double")),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+                / F.col("n")
+            ).alias("m"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.max("n").alias("n"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("mean_vec"),
+        )
+    )
+
+
 _IVF_ORACLE = f"""
 WITH comp AS (
   SELECT label, vec_id,
@@ -548,34 +589,109 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from atlassian_confluence_data_pipeline_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = (
-        emb.select("label", "vec_id", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("vs"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            "label",
-            "pos",
-            (
-                F.aggregate(
-                    F.transform("vs", lambda s: s["v"].cast("double")),
-                    F.lit(0.0),
-                    lambda a, b: a + b,
-                )
-                / F.col("n")
-            ).alias("m"),
-        )
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-            ).alias("centroid")
-        )
-        .select(F.col("label").alias("centroid_id"), "centroid")
+    centroids = _deterministic_mean_vectors(emb, "label").select(
+        F.col("label").alias("centroid_id"), F.col("mean_vec").alias("centroid")
     )
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, queries, k=5, centroids=centroids, n_probe=2).select(
         "query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim")
+    )
+
+
+_KMEANS_ORACLE = f"""
+WITH comp AS (
+  SELECT label, vec_id,
+         unnest(range(1, len(embedding)+1)) AS pos,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings
+), cm AS (
+  SELECT label, pos,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(v ORDER BY vec_id)),
+                     (a, b) -> a + b) / count(*) AS m
+  FROM comp GROUP BY label, pos
+), cent AS (
+  SELECT label AS centroid_id, list(m ORDER BY pos) AS c FROM cm GROUP BY label
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), asg AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_IVF_COS.format(a='e.v', b='cent.c')} DESC, cent.centroid_id) AS r
+    FROM e CROSS JOIN cent
+  ) WHERE r = 1
+), cnt AS (
+  SELECT centroid_id, count(*) AS n_assigned FROM asg GROUP BY 1
+), comp2 AS (
+  SELECT centroid_id, vec_id,
+         unnest(range(1, len(v)+1)) AS pos,
+         unnest(v) AS vv
+  FROM asg
+), nm AS (
+  SELECT centroid_id, pos,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(vv ORDER BY vec_id)),
+                     (a, b) -> a + b) / count(*) AS m
+  FROM comp2 GROUP BY centroid_id, pos
+)
+SELECT nm.centroid_id AS centroid_id,
+       cnt.n_assigned,
+       pos - 1 AS pos,
+       round(m, 6) AS m
+FROM nm JOIN cnt USING (centroid_id)
+"""
+
+
+@query(
+    "kmeans_lloyd_step",
+    oracle=_KMEANS_ORACLE,
+    tags=("similarity", "clustering", "vector", "iterative"),
+)
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus — the
+    refinement step a semantic-clustering pipeline (cluster-then-dedup,
+    SemDeDup-style) runs repeatedly: assign every vector to its nearest
+    current centroid (cosine, deterministic tie-break), then recompute
+    each cell's mean vector. Initial centroids are the label means (the
+    same deterministic fold the IVF coarse quantizer uses); both the
+    assignment and BOTH mean computations reproduce bit-for-bit in the
+    DuckDB oracle because every float reduction is an id-ordered
+    left-to-right double fold, never a partition-order avg().
+
+    Scale shape: centroids are tiny and BROADCAST; assignment is one
+    narrow pass over the corpus (k cosines per row); the mean recompute
+    is two hash aggregates keyed by (cell, dimension) — per-group state
+    is one cell's one dimension. Iterating = re-running this plan with
+    the previous output as `cent` (driver loop, like
+    operators/hierarchy.py)."""
+    from atlassian_confluence_data_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _deterministic_mean_vectors(emb, "label").select(
+        F.col("label").alias("centroid_id"), F.col("mean_vec").alias("centroid")
+    )
+    sim = cosine_similarity(F.col("embedding"), F.col("centroid"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("__s").desc(), "centroid_id")
+    assigned = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .withColumn("__s", sim)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("centroid_id", "vec_id", "embedding")
+    )
+    refined = _deterministic_mean_vectors(assigned, "centroid_id")
+    # one scalar row per (cell, dimension): array-valued output columns
+    # don't survive hash comparison harnesses, and the long shape is the
+    # joinable one anyway
+    return refined.select(
+        "centroid_id",
+        F.col("n").alias("n_assigned"),
+        F.posexplode("mean_vec").alias("pos", "m"),
+    ).select(
+        "centroid_id",
+        "n_assigned",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.round("m", 6).alias("m"),
     )
