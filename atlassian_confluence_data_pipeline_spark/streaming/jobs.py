@@ -165,3 +165,95 @@ def foreach_batch_state_merge(events: DataFrame, store) -> "DataStreamWriter":  
         store.upsert(batch_df.sparkSession, updates)
 
     return events.writeStream.foreachBatch(merge_batch)
+
+
+def foreach_batch_minhash_dedup(
+    docs,
+    index_store,
+    pairs_out_dir: str,
+    jaccard: float = 0.5,
+):  # noqa: ANN001 - DataStreamWriter return hint kept lazy like peers
+    """Cross-batch streaming near-duplicate detection: the online form
+    of minhash_lsh_pairs. Each micro-batch of documents
+
+    1. is shingled, MinHash-signed and band-keyed (the exact batch
+       operators — same constants, same signatures);
+    2. probes the PERSISTED band-key index, so new documents pair
+       against every document ever seen, not just the current batch;
+       candidates are verified with exact Jaccard and appended to
+       ``pairs_out_dir``;
+    3. merges its own band keys into the index snapshot (StateStore —
+       atomic pointer flip, time-travelable, vacuumable).
+
+    Scale notes: the index carries (doc_id, band_key, hs) — one row per
+    band per document, the same near-linear footprint as the batch band
+    table; the probe is an equi-join on band_key (never all-pairs). The
+    index write is idempotent (distinct on doc_id+band_key), so a
+    replayed batch cannot grow it; pair emission is at-least-once
+    (dedup-on-read by (id_a, id_b), the same contract as the
+    reference's retry-tolerant output writes)."""
+    from pyspark.sql import functions as F
+
+    from atlassian_confluence_data_pipeline_spark.functions.text import (
+        rolling_hash,
+    )
+    from atlassian_confluence_data_pipeline_spark.operators.lsh import (
+        lsh_band_keys,
+        minhash_signature,
+        shingle_hashes_from_word_hashes,
+        verify_candidates_jaccard,
+    )
+
+    def dedup_batch(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        words = F.split(F.trim(F.col("text")), r"\s+")
+        hs_tbl = (
+            batch_df.select("doc_id", words.alias("w"))
+            .select("doc_id", F.transform(F.col("w"), rolling_hash).alias("wh"))
+            .select(
+                "doc_id",
+                shingle_hashes_from_word_hashes(F.col("wh")).alias("hs"),
+            )
+            .localCheckpoint(eager=True)
+            .filter(F.size("hs") > 0)
+        )
+        sig = hs_tbl.select(
+            "doc_id",
+            "hs",
+            minhash_signature(F.col("hs"), k=32, pre_hashed=True).alias("__sig"),
+        ).localCheckpoint(eager=True)
+        banded = sig.select(
+            "doc_id",
+            "hs",
+            F.explode(F.array(*lsh_band_keys(F.col("__sig"), 16, 2))).alias(
+                "band_key"
+            ),
+        )
+        if index_store.current_snapshot() is None:
+            prior = spark.createDataFrame(
+                [], "doc_id bigint, hs array<bigint>, band_key bigint"
+            )
+        else:
+            prior = index_store.read(spark)
+        universe = prior.unionByName(banded)
+        cand = (
+            banded.select(F.col("doc_id").alias("id_x"), "band_key")
+            .join(
+                universe.select(F.col("doc_id").alias("id_y"), "band_key"),
+                "band_key",
+            )
+            .filter(F.col("id_x") != F.col("id_y"))
+            .select(
+                F.least("id_x", "id_y").alias("id_a"),
+                F.greatest("id_x", "id_y").alias("id_b"),
+            )
+            .distinct()
+        )
+        shingles = universe.select("doc_id", "hs").distinct()
+        verified = verify_candidates_jaccard(
+            cand, shingles, "doc_id", "hs", threshold=jaccard
+        ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        verified.write.mode("append").parquet(pairs_out_dir)
+        index_store.write(universe.distinct().localCheckpoint(eager=True))
+
+    return docs.writeStream.foreachBatch(dedup_batch)

@@ -138,3 +138,52 @@ def test_foreach_batch_state_merge(spark, sf_dir, tmp_path):
     expected = {str(r["user_id"]): r["m"] for r in batch_max}
     got = {r["id"]: r["version"] for r in ledger.collect()}
     assert got == expected
+
+
+def test_streaming_minhash_dedup_across_batches(spark, tmp_path):
+    """A near-duplicate arriving in a LATER micro-batch must pair with
+    its original from an EARLIER batch via the persisted band index."""
+    import uuid
+
+    from atlassian_confluence_data_pipeline_spark.operators.state import StateStore
+    from atlassian_confluence_data_pipeline_spark.streaming.jobs import (
+        foreach_batch_minhash_dedup,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    near = base.replace("kappa", "kappa2")  # one-token edit: high jaccard
+    other = "one two three four five six seven eight nine ten " * 2
+    drop = tmp_path / "docs"
+    drop.mkdir()
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame([(1, base), (2, other.strip())], "doc_id bigint, text string") \
+        .coalesce(1).write.parquet(str(drop / "batch1.parquet"))
+    spark.createDataFrame([(3, near)], "doc_id bigint, text string") \
+        .coalesce(1).write.parquet(str(drop / "batch2.parquet"))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(drop) + "/*.parquet")
+    )
+    store = StateStore(str(tmp_path / "band_index"))
+    pairs_dir = str(tmp_path / "pairs")
+    q = (
+        foreach_batch_minhash_dedup(stream, store, pairs_dir, jaccard=0.5)
+        .option("checkpointLocation", str(tmp_path / f"ck_{uuid.uuid4().hex[:6]}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(pairs_dir).distinct().collect()
+    }
+    assert (1, 3) in pairs          # cross-batch near-dup found
+    assert all(2 not in p for p in pairs)  # unrelated doc pairs with nothing
+    # the index is idempotent by construction: one row per (doc, band)
+    idx = store.read(spark)
+    assert idx.count() == idx.select("doc_id", "band_key").distinct().count()
