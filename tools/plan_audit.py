@@ -35,6 +35,7 @@ from atlassian_confluence_data_pipeline_spark.session import get_session  # noqa
 INTENTIONAL_BNLJ = {
     "cosine_topk",
     "ivf_ann_topk",
+    "kmeans_lloyd_step",  # centroid assignment: tiny broadcast cross
     "rich_inactive_customers",
 }
 
