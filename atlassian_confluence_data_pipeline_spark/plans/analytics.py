@@ -695,3 +695,137 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("bigint").alias("pos"),
         F.round("m", 6).alias("m"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters (portable sketch: estimates hash-check)
+# ---------------------------------------------------------------------------
+
+#: CMS geometry: d rows x W buckets; eps = e/W ~ 0.27%, delta = e^-d ~ 2%
+CMS_ROWS = 4
+CMS_WIDTH = 1024
+CMS_TOPK = 10
+
+
+def _cms_perms():
+    from atlassian_confluence_data_pipeline_spark.operators.lsh import (
+        _affine_perms,
+    )
+
+    return _affine_perms(0xC36, CMS_ROWS)
+
+
+def _cms_oracle() -> str:
+    from atlassian_confluence_data_pipeline_spark.functions.text import (
+        ROLLING_BASE,
+        ROLLING_MOD,
+    )
+
+    rh = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(regexp_split_to_array(word, ''), "
+        "c -> CAST(ascii(c) AS BIGINT))), "
+        f"(h, c) -> (h * {ROLLING_BASE} + c) % {ROLLING_MOD})"
+    )
+    buckets = ", ".join(
+        f"(({a} * wh + {b}) % {ROLLING_MOD}) % {CMS_WIDTH} AS b{r}"
+        for r, (a, b) in enumerate(_cms_perms())
+    )
+    lookups = ", ".join(
+        f"(SELECT n FROM cms WHERE r = {r} AND bucket = t.b{r})"
+        for r in range(CMS_ROWS)
+    )
+    return f"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+), wh AS (
+  SELECT word, {rh} AS wh FROM words
+), wb AS (
+  SELECT word, wh, {buckets} FROM wh
+), cms AS (
+  SELECT r, bucket, count(*) AS n FROM (
+    SELECT unnest(range(0, {CMS_ROWS})) AS r,
+           unnest([{", ".join(f"b{r}" for r in range(CMS_ROWS))}]) AS bucket
+    FROM wb
+  ) GROUP BY r, bucket
+), exact AS (
+  SELECT word, count(*) AS exact_count,
+         any_value(b0) AS b0, any_value(b1) AS b1,
+         any_value(b2) AS b2, any_value(b3) AS b3
+  FROM wb GROUP BY word
+  ORDER BY exact_count DESC, word LIMIT {CMS_TOPK}
+)
+SELECT word, CAST(exact_count AS BIGINT) AS exact_count,
+       CAST(least({lookups}) AS BIGINT) AS cms_estimate
+FROM exact t
+"""
+
+
+@query(
+    "heavy_hitters_cms",
+    oracle=_cms_oracle(),
+    tags=("sketch", "text", "approx"),
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a Count-Min sketch built with the engine-
+    portable rolling-hash family — unlike HLL (engine-specific sketch,
+    checked by assertion only, see approx_distinct_parts), every CMS
+    cell and therefore every ESTIMATE is bit-reproducible in DuckDB, so
+    the sketch itself is value-hash-checked. Reports the top-k exact
+    words with their CMS estimates (est >= exact always; overcount
+    bounded by eps*N w.h.p.).
+
+    Scale shape: the sketch is d x W = 4096 counters regardless of
+    corpus size — ONE hash aggregate with map-side combine produces it;
+    the top-k side is the standard count + TakeOrdered. At 100 TB the
+    sketch table broadcasts for the lookup join."""
+    from atlassian_confluence_data_pipeline_spark.functions.text import (
+        ROLLING_MOD,
+        rolling_hash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    wh = words.select("word", rolling_hash(F.col("word")).alias("wh"))
+    bucket_cols = [
+        (((F.lit(a) * F.col("wh") + F.lit(b)) % ROLLING_MOD) % CMS_WIDTH).alias(
+            f"b{r}"
+        )
+        for r, (a, b) in enumerate(_cms_perms())
+    ]
+    wb = wh.select("word", *bucket_cols).localCheckpoint(eager=True)
+    cms = (
+        wb.select(
+            F.posexplode(F.array(*[F.col(f"b{r}") for r in range(CMS_ROWS)])).alias(
+                "r", "bucket"
+            )
+        )
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exact = (
+        wb.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("exact_count"),
+            *[F.first(f"b{r}").alias(f"b{r}") for r in range(CMS_ROWS)],
+        )
+        .orderBy(F.col("exact_count").desc(), "word")
+        .limit(CMS_TOPK)
+    )
+    est = exact.select(
+        "word",
+        "exact_count",
+        F.posexplode(F.array(*[F.col(f"b{r}") for r in range(CMS_ROWS)])).alias(
+            "r", "bucket"
+        ),
+    ).join(F.broadcast(cms), ["r", "bucket"]).groupBy("word", "exact_count").agg(
+        F.min("n").alias("cms_estimate")
+    )
+    return est.select(
+        "word",
+        F.col("exact_count").cast("bigint").alias("exact_count"),
+        F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+    )
