@@ -728,3 +728,76 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("recon_mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model scoring (perplexity-style quality filter)
+# ---------------------------------------------------------------------------
+
+@query(
+    "unigram_nll_scores",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), tok AS (
+  SELECT doc_id, unnest(w) AS word,
+         generate_subscripts(w, 1) AS pos
+  FROM w
+), freq AS (
+  SELECT word, count(*) AS c FROM tok GROUP BY 1
+), tot AS (
+  SELECT sum(c) AS n FROM freq
+), scored AS (
+  SELECT t.doc_id, t.pos,
+         -ln(CAST(f.c AS DOUBLE) / (SELECT n FROM tot)) AS nll
+  FROM tok t JOIN freq f USING (word)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(nll ORDER BY pos)),
+                         (a, b) -> a + b) / count(*), 6) AS avg_nll
+FROM scored GROUP BY doc_id
+""",
+    tags=("curation", "quality", "lm", "pipeline"),
+)
+def unigram_nll_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring against a unigram language model
+    trained on the corpus itself: each document's average negative
+    log-likelihood under the corpus word distribution — the filter shape
+    (score against a reference LM, drop outliers) every training-data
+    pipeline runs, here with the simplest possible LM so the whole chain
+    stays in built-in expressions.
+
+    Scale shape: the vocabulary table is a hash aggregate, tiny, and
+    BROADCAST back onto the exploded corpus; the per-document sum is an
+    id-ordered left-to-right fold (collect_list sorted by position) so
+    the float total is deterministic and oracle-reproducible — the same
+    discipline as the kmeans/IVF mean folds."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "word")
+    )
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.count()  # scalar cardinality, computed distributed
+    nll = -F.log(F.col("c").cast("double") / F.lit(float(total)))
+    return (
+        tok.join(F.broadcast(freq), "word")
+        .select("doc_id", "pos", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "nll"))),
+                        lambda s: s["nll"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
