@@ -76,7 +76,7 @@ def _fast_hash(s: Column) -> Column:
 
 
 def shingle_hashes_from_word_hashes(
-    wh: Column, n: int = 3, base: int = BAND_BASE
+    wh: Column, n: int = 3, base: int = BAND_BASE, distinct: bool = True
 ) -> Column:
     """n-gram shingle hashes combined from PER-WORD rolling hashes with
     a polynomial fold ``((h1*B + h2) % M * B + h3) % M`` — each word is
@@ -95,7 +95,9 @@ def shingle_hashes_from_word_hashes(
             F.slice(wh, i + 1, count),
             lambda a, b: (a * base + b) % ROLLING_MOD,
         )
-    return F.array_distinct(acc)
+    # distinct=False keeps POSITIONAL order (winnowing needs windows
+    # over the shingle sequence, not the shingle set)
+    return F.array_distinct(acc) if distinct else acc
 
 
 def srp_fingerprint(vec: Column, bits: int = 64) -> Column:

@@ -801,3 +801,86 @@ def unigram_nll_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint selection (MOSS-style density-bounded sampling)
+# ---------------------------------------------------------------------------
+
+#: winnowing window: guarantees detection of matches >= (WINNOW_W +
+#: shingle_n - 1) tokens while storing ~2/(W+1) of all shingle hashes
+WINNOW_W = 4
+
+
+def _winnow_oracle() -> str:
+    from atlassian_confluence_data_pipeline_spark.operators.lsh import BAND_BASE
+
+    rh_tok = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(regexp_split_to_array(t, ''), "
+        "c -> CAST(ascii(c) AS BIGINT))), "
+        f"(h, c) -> (h * {ROLLING_BASE} + c) % {ROLLING_MOD})"
+    )
+    comb = (
+        "list_reduce(list_transform(range(0, 3), k -> wh[i + k]), "
+        f"(a, b) -> (a * {BAND_BASE} + b) % {ROLLING_MOD})"
+    )
+    winmin = (
+        f"list_reduce(list_transform(range(0, {WINNOW_W}), k -> hs[i + k]), "
+        "(a, b) -> least(a, b))"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), wht AS (
+  SELECT doc_id, list_transform(w, t -> {rh_tok}) AS wh FROM w
+), sh AS (
+  SELECT doc_id, list_transform(
+      range(1, greatest(len(wh) - 1, 1)), i -> {comb}) AS hs
+  FROM wht
+), fp AS (
+  SELECT doc_id, list_distinct(list_transform(
+      range(1, greatest(len(hs) - {WINNOW_W - 2}, 1)), i -> {winmin})) AS fps
+  FROM sh WHERE len(hs) >= {WINNOW_W}
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM fp
+"""
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=_winnow_oracle(),
+    tags=("curation", "fingerprint", "dedup", "pipeline"),
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (the MOSS scheme): slide a window
+    of WINNOW_W consecutive shingle hashes and keep each window's
+    minimum — guaranteeing any sufficiently long match between two
+    documents shares a fingerprint while storing only ~2/(W+1) of the
+    hashes. The density-bounded alternative to keeping every shingle:
+    at 100 TB the fingerprint index is a fixed fraction of the corpus
+    regardless of document length. Per-row built-ins only (the window
+    min is a least()-fold over slices of the CHECKPOINT-materialized
+    shingle sequence — constant reference count, no re-inlining)."""
+    from atlassian_confluence_data_pipeline_spark.operators.lsh import (
+        shingle_hashes_from_word_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", _words(F.col("text")).alias("w"))
+        .select("doc_id", F.transform(F.col("w"), rolling_hash).alias("wh"))
+        .select(
+            "doc_id",
+            shingle_hashes_from_word_hashes(F.col("wh"), distinct=False).alias(
+                "hs"
+            ),
+        )
+        .localCheckpoint(eager=True)
+        .filter(F.size("hs") >= WINNOW_W)
+    )
+    count = F.size("hs") - (WINNOW_W - 1)
+    acc = F.slice("hs", 1, count)
+    for i in range(1, WINNOW_W):
+        acc = F.zip_with(acc, F.slice("hs", i + 1, count), lambda a, b: F.least(a, b))
+    return sh.select("doc_id", F.explode(F.array_distinct(acc)).alias("fingerprint"))
