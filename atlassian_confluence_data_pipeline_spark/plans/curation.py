@@ -884,3 +884,90 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(1, WINNOW_W):
         acc = F.zip_with(acc, F.slice("hs", i + 1, count), lambda a, b: F.least(a, b))
     return sh.select("doc_id", F.explode(F.array_distinct(acc)).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# PMI phrase mining (collocation detection)
+# ---------------------------------------------------------------------------
+
+#: collocation gates: minimum bigram support, minimum PMI
+PMI_MIN_COUNT = 20
+PMI_MIN = 0.1
+
+
+@query(
+    "pmi_bigram_phrases",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), bg AS (
+  SELECT unnest(list_transform(range(1, greatest(len(w), 1)),
+                               i -> [w[i], w[i + 1]])) AS pair
+  FROM w WHERE len(w) >= 2
+), bc AS (
+  SELECT pair[1] AS x, pair[2] AS y, count(*) AS c_xy FROM bg GROUP BY 1, 2
+), uni AS (
+  SELECT unnest(w) AS word FROM w
+), uc AS (
+  SELECT word, count(*) AS c FROM uni GROUP BY 1
+), nb AS (SELECT sum(c_xy) AS n_bi FROM bc),
+   nu AS (SELECT count(*) AS n_uni FROM uni)
+SELECT x, y, CAST(c_xy AS BIGINT) AS c_xy,
+       round(ln((CAST(c_xy AS DOUBLE) / (SELECT n_bi FROM nb))
+                / ((CAST(ux.c AS DOUBLE) / (SELECT n_uni FROM nu))
+                   * (CAST(uy.c AS DOUBLE) / (SELECT n_uni FROM nu)))), 6)
+         AS pmi
+FROM bc JOIN uc ux ON bc.x = ux.word JOIN uc uy ON bc.y = uy.word
+WHERE c_xy >= {PMI_MIN_COUNT}
+  AND ln((CAST(c_xy AS DOUBLE) / (SELECT n_bi FROM nb))
+         / ((CAST(ux.c AS DOUBLE) / (SELECT n_uni FROM nu))
+            * (CAST(uy.c AS DOUBLE) / (SELECT n_uni FROM nu)))) >= {PMI_MIN}
+""",
+    tags=("curation", "text", "phrases", "pipeline"),
+)
+def pmi_bigram_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation / phrase mining via pointwise mutual information over
+    adjacent word pairs — the phrase-detection preprocessing (word2vec's
+    phrase pass) a tokenization pipeline runs before training. Bigram
+    and unigram counts are two hash aggregates; PMI is computed from
+    exact integer counts (deterministic doubles), filtered by support
+    and PMI floor (unrounded, same expression as the oracle). Counting
+    tables are vocabulary-sized — broadcast joins, corpus never
+    reshuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_words = docs.select(_words(F.col("text")).alias("w")).filter(
+        F.size("w") >= 2
+    )
+    count = F.size("w") - 1
+    pairs = with_words.select(
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, count),
+                F.slice("w", 2, count),
+                lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+    bc = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = docs.select(F.explode(_words(F.col("text"))).alias("word"))
+    uc = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    n_bi = bc.agg(F.sum("c_xy")).collect()[0][0]  # scalar aggregate
+    n_uni = uni.count()
+    ux = uc.select(F.col("word").alias("x"), F.col("c").alias("cx"))
+    uy = uc.select(F.col("word").alias("y"), F.col("c").alias("cy"))
+    pmi = F.log(
+        (F.col("c_xy").cast("double") / F.lit(float(n_bi)))
+        / (
+            (F.col("cx").cast("double") / F.lit(float(n_uni)))
+            * (F.col("cy").cast("double") / F.lit(float(n_uni)))
+        )
+    )
+    return (
+        bc.filter(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .withColumn("pmi", pmi)
+        .filter(F.col("pmi") >= PMI_MIN)
+        .select("x", "y", F.col("c_xy").cast("bigint").alias("c_xy"),
+                F.round("pmi", 6).alias("pmi"))
+    )
