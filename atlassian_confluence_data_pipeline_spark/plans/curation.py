@@ -971,3 +971,46 @@ def pmi_bigram_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("x", "y", F.col("c_xy").cast("bigint").alias("c_xy"),
                 F.round("pmi", 6).alias("pmi"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size deterministic sample (exact N per stratum)
+# ---------------------------------------------------------------------------
+
+#: exact sample size per (lang) stratum
+SAMPLE_N_PER_STRATUM = 25
+
+
+@query(
+    "fixed_size_sample_docs",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, lang, {_RH_DOCID_SQL} AS hkey FROM documents
+)
+SELECT doc_id, lang, CAST(rnk AS INT) AS rnk FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rnk
+  FROM h
+) WHERE rnk <= {SAMPLE_N_PER_STRATUM}
+""",
+    tags=("curation", "sampling", "pipeline"),
+)
+def fixed_size_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-N-per-stratum deterministic sampling: rank documents inside
+    each language stratum by their engine-portable hash (a reproducible
+    shuffle order) and keep the first N — the eval-set / holdout carve
+    a pipeline needs when rate-based sampling (stratified_sample_docs)
+    can't guarantee exact counts. One window per stratum; the hash
+    order makes the SAME sample come out of any engine, any run, any
+    partitioning. At 100 TB: rank-within-stratum is a single shuffle on
+    the stratum key, and N rows per stratum survive."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hkey = rolling_hash(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(hkey.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= SAMPLE_N_PER_STRATUM)
+    )
