@@ -1014,3 +1014,91 @@ def fixed_size_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= SAMPLE_N_PER_STRATUM)
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment candidates over winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+#: drop "stop fingerprints" shared by more than this many documents
+#: (boilerplate phrases) — the guard that keeps the pair join linear
+FP_MAX_DF = 50
+#: containment floor: shared / min(|fp_a|, |fp_b|)
+CONTAINMENT_MIN = 0.4
+
+
+def _containment_oracle() -> str:
+    from atlassian_confluence_data_pipeline_spark.plans.registry import QUERIES
+
+    winnow = QUERIES["winnowing_fingerprints"].oracle
+    return f"""
+WITH fps AS ({winnow}),
+rare AS (
+  SELECT fingerprint FROM fps GROUP BY 1
+  HAVING count(*) BETWEEN 2 AND {FP_MAX_DF}
+), kept AS (
+  SELECT f.doc_id, f.fingerprint FROM fps f JOIN rare USING (fingerprint)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY 1
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM kept a JOIN kept b
+    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       round(CAST(n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp), 6)
+         AS containment
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp)
+      >= {CONTAINMENT_MIN}
+"""
+
+
+@query(
+    "containment_candidates",
+    oracle=_containment_oracle(),
+    tags=("curation", "dedup", "fingerprint", "pipeline"),
+)
+def containment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-containment detection (quotes, partial copies — the case
+    Jaccard misses because containment of a small doc in a big one
+    yields low set similarity): pairs sharing winnowing fingerprints,
+    scored by shared / min(|fp|) — the asymmetric containment measure.
+    Stop-fingerprints (shared by > FP_MAX_DF docs, i.e. boilerplate)
+    are dropped BEFORE the pair join — the guard that keeps the
+    fingerprint equi-join linear at corpus scale (without it one viral
+    phrase creates a quadratic bucket)."""
+    fps = winnowing_fingerprints(spark, sf_dir).localCheckpoint(eager=True)
+    rare = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= FP_MAX_DF))
+        .select("fingerprint")
+    )
+    kept = fps.join(F.broadcast(rare), "fingerprint").localCheckpoint(eager=True)
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fingerprint")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    shared = (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("nb"))
+    containment = F.col("n_shared").cast("double") / F.least("na", "nb")
+    return (
+        shared.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(containment >= CONTAINMENT_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(containment, 6).alias("containment"),
+        )
+    )
