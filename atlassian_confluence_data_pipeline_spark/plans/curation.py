@@ -1119,3 +1119,99 @@ def containment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(containment, 6).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split assignment
+# ---------------------------------------------------------------------------
+
+#: split boundaries on the hash-bucket space [0, 100): train/val/test
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5  # test gets the remainder
+
+
+@query(
+    "train_val_test_split",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, lang, {_RH_DOCID_SQL} % 100 AS bucket FROM documents
+), assigned AS (
+  SELECT lang,
+         CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM h
+)
+SELECT lang, split, count(*) AS n_docs
+FROM assigned GROUP BY 1, 2
+""",
+    tags=("curation", "sampling", "split", "pipeline"),
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: hash-bucket every
+    document into [0, 100) with the engine-portable rolling hash and
+    carve contiguous ranges — the split is a PROPERTY OF THE DOCUMENT
+    (same assignment on any engine, any run, any partitioning), so
+    re-runs can never leak a validation document into training. Emits
+    the per-(lang, split) census a pipeline logs; the assignment itself
+    is the embarrassingly-parallel per-row CASE."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(rolling_hash(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _dedup_clusters_lsh_oracle() -> str:
+    # import the module (not the registry) so this works regardless of
+    # plans/__init__ import order — the decorator registers on import
+    from atlassian_confluence_data_pipeline_spark.plans import multimodal  # noqa: F401
+    from atlassian_confluence_data_pipeline_spark.plans.registry import QUERIES
+
+    pairs_sql = QUERIES["minhash_lsh_pairs"].oracle
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n
+)
+SELECT n AS doc_id, min(m) AS cluster_rep FROM reach GROUP BY 1
+"""
+
+
+@query(
+    "dedup_clusters_lsh",
+    oracle=_dedup_clusters_lsh_oracle(),
+    tags=("curation", "dedup", "graph", "lsh", "pipeline"),
+)
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB composition of keep-one-per-group dedup: connected
+    components over the MINHASH-LSH pair list (near-linear candidate
+    generation) instead of the exact blocked-Jaccard pairs that
+    `dedup_clusters` uses — the end-to-end chain a corpus dedup
+    actually runs at scale: shingle -> sign -> band -> verify ->
+    cluster -> keep min-id representative. Both stages are oracle-
+    reproduced (portable-hash signatures + recursive-CTE closure)."""
+    from atlassian_confluence_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.multimodal import (
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    return connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
+    )
