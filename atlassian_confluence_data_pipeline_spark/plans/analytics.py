@@ -829,3 +829,129 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_count").cast("bigint").alias("exact_count"),
         F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-iteration k-means (driver loop, per-iteration checkpoints)
+# ---------------------------------------------------------------------------
+
+KMEANS_ITERS = 2
+
+
+def _kmeans_iter_block(i: int, prev_cent: str) -> str:
+    """One Lloyd iteration as oracle CTE blocks: assign to nearest of
+    ``prev_cent``, recompute id-ordered deterministic means."""
+    return f"""asg{i} AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_IVF_COS.format(a='e.v', b='c.c')} DESC, c.centroid_id) AS r
+    FROM e CROSS JOIN {prev_cent} c
+  ) WHERE r = 1
+), comp{i} AS (
+  SELECT centroid_id, vec_id,
+         unnest(range(1, len(v)+1)) AS pos, unnest(v) AS vv
+  FROM asg{i}
+), nm{i} AS (
+  SELECT centroid_id, pos,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(vv ORDER BY vec_id)),
+                     (a, b) -> a + b) / count(*) AS m
+  FROM comp{i} GROUP BY centroid_id, pos
+), cent{i} AS (
+  SELECT centroid_id, list(m ORDER BY pos) AS c FROM nm{i} GROUP BY centroid_id
+)"""
+
+
+def _kmeans_iters_oracle() -> str:
+    blocks = [
+        """comp AS (
+  SELECT label, vec_id,
+         unnest(range(1, len(embedding)+1)) AS pos,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings
+), cm AS (
+  SELECT label, pos,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(v ORDER BY vec_id)),
+                     (a, b) -> a + b) / count(*) AS m
+  FROM comp GROUP BY label, pos
+), cent0 AS (
+  SELECT label AS centroid_id, list(m ORDER BY pos) AS c FROM cm GROUP BY label
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+)"""
+    ]
+    prev = "cent0"
+    for i in range(1, KMEANS_ITERS + 1):
+        blocks.append(_kmeans_iter_block(i, prev))
+        prev = f"cent{i}"
+    last = KMEANS_ITERS
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f""",
+cnt AS (
+  SELECT centroid_id, count(*) AS n_assigned FROM asg{last} GROUP BY 1
+)
+SELECT nm{last}.centroid_id AS centroid_id, cnt.n_assigned,
+       pos - 1 AS pos, round(m, 6) AS m
+FROM nm{last} JOIN cnt USING (centroid_id)
+"""
+    )
+
+
+@query(
+    "kmeans_iterations",
+    oracle=_kmeans_iters_oracle(),
+    tags=("similarity", "clustering", "vector", "iterative"),
+)
+def kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means run for KMEANS_ITERS Lloyd iterations as a DRIVER LOOP
+    (the hierarchy-expansion pattern): each round assigns every vector
+    to its nearest current centroid and recomputes deterministic cell
+    means, with the new centroid table localCheckpoint-materialized so
+    plan depth stays O(1) per round instead of nesting the whole
+    history. Every round's floats are id-ordered folds, so even the
+    SECOND iteration — whose input is itself computed data — reproduces
+    bit-for-bit in the oracle's chained CTEs. Centroids stay tiny and
+    broadcast; per-round cost is one corpus pass + two hash aggregates,
+    the 100 TB iteration shape."""
+    from atlassian_confluence_data_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    cent = (
+        _deterministic_mean_vectors(emb, "label")
+        .select(
+            F.col("label").alias("centroid_id"), F.col("mean_vec").alias("centroid")
+        )
+        .localCheckpoint(eager=True)
+    )
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        sim = cosine_similarity(F.col("embedding"), F.col("centroid"))
+        w = Window.partitionBy("vec_id").orderBy(F.col("__s").desc(), "centroid_id")
+        assigned = (
+            corpus.crossJoin(F.broadcast(cent))
+            .withColumn("__s", sim)
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("centroid_id", "vec_id", "embedding")
+        )
+        cent = (
+            _deterministic_mean_vectors(assigned, "centroid_id")
+            .select("centroid_id", F.col("mean_vec").alias("centroid"))
+            .localCheckpoint(eager=True)
+        )
+    refined = _deterministic_mean_vectors(assigned, "centroid_id")
+    return refined.select(
+        "centroid_id",
+        F.col("n").alias("n_assigned"),
+        F.posexplode("mean_vec").alias("pos", "m"),
+    ).select(
+        "centroid_id",
+        "n_assigned",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.round("m", 6).alias("m"),
+    )
