@@ -36,6 +36,7 @@ INTENTIONAL_BNLJ = {
     "cosine_topk",
     "ivf_ann_topk",
     "kmeans_lloyd_step",  # centroid assignment: tiny broadcast cross
+    "kmeans_iterations",  # same assignment shape, per iteration
     "rich_inactive_customers",
 }
 
