@@ -16,6 +16,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     relational,
     reshape,
     scalar,
+    search,
     similarity,
     surface2,
     textops,
