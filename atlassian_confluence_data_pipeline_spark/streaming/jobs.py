@@ -24,17 +24,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: events file schema with the raw nanosecond ts (see catalog.load_table)
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as int64
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(
+    spark: SparkSession, sf_dir: str, glob: str
+) -> T.StructType:
+    """Schema for the streaming file source, derived from a batch read of
+    the same fixture so nanos-vs-micros ``ts`` encodings are handled
+    identically to catalog.load_table (fixtures have shipped both)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+    )
 
 
 def read_events_stream(
@@ -51,15 +50,21 @@ def read_events_stream(
     (confluence_client.py:327,346,399,449): each micro-batch admits at
     most that many new files, bounding per-trigger state growth and
     sink pressure instead of gulping the whole backlog in one batch."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    schema = _events_raw_schema(spark, sf_dir, glob)
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = (
         # file source needs a directory; glob-filter to the events file(s)
         reader.option("pathGlobFilter", glob).parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        # watermarks require TIMESTAMP (with tz); NTZ→TZ cast is
+        # order/interval-preserving under the session's UTC timezone
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_counts(
