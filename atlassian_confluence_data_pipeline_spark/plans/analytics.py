@@ -485,6 +485,84 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF approximate nearest neighbors — oracle-paired (deterministic centroids)
 # ---------------------------------------------------------------------------
 
+
+def _collect_centroids(cent: DataFrame) -> list:
+    """Materialize a (centroid_id, centroid) frame as a sorted Python
+    list. Centroids are k tiny rows (k = cluster count, never corpus
+    size) — this is loop-control-scale data, the same class as the
+    1-row aggregates bench-sanctioned elsewhere; the corpus itself
+    never reaches the driver."""
+    return sorted(
+        ((r["centroid_id"], list(r["centroid"])) for r in cent.collect()),
+        key=lambda t: t[0],
+    )
+
+
+def _assign_nearest_centroid(corpus: DataFrame, cent_rows: list) -> DataFrame:
+    """Nearest-centroid assignment as a NARROW map: the centroids are
+    embedded as one literal array-of-structs column and each row picks
+    argmax-cosine with a strict-`>` left fold — no join, no window, no
+    Exchange between the corpus scan and whatever aggregates follow.
+    Ties break to the SMALLEST centroid_id (the fold scans the array in
+    ascending-id order and only a strictly greater sim replaces the
+    accumulator), bit-matching the oracle's
+    ``row_number() OVER (ORDER BY sim DESC, centroid_id)``.
+
+    Float parity: each centroid's norm is pre-folded in Python with the
+    same left-to-right binary64 ``s += x*x`` sequence the SQL fold uses,
+    so every arithmetic bit matches the previous broadcast-join form."""
+    import math
+
+    from atlassian_confluence_data_pipeline_spark.operators.similarity import (
+        dot,
+        l2_norm,
+    )
+
+    # One F.expr string instead of ~k*(dim+2) F.lit calls: every F.lit is
+    # a py4j roundtrip, and at k=10 x dim=64 that alone costs ~0.5 s of
+    # plan-build time per call. Doubles are serialized with repr() —
+    # Python's shortest round-trip form — inside CAST('…' AS DOUBLE),
+    # which Spark parses correctly-rounded back to the identical binary64.
+    def _d(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    structs = []
+    for cid, vec in cent_rows:
+        s = 0.0
+        for x in vec:  # left-to-right, same bits as l2_norm's fold
+            s += x * x
+        cv = ", ".join(_d(float(x)) for x in vec)
+        structs.append(
+            f"named_struct('cid', CAST({int(cid)} AS INT), "
+            f"'cv', array({cv}), 'cn', {_d(math.sqrt(s))})"
+        )
+    carr = F.expr("array(" + ", ".join(structs) + ")")
+    # hoist the row norm into its own projection so the k-way fold reads
+    # it as a bound column instead of re-folding it per centroid
+    with_norm = corpus.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("__en")
+    )
+    sims = F.transform(
+        carr,
+        lambda c: F.struct(
+            (dot(F.col("embedding"), c["cv"]) / (F.col("__en") * c["cn"])).alias(
+                "s"
+            ),
+            c["cid"].alias("cid"),
+        ),
+    )
+    best = F.aggregate(
+        sims,
+        F.struct(
+            F.lit(float("-inf")).alias("s"), F.lit(None).cast("int").alias("cid")
+        ),
+        lambda a, x: F.when(x["s"] > a["s"], x).otherwise(a),
+    )
+    return with_norm.select(
+        best["cid"].alias("centroid_id"), "vec_id", "embedding"
+    )
+
+
 _IVF_COS = (
     "list_sum(list_transform(range(1, len({a})+1), i -> {a}[i] * {b}[i]))"
     " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
@@ -662,24 +740,19 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     is two hash aggregates keyed by (cell, dimension) — per-group state
     is one cell's one dimension. Iterating = re-running this plan with
     the previous output as `cent` (driver loop, like
-    operators/hierarchy.py)."""
-    from atlassian_confluence_data_pipeline_spark.operators.similarity import (
-        cosine_similarity,
-    )
+    operators/hierarchy.py).
 
+    Round-3 shape: the k centroid rows are collected (loop-control
+    scale) and inlined as a literal array, so the assignment is a
+    narrow per-row HOF argmax — zero Exchange between the corpus scan
+    and the mean recompute's partial aggregate (was: broadcast
+    crossJoin + row_number window, one ~n-row hash exchange)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cent = _deterministic_mean_vectors(emb, "label").select(
         F.col("label").alias("centroid_id"), F.col("mean_vec").alias("centroid")
     )
-    sim = cosine_similarity(F.col("embedding"), F.col("centroid"))
-    w = Window.partitionBy("vec_id").orderBy(F.col("__s").desc(), "centroid_id")
-    assigned = (
-        emb.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(cent))
-        .withColumn("__s", sim)
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select("centroid_id", "vec_id", "embedding")
+    assigned = _assign_nearest_centroid(
+        emb.select("vec_id", "embedding"), _collect_centroids(cent)
     )
     refined = _deterministic_mean_vectors(assigned, "centroid_id")
     # one scalar row per (cell, dimension): array-valued output columns
@@ -912,38 +985,29 @@ def kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan depth stays O(1) per round instead of nesting the whole
     history. Every round's floats are id-ordered folds, so even the
     SECOND iteration — whose input is itself computed data — reproduces
-    bit-for-bit in the oracle's chained CTEs. Centroids stay tiny and
-    broadcast; per-round cost is one corpus pass + two hash aggregates,
-    the 100 TB iteration shape."""
-    from atlassian_confluence_data_pipeline_spark.operators.similarity import (
-        cosine_similarity,
-    )
-
+    bit-for-bit in the oracle's chained CTEs. Per-round cost is one
+    NARROW corpus pass (literal-centroid HOF argmax, no join/window/
+    exchange before the mean aggregate) + two hash aggregates, the
+    100 TB iteration shape. Materializing each round's k centroid rows
+    on the driver (``_collect_centroids``) replaces the round-2
+    localCheckpoint — same job count, but the assignment exchange is
+    gone and plan depth stays O(1) per round."""
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id", "embedding")
-    cent = (
-        _deterministic_mean_vectors(emb, "label")
-        .select(
+    cent_rows = _collect_centroids(
+        _deterministic_mean_vectors(emb, "label").select(
             F.col("label").alias("centroid_id"), F.col("mean_vec").alias("centroid")
         )
-        .localCheckpoint(eager=True)
     )
     assigned = None
-    for _ in range(KMEANS_ITERS):
-        sim = cosine_similarity(F.col("embedding"), F.col("centroid"))
-        w = Window.partitionBy("vec_id").orderBy(F.col("__s").desc(), "centroid_id")
-        assigned = (
-            corpus.crossJoin(F.broadcast(cent))
-            .withColumn("__s", sim)
-            .withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
-            .select("centroid_id", "vec_id", "embedding")
-        )
-        cent = (
-            _deterministic_mean_vectors(assigned, "centroid_id")
-            .select("centroid_id", F.col("mean_vec").alias("centroid"))
-            .localCheckpoint(eager=True)
-        )
+    for i in range(KMEANS_ITERS):
+        assigned = _assign_nearest_centroid(corpus, cent_rows)
+        if i < KMEANS_ITERS - 1:
+            cent_rows = _collect_centroids(
+                _deterministic_mean_vectors(assigned, "centroid_id").select(
+                    "centroid_id", F.col("mean_vec").alias("centroid")
+                )
+            )
     refined = _deterministic_mean_vectors(assigned, "centroid_id")
     return refined.select(
         "centroid_id",

@@ -35,9 +35,8 @@ from atlassian_confluence_data_pipeline_spark.session import get_session  # noqa
 INTENTIONAL_BNLJ = {
     "cosine_topk",
     "ivf_ann_topk",
-    "kmeans_lloyd_step",  # centroid assignment: tiny broadcast cross
-    "kmeans_iterations",  # same assignment shape, per iteration
     "rich_inactive_customers",
+    "bm25_topk",  # 1-row corpus-stats aggregate broadcast-crossed onto terms
 }
 
 #: queries whose plans legitimately carry many HOF folds (k parallel
