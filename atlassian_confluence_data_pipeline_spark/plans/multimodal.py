@@ -190,6 +190,61 @@ WHERE {jac} >= {MINHASH_JACCARD}
 """
 
 
+def _neardup_lsh_oracle() -> str:
+    """Oracle for the SCALE-PATH near-dup: identical LSH candidate
+    machinery as :func:`_minhash_oracle` (portable word-hash -> shingle
+    combine -> 32-perm signatures -> 16 tagged band keys), but the
+    verify step computes exact Jaccard over the TRUE string shingle
+    sets — the same similarity `near_dup_pairs` reports."""
+    mins = ",\n         ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {ROLLING_MOD}))"
+        for a, b in MINHASH_PERMS[:MINHASH_K]
+    )
+    jac = (
+        "CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)"
+        " / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))"
+    )
+    comb = (
+        f"((wh[i] * {BAND_BASE} + wh[i+1]) % {ROLLING_MOD}"
+        f" * {BAND_BASE} + wh[i+2]) % {ROLLING_MOD}"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), wht AS (
+  SELECT doc_id, w, list_transform(w, t -> {_rh_sql('t')}) AS wh FROM w
+), t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(wh) - 1, 1)),
+             i -> {comb})) AS hs,
+         list_distinct(list_transform(
+             range(1, greatest(len(w) - 1, 1)),
+             i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+  FROM wht
+), ne AS (
+  SELECT doc_id, hs, sh FROM t WHERE len(hs) > 0
+), sig AS (
+  SELECT doc_id, sh,
+         [{mins}] AS sig
+  FROM ne
+), banded AS (
+  SELECT doc_id, sh, list_transform(range(0, {MINHASH_BANDS}), bi ->
+    list_reduce(list_prepend(CAST(bi AS BIGINT),
+        list_transform(range(1, {MINHASH_ROWS} + 1), m -> sig[bi * {MINHASH_ROWS} + m])),
+      (acc, v) -> (acc * {BAND_BASE} + v) % {BAND_MOD})) AS bk
+  FROM sig
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM banded a JOIN banded b
+    ON a.doc_id < b.doc_id AND len(list_intersect(a.bk, b.bk)) > 0
+)
+SELECT doc_a, doc_b, round({jac}, 6) AS jaccard
+FROM cand
+WHERE {jac} >= {MINHASH_JACCARD}
+"""
+
+
 def _simhash_oracle() -> str:
     votes = ",\n         ".join(
         f"sum(CASE WHEN ({a} * h + {b}) % {ROLLING_MOD} >= {SIMHASH_THRESHOLD}"
@@ -279,6 +334,58 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_candidates_jaccard(
         cand, hs, "doc_id", "hs", threshold=MINHASH_JACCARD
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "near_dup_pairs_lsh",
+    oracle=_neardup_lsh_oracle(),
+    tags=("dedup", "neardup", "lsh", "scalepath"),
+)
+def near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB NEAR-DUP SCALE PATH (X2): the same exact string-shingle
+    Jaccard >= 0.05 that `near_dup_pairs` reports, but candidates come
+    from the banded MinHash equi-join instead of the blocked all-pairs
+    join — candidate volume grows ~linearly with the corpus (SCALING.md)
+    while the exact form's within-block pair space grows quadratically
+    (10.8x wall at 8x data). `near_dup_pairs` remains as the sf-bounded
+    oracle baseline; THIS query is the production composition:
+    word-hash once -> shingle-hash combine -> 32-perm MinHash ->
+    16-band bucket join -> exact Jaccard verify over the true shingle
+    strings. Differences vs the exact baseline are the LSH contract:
+    no lang/length blocking (cross-block dups become visible) and
+    S-curve recall below j~0.2. Hash-checked bit-for-bit end to end
+    (portable hash family; `_neardup_lsh_oracle`)."""
+    from atlassian_confluence_data_pipeline_spark.functions.text import rolling_hash
+    from atlassian_confluence_data_pipeline_spark.operators.lsh import (
+        shingle_hashes_from_word_hashes,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.textops import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", _words(F.col("text")).alias("w"))
+        .select(
+            "doc_id",
+            shingle_hashes_from_word_hashes(
+                F.transform(F.col("w"), rolling_hash)
+            ).alias("hs"),
+            _shingles(F.col("w")).alias("sh"),
+        )
+        # checkpoint BEFORE the size filter (textops/minhash PERF note:
+        # a size() predicate on the alias re-inlines the whole fold)
+        .localCheckpoint(eager=True)
+        .filter(F.size("hs") > 0)
+    )
+    cand = minhash_lsh_candidates(
+        base, "doc_id", "hs", k=MINHASH_K, bands=MINHASH_BANDS, pre_hashed=True
+    )
+    return verify_candidates_jaccard(
+        cand, base, "doc_id", "sh", threshold=MINHASH_JACCARD
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
 
 
 @query("simhash_pairs", oracle=_simhash_oracle(), tags=("dedup", "neardup", "simhash"))
