@@ -86,9 +86,8 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: df/N/avgdl remain tiny broadcast state; tf is a map-side
     combine per document; the only global shuffle keys on doc_id. The
-    final top-k single-partition window ranks #docs-matching-query rows
-    (bounded by query selectivity), the standard distributed-top-k
-    shape after per-partition pre-pruning."""
+    final top-k is TakeOrderedAndProject (per-task partial top-k,
+    driver merge of k-row heads) — never a single-partition sort."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", _words(F.col("text")).alias("words")).select(
         "doc_id", F.size("words").alias("dl"), "words"
@@ -129,10 +128,15 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
-    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    # global top-k as orderBy+limit -> TakeOrderedAndProject: per-task
+    # partial top-k merged on the driver. A row_number window with an
+    # EMPTY partition spec is NOT WindowGroupLimit-optimized (verified
+    # on Spark 4.1) — it would move every scored doc to one partition
+    # and sort it there. Ties break on doc_id, so the row set is
+    # deterministic and identical to the oracle's r <= k filter.
     return (
-        agg.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= BM25_TOPK)
+        agg.orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOPK)
         .select("doc_id", F.round("score", 6).alias("score"))
     )
 

@@ -219,3 +219,29 @@ class TestConnectedComponents:
             for r in connected_components(pairs, "a", "b").collect()
         }
         assert out == {2: 2, 5: 2, 9: 2}
+
+
+class TestTopKPlanPruning:
+    """The top-k queries claim scale safety on specific physical-plan
+    shapes: per-group rank filters must compile to WindowGroupLimit
+    (rank pushed into a per-map-partition group limit) and GLOBAL top-k
+    must compile to TakeOrderedAndProject (per-task partial top-k,
+    driver merge) — Spark 4.1 does NOT WindowGroupLimit-optimize an
+    empty partition spec, so a global row_number window would be a
+    single-partition full sort. A conf or version change could silently
+    revert either; assert the nodes, like PLANS.md's pushdown
+    evidence."""
+
+    def _physical(self, spark, sf_dir, name):
+        from atlassian_confluence_data_pipeline_spark.plans import QUERIES
+
+        df = QUERIES[name].fn(spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_cosine_topk_has_window_group_limit(self, spark, sf_dir):
+        assert "WindowGroupLimit" in self._physical(spark, sf_dir, "cosine_topk")
+
+    def test_bm25_topk_is_take_ordered(self, spark, sf_dir):
+        plan = self._physical(spark, sf_dir, "bm25_topk")
+        assert "TakeOrderedAndProject" in plan
+        assert "Window" not in plan
