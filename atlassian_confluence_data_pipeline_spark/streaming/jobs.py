@@ -24,16 +24,40 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+#: fallback when the drop directory has no matching files yet (a stream
+#: defined over an empty directory is the normal file-source bootstrap):
+#: the events fixture layout with the nanos-as-bigint ts encoding, which
+#: the post-read normalization below converts like any nanos fixture.
+_EVENTS_DEFAULT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
 def _events_raw_schema(
     spark: SparkSession, sf_dir: str, glob: str
 ) -> T.StructType:
     """Schema for the streaming file source, derived from a batch read of
     the same fixture so nanos-vs-micros ``ts`` encodings are handled
-    identically to catalog.load_table (fixtures have shipped both)."""
+    identically to catalog.load_table (fixtures have shipped both).
+    Falls back to the static fixture schema when the directory has no
+    matching files yet, so a stream can be defined over an empty drop
+    directory. (Like catalog.load_table, a bigint ``ts`` is assumed to
+    be annotated TIMESTAMP(NANOS) surfaced by nanosAsLong — a plain
+    unannotated INT64 would be mis-scaled by the div 1000.)"""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
-    )
+    try:
+        return (
+            spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+        )
+    except Exception:  # AnalysisException: unable to infer schema (no files)
+        return _EVENTS_DEFAULT_SCHEMA
 
 
 def read_events_stream(

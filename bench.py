@@ -64,19 +64,21 @@ def main() -> None:
             min(run_query(spark, name, SF_DIR) for _ in range(2)), 4
         )
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "n_queries": len(timings),
-                "cpus": CPUS,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_query_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+            "n_queries": len(timings),
+            "cpus": CPUS,
+        }
     )
+    print(line)
+    # the driver captures only the stdout tail; persist the full record
+    # so round-over-round diffs never depend on a truncated capture
+    (Path(__file__).resolve().parent / "BENCH_LOCAL.json").write_text(line + "\n")
 
 
 if __name__ == "__main__":

@@ -187,3 +187,16 @@ def test_streaming_minhash_dedup_across_batches(spark, tmp_path):
     # the index is idempotent by construction: one row per (doc, band)
     idx = store.read(spark)
     assert idx.count() == idx.select("doc_id", "band_key").distinct().count()
+
+
+def test_stream_definable_over_empty_directory(spark, tmp_path):
+    """A stream over a not-yet-populated drop directory must be
+    definable (static fallback schema) — the standard file-source
+    bootstrap; the batch-derived schema path only exists for fixtures
+    already on disk."""
+    empty = tmp_path / "drop"
+    empty.mkdir()
+    stream = read_events_stream(spark, str(empty))
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    assert set(stream.columns) >= {"event_id", "ts", "user_id", "event_type"}

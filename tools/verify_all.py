@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""The ONE green gate: pytest + driver simulation + plan audit.
+
+    python tools/verify_all.py [--fast]
+
+Runs, in order, and stops at the first failure (exit code 1):
+
+1. ``python -m pytest tests/ -x -q``            (sf0.001, full suite)
+2. ``python tools/driver_sim.py``               (every registry query vs
+   its DuckDB oracle at sf0.01 in a VANILLA session from a foreign cwd
+   — the superset of the driver's CORRECTNESS gate)
+3. ``python tools/plan_audit.py``               (anti-pattern sweep:
+   cartesians, unexpected BNLJ, row-at-a-time Python UDFs, CSE traps)
+
+``--fast`` skips step 1 (the pytest suite) for quick mid-edit loops;
+a commit-worthy tree must pass all three.
+"""
+
+from __future__ import annotations
+
+import argparse
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+STEPS = [
+    ("pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"]),
+    ("driver_sim", [sys.executable, "tools/driver_sim.py"]),
+    ("plan_audit", [sys.executable, "tools/plan_audit.py"]),
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true", help="skip the pytest suite")
+    args = ap.parse_args()
+    steps = STEPS[1:] if args.fast else STEPS
+    for name, cmd in steps:
+        t0 = time.time()
+        print(f"=== {name}: {' '.join(cmd[1:])}", flush=True)
+        rc = subprocess.run(cmd, cwd=REPO).returncode
+        print(f"=== {name}: {'OK' if rc == 0 else f'FAILED rc={rc}'} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+        if rc != 0:
+            return 1
+    print("=== verify_all: ALL GREEN")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
