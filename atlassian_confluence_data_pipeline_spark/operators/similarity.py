@@ -53,6 +53,71 @@ def brute_force_topk(
     )
 
 
+def collect_centroids(cent: DataFrame) -> list:
+    """Materialize a (centroid_id, centroid) frame as a sorted Python
+    list. Centroids are k tiny rows (k = cell count, never corpus
+    size) — loop-control-scale data, the same class as 1-row
+    aggregates; the corpus itself never reaches the driver."""
+    return sorted(
+        ((r["centroid_id"], list(r["centroid"])) for r in cent.collect()),
+        key=lambda t: t[0],
+    )
+
+
+def assign_nearest_centroid(
+    df: DataFrame, cent_rows: list, vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid assignment as a NARROW map: the centroids are
+    embedded as one literal array-of-structs column (a single F.expr
+    string — ~k*dim F.lit calls would cost ~0.5 s of py4j roundtrips
+    per plan build) and each row picks argmax-cosine with a strict-`>`
+    left fold — no join, no window, no Exchange between the scan and
+    whatever aggregates follow. Ties break to the SMALLEST centroid_id
+    (ascending-id fold order + strict `>`), bit-matching a
+    ``row_number() OVER (ORDER BY sim DESC, centroid_id)`` pick.
+
+    Float parity: each centroid's norm is pre-folded in Python with the
+    same left-to-right binary64 ``s += x*x`` sequence the SQL fold
+    uses; doubles serialize via repr() (shortest round-trip form)
+    inside CAST('…' AS DOUBLE), parsed correctly-rounded back to the
+    identical bits. Returns ``df``'s columns plus ``centroid_id``."""
+    import math
+
+    def _d(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    structs = []
+    for cid, vec in cent_rows:
+        s = 0.0
+        for x in vec:  # left-to-right, same bits as l2_norm's fold
+            s += x * x
+        cv = ", ".join(_d(float(x)) for x in vec)
+        structs.append(
+            f"named_struct('cid', CAST({int(cid)} AS INT), "
+            f"'cv', array({cv}), 'cn', {_d(math.sqrt(s))})"
+        )
+    carr = F.expr("array(" + ", ".join(structs) + ")")
+    # hoist the row norm into its own projection so the k-way fold reads
+    # it as a bound column instead of re-folding it per centroid
+    cols = list(df.columns)
+    with_norm = df.select(*cols, l2_norm(F.col(vec_col)).alias("__en"))
+    sims = F.transform(
+        carr,
+        lambda c: F.struct(
+            (dot(F.col(vec_col), c["cv"]) / (F.col("__en") * c["cn"])).alias("s"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    best = F.aggregate(
+        sims,
+        F.struct(
+            F.lit(float("-inf")).alias("s"), F.lit(None).cast("int").alias("cid")
+        ),
+        lambda a, x: F.when(x["s"] > a["s"], x).otherwise(a),
+    )
+    return with_norm.select(best["cid"].alias("centroid_id"), *cols)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -65,14 +130,25 @@ def ivf_topk(
     """IVF-style approximate top-k: assign corpus vectors to their nearest
     centroid (coarse quantizer), probe only the query's ``n_probe``
     closest cells. ``centroids`` is (centroid_id, centroid ARRAY<DOUBLE>),
-    small and broadcast twice. The scan per query drops from N to
-    N * n_probe / n_cells — the ANN scale path."""
+    small — collected once for the corpus-side literal argmax (narrow
+    map, no exchange; see :func:`assign_nearest_centroid`) and broadcast
+    for the tiny query side's top-``n_probe`` window. The scan per query
+    drops from N to N * n_probe / n_cells — the ANN scale path."""
+
+    cent_rows = collect_centroids(centroids)
+    # rebuild the k collected rows as a LOCAL relation for the query
+    # side: referencing the original `centroids` plan here would execute
+    # its (corpus-sized) aggregation a second time in the main job
+    cent_local = corpus.sparkSession.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in cent_rows],
+        "centroid_id int, centroid array<double>",
+    )
 
     def assign(df: DataFrame, out_id: str, out_vec: str, top: int) -> DataFrame:
         sim = cosine_similarity(F.col(out_vec), F.col("centroid"))
         w = Window.partitionBy(out_id).orderBy(F.col("__csim").desc(), "centroid_id")
         return (
-            df.crossJoin(F.broadcast(centroids))
+            df.crossJoin(F.broadcast(cent_local))
             .withColumn("__csim", sim)
             .withColumn("__crank", F.row_number().over(w))
             .filter(F.col("__crank") <= top)
@@ -81,7 +157,7 @@ def ivf_topk(
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c_cells = assign(c, "neighbor_id", "__cv", 1)
+    c_cells = assign_nearest_centroid(c, cent_rows, "__cv")
     q_cells = assign(q, "query_id", "__qv", n_probe)
     sim = cosine_similarity(F.col("__qv"), F.col("__cv"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))

@@ -486,81 +486,13 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _collect_centroids(cent: DataFrame) -> list:
-    """Materialize a (centroid_id, centroid) frame as a sorted Python
-    list. Centroids are k tiny rows (k = cluster count, never corpus
-    size) — this is loop-control-scale data, the same class as the
-    1-row aggregates bench-sanctioned elsewhere; the corpus itself
-    never reaches the driver."""
-    return sorted(
-        ((r["centroid_id"], list(r["centroid"])) for r in cent.collect()),
-        key=lambda t: t[0],
-    )
-
-
-def _assign_nearest_centroid(corpus: DataFrame, cent_rows: list) -> DataFrame:
-    """Nearest-centroid assignment as a NARROW map: the centroids are
-    embedded as one literal array-of-structs column and each row picks
-    argmax-cosine with a strict-`>` left fold — no join, no window, no
-    Exchange between the corpus scan and whatever aggregates follow.
-    Ties break to the SMALLEST centroid_id (the fold scans the array in
-    ascending-id order and only a strictly greater sim replaces the
-    accumulator), bit-matching the oracle's
-    ``row_number() OVER (ORDER BY sim DESC, centroid_id)``.
-
-    Float parity: each centroid's norm is pre-folded in Python with the
-    same left-to-right binary64 ``s += x*x`` sequence the SQL fold uses,
-    so every arithmetic bit matches the previous broadcast-join form."""
-    import math
-
-    from atlassian_confluence_data_pipeline_spark.operators.similarity import (
-        dot,
-        l2_norm,
-    )
-
-    # One F.expr string instead of ~k*(dim+2) F.lit calls: every F.lit is
-    # a py4j roundtrip, and at k=10 x dim=64 that alone costs ~0.5 s of
-    # plan-build time per call. Doubles are serialized with repr() —
-    # Python's shortest round-trip form — inside CAST('…' AS DOUBLE),
-    # which Spark parses correctly-rounded back to the identical binary64.
-    def _d(v: float) -> str:
-        return f"CAST('{v!r}' AS DOUBLE)"
-
-    structs = []
-    for cid, vec in cent_rows:
-        s = 0.0
-        for x in vec:  # left-to-right, same bits as l2_norm's fold
-            s += x * x
-        cv = ", ".join(_d(float(x)) for x in vec)
-        structs.append(
-            f"named_struct('cid', CAST({int(cid)} AS INT), "
-            f"'cv', array({cv}), 'cn', {_d(math.sqrt(s))})"
-        )
-    carr = F.expr("array(" + ", ".join(structs) + ")")
-    # hoist the row norm into its own projection so the k-way fold reads
-    # it as a bound column instead of re-folding it per centroid
-    with_norm = corpus.select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("__en")
-    )
-    sims = F.transform(
-        carr,
-        lambda c: F.struct(
-            (dot(F.col("embedding"), c["cv"]) / (F.col("__en") * c["cn"])).alias(
-                "s"
-            ),
-            c["cid"].alias("cid"),
-        ),
-    )
-    best = F.aggregate(
-        sims,
-        F.struct(
-            F.lit(float("-inf")).alias("s"), F.lit(None).cast("int").alias("cid")
-        ),
-        lambda a, x: F.when(x["s"] > a["s"], x).otherwise(a),
-    )
-    return with_norm.select(
-        best["cid"].alias("centroid_id"), "vec_id", "embedding"
-    )
+# literal-centroid narrow-map assignment + loop-control-scale centroid
+# collect live with the other vector operators; re-exported here because
+# the k-means plans and their tests historically import them from plans
+from atlassian_confluence_data_pipeline_spark.operators.similarity import (  # noqa: E402,E501
+    assign_nearest_centroid as _assign_nearest_centroid,
+    collect_centroids as _collect_centroids,
+)
 
 
 _IVF_COS = (
