@@ -951,3 +951,104 @@ def kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("bigint").alias("pos"),
         F.round("m", 6).alias("m"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): cluster cells bound the pair space
+# ---------------------------------------------------------------------------
+
+#: cosine floor for "semantically duplicate" — matches the fixture's
+#: near-dup regime (same constant as the embedding near-dup queries)
+SEMDEDUP_COS = 0.45
+
+
+def _semantic_dedup_oracle() -> str:
+    cos = _IVF_COS.format(a="a.v", b="b.v")
+    return f"""
+WITH comp AS (
+  SELECT label, vec_id,
+         unnest(range(1, len(embedding)+1)) AS pos,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings
+), cm AS (
+  SELECT label, pos,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(v ORDER BY vec_id)),
+                     (a, b) -> a + b) / count(*) AS m
+  FROM comp GROUP BY label, pos
+), cent AS (
+  SELECT label AS centroid_id, list(m ORDER BY pos) AS c FROM cm GROUP BY label
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), asg AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_IVF_COS.format(a='e.v', b='cent.c')} DESC, cent.centroid_id) AS r
+    FROM e CROSS JOIN cent
+  ) WHERE r = 1
+), drops AS (
+  SELECT DISTINCT b.vec_id AS drop_id
+  FROM asg a JOIN asg b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE {cos} >= {SEMDEDUP_COS}
+)
+SELECT asg.vec_id, asg.centroid_id,
+       asg.vec_id NOT IN (SELECT drop_id FROM drops) AS keep
+FROM asg
+"""
+
+
+@query(
+    "semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    tags=("curation", "dedup", "vector", "clustering", "pipeline"),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup over the embedding corpus — the
+    composition a pretraining-data pipeline runs after exact/fuzzy text
+    dedup: coarse-cluster every vector (the deterministic k-means cell
+    assignment, a NARROW literal-centroid argmax — no shuffle), compare
+    pairs ONLY within a cell (the cell blocking is what bounds the
+    pairwise cost; cells grow with corpus count, per-cell population
+    stays ~n/k), and drop every vector that has a higher-priority
+    (lower vec_id) cell-mate above the cosine floor. Returns the full
+    census (vec_id, centroid_id, keep) — keepers + dropped, so the
+    caller can both filter and audit.
+
+    Within-cell pairing is an equi-join on centroid_id; the drop set is
+    a distinct projection and the final flag a broadcast-able left anti
+    semi-join pattern. Every float comparison reproduces bit-for-bit in
+    the oracle (deterministic id-ordered centroid folds + the shared
+    cosine formula)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = _collect_centroids(
+        _deterministic_mean_vectors(emb, "label").select(
+            F.col("label").alias("centroid_id"), F.col("mean_vec").alias("centroid")
+        )
+    )
+    assigned = _assign_nearest_centroid(
+        emb.select("vec_id", "embedding"), cent_rows
+    ).localCheckpoint(eager=True)
+    from atlassian_confluence_data_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+    )
+
+    a = assigned.select(
+        "centroid_id", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = assigned.select(
+        "centroid_id", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    drops = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity(F.col("va"), F.col("vb")) >= SEMDEDUP_COS)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return assigned.join(drops, "vec_id", "left").select(
+        "vec_id",
+        "centroid_id",
+        F.col("__dropped").isNull().alias("keep"),
+    )
