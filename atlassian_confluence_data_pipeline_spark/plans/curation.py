@@ -1228,3 +1228,116 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "id_a", "id_b").select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style span dedup: global first occurrence of every word span wins
+# ---------------------------------------------------------------------------
+
+#: fixed span width in words (the fixture has no line breaks, so the
+#: C4 "duplicate three-sentence span" rule is adapted to word spans)
+SPAN_WORDS = 10
+
+_SPAN_DEDUP_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), sp AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, CAST(ceil(len(w) / {SPAN_WORDS}.0) AS INT))) AS BIGINT) AS pos,
+         w
+  FROM w
+), spans AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(w, pos * {SPAN_WORDS} + 1,
+                                    pos * {SPAN_WORDS} + {SPAN_WORDS}), ' ') AS span
+  FROM sp
+), firsts AS (
+  SELECT span, min(struct_pack(doc_id := doc_id, pos := pos)) AS first
+  FROM spans GROUP BY span
+), kept AS (
+  SELECT s.doc_id, s.pos, s.span
+  FROM spans s JOIN firsts f ON s.span = f.span
+  WHERE s.doc_id = f.first.doc_id AND s.pos = f.first.pos
+), rebuilt AS (
+  SELECT doc_id,
+         count(*) AS n_kept,
+         array_to_string(list(span ORDER BY pos), ' ') AS clean_text
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       t.n_spans,
+       coalesce(r.n_kept, 0) AS n_kept,
+       coalesce(r.clean_text, '') AS clean_text
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@query(
+    "span_dedup_docs",
+    oracle=_SPAN_DEDUP_ORACLE,
+    tags=("curation", "dedup", "text", "pipeline"),
+)
+def span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style SPAN dedup — the other axis of text dedup: instead of
+    dropping whole near-duplicate documents, remove every repeated
+    word-span from all but its globally FIRST occurrence (min
+    (doc_id, pos)), then reconstruct each document from its surviving
+    spans. This is the operation that strips boilerplate (headers,
+    licenses, navigation chrome) that repeats across millions of pages
+    without killing the host documents.
+
+    Scale shape: spans explode to ~n_words/{span} rows; the first-
+    occurrence pick is ONE hash aggregate keyed by span text
+    (min(struct(doc_id, pos)) — no window over the corpus), the keep
+    filter an equi-join on span, and reconstruction one
+    sort_array(collect_list) per document — per-group state is one
+    document's spans. At 100 TB the span table would hash the span to
+    a 64-bit key first (the span string never shuffles); here the
+    string IS the join key so the oracle can reproduce it verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    spans = w.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("w") / F.lit(float(SPAN_WORDS))).cast("int")
+                    - F.lit(1),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice("w", i * SPAN_WORDS + 1, SPAN_WORDS)
+                ),
+            )
+        ).alias("pos", "span"),
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "span")
+    firsts = spans.groupBy("span").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    kept = (
+        spans.join(firsts, "span")
+        .filter(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+        .select("doc_id", "pos", "span")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "span"))),
+                lambda s: s["span"],
+            ),
+        ).alias("clean_text"),
+    )
+    totals = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
