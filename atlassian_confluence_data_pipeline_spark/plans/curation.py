@@ -1341,3 +1341,137 @@ def span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture resampling (mT5-style alpha sampling)
+# ---------------------------------------------------------------------------
+
+#: sampling temperature: p_i ∝ share_i^ALPHA flattens the source
+#: distribution (alpha=1 keeps it, alpha->0 uniformizes) — the
+#: multilingual-corpus rebalancing rule
+MIX_ALPHA = 0.7
+
+_TEMPERATURE_ORACLE = f"""
+WITH strata AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+), shares AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS share
+  FROM strata
+), powered AS (
+  SELECT *, pow(share, {MIX_ALPHA}) AS p FROM shares
+)
+SELECT source, n_docs, n_tokens,
+       round(share, 6) AS share,
+       round(p / sum(p) OVER (), 6) AS sample_prob,
+       round((p / sum(p) OVER ()) / share, 6) AS upweight
+FROM powered
+ORDER BY source
+"""
+
+
+@query(
+    "temperature_mixture_weights",
+    oracle=_TEMPERATURE_ORACLE,
+    tags=("curation", "sampling", "mixture", "pipeline"),
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling (the mT5/XLM-R alpha rule):
+    raise each source's token share to ALPHA and renormalize — low-
+    resource sources get upweighted, dominant ones damped. Emits the
+    spec a weighted sampler consumes: raw share, post-temperature
+    sampling probability, and the upweight factor each source's
+    examples carry.
+
+    Scale shape: one corpus hash aggregate; every window below it runs
+    over the |sources|-row stratum table, never corpus-sized data."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    strata = (
+        docs.select("source", F.size(_words(F.col("text"))).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    everything = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(everything)
+    powered = strata.select(
+        "source", "n_docs", "n_tokens", share.alias("share")
+    ).select(*strata.columns, "share", F.pow("share", F.lit(MIX_ALPHA)).alias("p"))
+    prob = F.col("p") / F.sum("p").over(everything)
+    return powered.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("share", 6).alias("share"),
+        F.round(prob, 6).alias("sample_prob"),
+        F.round(prob / F.col("share"), 6).alias("upweight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relative quality gating: per-language percentile threshold
+# ---------------------------------------------------------------------------
+
+_QUALITY_GATE_ORACLE = """
+WITH s AS (
+  SELECT doc_id, lang,
+         round(CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                    AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS score
+  FROM documents
+), m AS (
+  SELECT lang, quantile_cont(score, 0.5) AS med FROM s GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.score,
+       s.score >= m.med AS kept,
+       round(m.med, 6) AS lang_median
+FROM s JOIN m USING (lang)
+"""
+
+
+@query(
+    "quality_gate_by_lang",
+    oracle=_QUALITY_GATE_ORACLE,
+    tags=("curation", "quality", "percentile", "pipeline"),
+)
+def quality_gate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIVE quality gating: keep a document iff its lexical-
+    diversity score reaches its OWN language's median — the
+    percentile-within-stratum rule that avoids the cross-lingual bias
+    an absolute threshold has (a global cutoff silently deletes
+    whole languages whose score distribution sits lower). Scores are
+    rounded to 6 dp BEFORE the quantile so both engines interpolate
+    over bit-identical inputs.
+
+    Scale shape: one narrow scoring pass, one hash aggregate to a
+    |langs|-row median table, broadcast back — the corpus shuffles
+    only for the per-lang percentile's partial aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.col("w")
+    s = docs.select(
+        "doc_id", "lang", _words(F.col("text")).alias("w")
+    ).select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.size(F.array_distinct(w)).cast("double") / F.size(w), 6
+        ).alias("score"),
+    )
+    med = s.groupBy("lang").agg(
+        F.percentile("score", F.lit(0.5)).alias("med")
+    )
+    return s.join(F.broadcast(med), "lang").select(
+        "doc_id",
+        "lang",
+        "score",
+        (F.col("score") >= F.col("med")).alias("kept"),
+        F.round("med", 6).alias("lang_median"),
+    )
