@@ -1015,34 +1015,69 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     census (vec_id, centroid_id, keep) — keepers + dropped, so the
     caller can both filter and audit.
 
-    Within-cell pairing is an equi-join on centroid_id; the drop set is
-    a distinct projection and the final flag a broadcast-able left anti
-    semi-join pattern. Every float comparison reproduces bit-for-bit in
-    the oracle (deterministic id-ordered centroid folds + the shared
-    cosine formula)."""
+    Within-cell pairing is an equi-join on centroid_id (hot cells
+    spread over salted pair tasks, exactness-preserving); the drop set
+    is a distinct projection and the final flag a broadcast-able left
+    anti semi-join pattern. Every float comparison reproduces
+    bit-for-bit in the oracle (deterministic id-ordered centroid folds
+    + the shared cosine formula).
+
+    COST MODEL (SCALING.md): exact within-cell comparison is n²/k —
+    SemDeDup stays near-linear ONLY when the cell count k scales with
+    the corpus (real deployments: k ~ n/C for constant cell size C).
+    The fixture pins k to its 10 labels for oracle determinism, so the
+    fixed-k scaling measurement is quadratic BY CONSTRUCTION — treat
+    this query as the cell-blocked oracle baseline; at 100 TB feed the
+    same composition more centroids (kmeans_iterations supplies them)
+    or use the SRP chain (embedding_lsh_pairs) for candidates."""
+    from atlassian_confluence_data_pipeline_spark.operators.similarity import (
+        dot,
+        l2_norm,
+    )
+    from atlassian_confluence_data_pipeline_spark.operators.skew import (
+        guarded_pair_frames,
+        hot_blocks,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     cent_rows = _collect_centroids(
         _deterministic_mean_vectors(emb, "label").select(
             F.col("label").alias("centroid_id"), F.col("mean_vec").alias("centroid")
         )
     )
-    assigned = _assign_nearest_centroid(
-        emb.select("vec_id", "embedding"), cent_rows
-    ).localCheckpoint(eager=True)
-    from atlassian_confluence_data_pipeline_spark.operators.similarity import (
-        cosine_similarity,
+    # one norm fold per VECTOR instead of two per candidate pair (the
+    # embedding_near_dup_pairs pattern — identical fold, identical bits)
+    assigned = (
+        _assign_nearest_centroid(emb.select("vec_id", "embedding"), cent_rows)
+        .select(
+            "centroid_id",
+            "vec_id",
+            "embedding",
+            l2_norm(F.col("embedding")).alias("__n"),
+        )
+        .localCheckpoint(eager=True)
     )
-
+    hot = hot_blocks(assigned.select("centroid_id"), ["centroid_id"], 2000)
     a = assigned.select(
-        "centroid_id", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+        "centroid_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("__n").alias("na"),
     )
     b = assigned.select(
-        "centroid_id", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+        "centroid_id",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("__n").alias("nb"),
     )
+    a, b, join_keys = guarded_pair_frames(
+        a, b, "id_a", "id_b", hot, ["centroid_id"], 8
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     drops = (
-        a.join(b, "centroid_id")
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine_similarity(F.col("va"), F.col("vb")) >= SEMDEDUP_COS)
+        .filter(cos >= SEMDEDUP_COS)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
         .withColumn("__dropped", F.lit(True))
