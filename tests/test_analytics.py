@@ -83,3 +83,64 @@ def test_asof_join_matches_per_row_reference(spark, sf_dir):
         best_id = max(eid for t, eid in rows if t == best_ts)
         assert r["asof_click_ts"] == best_ts
         assert r["asof_click_id"] == best_id
+
+
+def test_span_dedup_invariants(spark, sf_dir):
+    """Structural invariants of the C4-style span dedup: kept counts
+    bounded by totals, fully-unique documents reconstruct verbatim,
+    and every duplicated span survives in exactly one place."""
+    from atlassian_confluence_data_pipeline_spark.catalog import load_table
+    from atlassian_confluence_data_pipeline_spark.plans.curation import (
+        span_dedup_docs,
+    )
+
+    out = span_dedup_docs(spark, sf_dir)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    docs = {
+        r["doc_id"]: " ".join(r["text"].strip().split())
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert set(rows) == set(docs)
+    assert all(0 <= r["n_kept"] <= r["n_spans"] for r in rows.values())
+    # a doc that lost nothing reconstructs to its normalized original
+    untouched = [d for d, r in rows.items() if r["n_kept"] == r["n_spans"]]
+    assert untouched, "fixture should contain docs with no duplicated spans"
+    for d in untouched[:20]:
+        assert rows[d]["clean_text"] == docs[d]
+    # global uniqueness: no span string appears twice across clean texts
+    from collections import Counter
+
+    span_counts = Counter()
+    for r in rows.values():
+        words = r["clean_text"].split()
+        # only count full spans (the trailing partial span is unique by
+        # construction of the first-occurrence rule over full strings)
+        for i in range(0, len(words) - 9, 10):
+            span_counts[" ".join(words[i : i + 10])] += 1
+    # spans may straddle reconstruction boundaries after removals, so
+    # assert on documents that lost nothing (their span grid is intact)
+    intact_counts = Counter()
+    for d in untouched:
+        words = rows[d]["clean_text"].split()
+        for i in range(0, len(words), 10):
+            intact_counts[" ".join(words[i : i + 10])] += 1
+    assert all(c == 1 for c in intact_counts.values())
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """Every cell keeps at least one member; dropped vectors always
+    have a kept-or-earlier cell-mate above the cosine floor is hard to
+    re-verify cheaply, but the minimum vec_id of every cell must be
+    kept (it can never have a lower-id mate)."""
+    from atlassian_confluence_data_pipeline_spark.plans.analytics import (
+        semantic_dedup,
+    )
+
+    out = semantic_dedup(spark, sf_dir).collect()
+    by_cell: dict[int, list] = {}
+    for r in out:
+        by_cell.setdefault(r["centroid_id"], []).append(r)
+    for cell, members in by_cell.items():
+        assert any(m["keep"] for m in members), f"cell {cell} kept nothing"
+        min_member = min(members, key=lambda m: m["vec_id"])
+        assert min_member["keep"], "lowest vec_id of a cell must be kept"
