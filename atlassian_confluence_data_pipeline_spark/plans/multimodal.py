@@ -398,3 +398,135 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", _words(F.col("text")).alias("toks"))
     hashes = simhash(toks, "doc_id", "toks")
     return simhash_near_pairs(hashes, "doc_id", max_hamming=SIMHASH_MAX_HAMMING)
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix (dataset-overlap analysis)
+# ---------------------------------------------------------------------------
+
+
+def _source_overlap_oracle() -> str:
+    comb = (
+        f"((wh[i] * {BAND_BASE} + wh[i+1]) % {ROLLING_MOD}"
+        f" * {BAND_BASE} + wh[i+2]) % {ROLLING_MOD}"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), wht AS (
+  SELECT doc_id, source, list_transform(w, t -> {_rh_sql('t')}) AS wh FROM w
+), t AS (
+  SELECT source, unnest(list_distinct(list_transform(
+      range(1, greatest(len(wh) - 1, 1)),
+      i -> {comb}))) AS h
+  FROM wht
+), ss AS (
+  SELECT DISTINCT source, h FROM t
+), cnt AS (
+  SELECT source, count(*) AS n FROM ss GROUP BY source
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+  FROM ss a JOIN ss b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, i.n_common,
+       ca.n AS n_a, cb.n AS n_b,
+       round(CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common), 6)
+         AS jaccard,
+       round(CAST(i.n_common AS DOUBLE) / least(ca.n, cb.n), 6)
+         AS containment
+FROM inter i
+JOIN cnt ca ON i.src_a = ca.source
+JOIN cnt cb ON i.src_b = cb.source
+"""
+
+
+@query(
+    "source_overlap_matrix",
+    oracle=_source_overlap_oracle(),
+    tags=("curation", "overlap", "mixture", "pipeline"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-overlap analysis: pairwise shingle-set Jaccard AND
+    containment between every pair of sources — the measurement a
+    mixture designer runs before weighting corpora (two sources that
+    are 60% contained in each other should not be double-counted) and
+    the corpus-level complement of per-document near-dup.
+
+    Scale shape: one explode -> distinct(source, shingle-hash) hash
+    aggregate, then shingles collapse to their source SET
+    (collect_set bounded by |sources|, never corpus size) and each
+    set emits its pairs — so the pair generation is per-shingle
+    O(|sources|²) worst case, NOT a corpus self-join; the overlap
+    counts aggregate to |sources|² rows joined against the tiny
+    per-source totals. The shingle hash is the engine-portable
+    rolling-hash combine, so DuckDB reproduces every bucket."""
+    from atlassian_confluence_data_pipeline_spark.functions.text import rolling_hash
+    from atlassian_confluence_data_pipeline_spark.operators.lsh import (
+        shingle_hashes_from_word_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize the distinct (source, shingle-hash) table ONCE: three
+    # consumers (pair generation + both per-source count joins) would
+    # otherwise each re-run the scan + shingle folds (plan_audit caught
+    # 18 duplicated aggregate-folds without this)
+    ss = (
+        docs.select("source", _words(F.col("text")).alias("w"))
+        .select(
+            "source",
+            F.explode(
+                shingle_hashes_from_word_hashes(
+                    F.transform(F.col("w"), rolling_hash)
+                )
+            ).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cnt = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    srcs = F.array_sort(F.collect_set("source"))
+    pairs = (
+        ss.groupBy("h")
+        .agg(srcs.alias("ss"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ss"),
+                        lambda s, i: F.transform(
+                            F.slice(
+                                F.col("ss"), i + 2, F.size("ss")
+                            ),
+                            lambda t: F.struct(
+                                s.alias("src_a"), t.alias("src_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = cnt.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    cont = F.col("n_common").cast("double") / F.least("n_a", "n_b")
+    return (
+        pairs.join(F.broadcast(ca), "src_a")
+        .join(F.broadcast(cb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(jac, 6).alias("jaccard"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )
