@@ -343,3 +343,72 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.05)  # unrounded threshold — must match the oracle's
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM table (count-based MLE — the KenLM-style estimation prep)
+# ---------------------------------------------------------------------------
+
+BIGRAM_TOPK = 3
+
+
+@query(
+    "bigram_lm_table",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), bg AS (
+  SELECT w[i] AS w1, w[i+1] AS w2
+  FROM w, unnest(range(1, greatest(len(w), 1))) AS t(i)
+), c AS (
+  SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, sum(c) AS ctx FROM c GROUP BY 1
+)
+SELECT w1, w2, CAST(c AS BIGINT) AS c,
+       round(CAST(c AS DOUBLE) / ctx, 6) AS p
+FROM (
+  SELECT c.w1, c.w2, c.c, ctx.ctx,
+         row_number() OVER (PARTITION BY c.w1 ORDER BY c.c DESC, c.w2) AS r
+  FROM c JOIN ctx USING (w1)
+) WHERE r <= {BIGRAM_TOPK}
+""",
+    tags=("text", "ngram", "lm", "pipeline"),
+)
+def bigram_lm_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram LM estimation (the KenLM-style prep step a
+    perplexity-filtering pipeline runs to build its scoring model):
+    MLE continuation probabilities P(w2|w1) = c(w1,w2)/c(w1·) with the
+    top-{BIGRAM_TOPK} continuations per context. Two hash aggregates
+    (bigram counts, then context totals over the already-aggregated
+    table) + one per-context rank window — the window runs over the
+    VOCAB²-bounded count table, never corpus rows, and the rank filter
+    compiles to WindowGroupLimit (non-empty partition spec)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(_words(F.col("text")).alias("w"))
+    n = F.greatest(F.size("w") - 1, F.lit(0))
+    bg = w.select(
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, n),
+                F.slice("w", 2, n),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ctx = c.groupBy("w1").agg(F.sum("c").alias("ctx"))
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("w1").orderBy(F.col("c").desc(), "w2")
+    return (
+        c.join(F.broadcast(ctx), "w1")
+        .withColumn("r", F.row_number().over(win))
+        .filter(F.col("r") <= BIGRAM_TOPK)
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("bigint").alias("c"),
+            F.round(F.col("c").cast("double") / F.col("ctx"), 6).alias("p"),
+        )
+    )
