@@ -1475,3 +1475,137 @@ def quality_gate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("score") >= F.col("med")).alias("kept"),
         F.round("med", 6).alias("lang_median"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The full curation pipeline as ONE oracle-paired composition
+# ---------------------------------------------------------------------------
+
+
+def _full_pipeline_oracle() -> str:
+    # the near-dup stage reads the exact+quality survivor CTE; its own
+    # nested WITH is legal as a CTE body and sees the outer CTEs
+    from atlassian_confluence_data_pipeline_spark.plans.multimodal import (
+        _neardup_lsh_oracle,
+    )
+
+    pairs_sql = _neardup_lsh_oracle(docs_src="survivors")
+    return f"""
+WITH RECURSIVE scored AS (
+  SELECT doc_id, lang, source, text,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              x -> x IN ('the', 'a', 'of', 'and')))
+              AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+'))
+           AS stop_ratio,
+         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), gated AS (
+  SELECT * FROM scored WHERE n_words >= 20 AND stop_ratio < 0.08
+), exact_reps AS (
+  SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp
+), survivors AS (
+  SELECT g.doc_id, g.lang, g.source, g.text, g.n_words
+  FROM gated g JOIN exact_reps e ON g.doc_id = e.doc_id AND g.fp = e.fp
+), pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n
+),
+comp AS (
+  SELECT n AS doc_id, min(m) AS rep FROM reach GROUP BY n
+),
+final AS (
+  SELECT s.* FROM survivors s LEFT JOIN comp c USING (doc_id)
+  WHERE c.doc_id IS NULL OR c.rep = s.doc_id
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_tokens
+FROM final GROUP BY lang
+"""
+
+
+@query(
+    "full_curation_pipeline",
+    oracle=_full_pipeline_oracle(),
+    tags=("curation", "dedup", "quality", "lsh", "pipeline", "flagship"),
+)
+def full_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE END-TO-END CURATION RUN as one composition — what a
+    pretraining-data team actually executes, each stage the scale-path
+    variant this engine ships:
+
+    1. quality gate (length >= 20 words, stopword ratio < 0.08 — the
+       corpus_curation thresholds);
+    2. exact dedup (canonical-whitespace md5, keep min doc_id);
+    3. fuzzy dedup: banded-MinHash candidates + exact string-shingle
+       Jaccard >= 0.05 on the survivors, connected components, keep
+       each cluster's min doc_id;
+    4. per-language document/token census of what remains.
+
+    Every stage reproduces bit-for-bit in the oracle: the gates and
+    fingerprints are exact arithmetic, the LSH chain is the portable
+    hash family pointed at the survivor CTE, and the component closure
+    is the recursive-CTE mirror of the label-propagation loop.
+
+    Scale shape: gates are a narrow pass; exact dedup one digest-keyed
+    hash aggregate; the LSH chain is the near-linear banded equi-join
+    (SCALING.md); components iterate over the PAIR list only. The
+    survivor frame is checkpointed once and feeds the shingle chain,
+    the anti-join and the census without recomputing the gates."""
+    from atlassian_confluence_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.multimodal import (
+        neardup_lsh_pairs_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and")])
+    canon = F.lower(F.regexp_replace("text", r"\s+", " "))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.md5(canon).alias("fp"),
+        _words(F.col("text")).alias("w"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        "fp",
+        F.size("w").alias("n_words"),
+        (
+            F.size(F.filter(F.col("w"), lambda x: F.array_contains(stop, x))).cast(
+                "double"
+            )
+            / F.size("w")
+        ).alias("stop_ratio"),
+    )
+    gated = scored.filter(
+        (F.col("n_words") >= 20) & (F.col("stop_ratio") < 0.08)
+    )
+    exact_reps = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = gated.join(
+        exact_reps, ["fp", "doc_id"], "left_semi"
+    ).select("doc_id", "lang", "source", "text", "n_words").localCheckpoint(
+        eager=True
+    )
+    pairs = neardup_lsh_pairs_frame(survivors)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    dropped = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    final = survivors.join(dropped, "doc_id", "left_anti")
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_tokens"),
+    )

@@ -190,12 +190,15 @@ WHERE {jac} >= {MINHASH_JACCARD}
 """
 
 
-def _neardup_lsh_oracle() -> str:
+def _neardup_lsh_oracle(docs_src: str = "documents") -> str:
     """Oracle for the SCALE-PATH near-dup: identical LSH candidate
     machinery as :func:`_minhash_oracle` (portable word-hash -> shingle
     combine -> 32-perm signatures -> 16 tagged band keys), but the
     verify step computes exact Jaccard over the TRUE string shingle
-    sets — the same similarity `near_dup_pairs` reports."""
+    sets — the same similarity `near_dup_pairs` reports.
+
+    ``docs_src`` lets a composing pipeline (full_curation_pipeline)
+    point the chain at a filtered CTE instead of the raw table."""
     mins = ",\n         ".join(
         f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {ROLLING_MOD}))"
         for a, b in MINHASH_PERMS[:MINHASH_K]
@@ -210,7 +213,7 @@ def _neardup_lsh_oracle() -> str:
     )
     return f"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM {docs_src}
 ), wht AS (
   SELECT doc_id, w, list_transform(w, t -> {_rh_sql('t')}) AS wh FROM w
 ), t AS (
@@ -336,32 +339,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@query(
-    "near_dup_pairs_lsh",
-    oracle=_neardup_lsh_oracle(),
-    tags=("dedup", "neardup", "lsh", "scalepath"),
-)
-def near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB NEAR-DUP SCALE PATH (X2): the same exact string-shingle
-    Jaccard >= 0.05 that `near_dup_pairs` reports, but candidates come
-    from the banded MinHash equi-join instead of the blocked all-pairs
-    join — candidate volume grows ~linearly with the corpus (SCALING.md)
-    while the exact form's within-block pair space grows quadratically
-    (10.8x wall at 8x data). `near_dup_pairs` remains as the sf-bounded
-    oracle baseline; THIS query is the production composition:
+def neardup_lsh_pairs_frame(docs: DataFrame) -> DataFrame:
+    """The reusable LSH near-dup chain over ANY (doc_id, text) frame:
     word-hash once -> shingle-hash combine -> 32-perm MinHash ->
     16-band bucket join -> exact Jaccard verify over the true shingle
-    strings. Differences vs the exact baseline are the LSH contract:
-    no lang/length blocking (cross-block dups become visible) and
-    S-curve recall below j~0.2. Hash-checked bit-for-bit end to end
-    (portable hash family; `_neardup_lsh_oracle`)."""
+    strings. Returns (doc_a, doc_b, jaccard). `near_dup_pairs_lsh` runs
+    it on the raw table; `full_curation_pipeline` on its filtered
+    survivor set."""
     from atlassian_confluence_data_pipeline_spark.functions.text import rolling_hash
     from atlassian_confluence_data_pipeline_spark.operators.lsh import (
         shingle_hashes_from_word_hashes,
     )
     from atlassian_confluence_data_pipeline_spark.plans.textops import _shingles
 
-    docs = load_table(spark, sf_dir, "documents")
     base = (
         docs.select("doc_id", _words(F.col("text")).alias("w"))
         .select(
@@ -386,6 +376,28 @@ def near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("doc_b"),
         F.round("jaccard", 6).alias("jaccard"),
     )
+
+
+@query(
+    "near_dup_pairs_lsh",
+    oracle=_neardup_lsh_oracle(),
+    tags=("dedup", "neardup", "lsh", "scalepath"),
+)
+def near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB NEAR-DUP SCALE PATH (X2): the same exact string-shingle
+    Jaccard >= 0.05 that `near_dup_pairs` reports, but candidates come
+    from the banded MinHash equi-join instead of the blocked all-pairs
+    join — candidate volume grows ~linearly with the corpus (SCALING.md)
+    while the exact form's within-block pair space grows quadratically
+    (10.8x wall at 8x data). `near_dup_pairs` remains as the sf-bounded
+    oracle baseline; THIS query is the production composition:
+    word-hash once -> shingle-hash combine -> 32-perm MinHash ->
+    16-band bucket join -> exact Jaccard verify over the true shingle
+    strings. Differences vs the exact baseline are the LSH contract:
+    no lang/length blocking (cross-block dups become visible) and
+    S-curve recall below j~0.2. Hash-checked bit-for-bit end to end
+    (portable hash family; `_neardup_lsh_oracle`)."""
+    return neardup_lsh_pairs_frame(load_table(spark, sf_dir, "documents"))
 
 
 @query("simhash_pairs", oracle=_simhash_oracle(), tags=("dedup", "neardup", "simhash"))
