@@ -286,3 +286,109 @@ def foreach_batch_minhash_dedup(
         index_store.write(universe.distinct().localCheckpoint(eager=True))
 
     return docs.writeStream.foreachBatch(dedup_batch)
+
+
+def foreach_batch_span_dedup(
+    docs,
+    index_store,
+    out_dir: str,
+    span_words: int = 10,
+):  # noqa: ANN001 - DataStreamWriter return hint kept lazy like peers
+    """Cross-batch streaming SPAN dedup — the online form of
+    span_dedup_docs (C4-style boilerplate stripping). Each micro-batch
+
+    1. splits its documents into fixed word spans and rolling-hashes
+       each span (the engine-portable hash — a bigint per span, so the
+       index never stores span text);
+    2. picks the batch-local first occurrence per span hash
+       (min (doc_id, pos) — one hash aggregate, the batch op's rule),
+       then anti-joins the PERSISTED span-hash index so spans seen in
+       ANY earlier batch are dropped entirely;
+    3. writes the reconstructed documents (doc_id, n_spans, n_kept,
+       clean_text) to ``out_dir`` and merges the batch's span hashes
+       into the index snapshot (StateStore — atomic pointer flip).
+
+    Scale notes: index footprint is one bigint row per DISTINCT span
+    ever seen (sub-linear in corpus for boilerplate-heavy streams);
+    the probe is an equi-join on the hash; the index write is
+    idempotent (distinct), so a replayed batch cannot grow it; doc
+    emission is at-least-once keyed by doc_id (dedup-on-read)."""
+    from pyspark.sql import functions as F
+
+    from atlassian_confluence_data_pipeline_spark.functions.text import (
+        rolling_hash,
+    )
+
+    def dedup_batch(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = F.split(F.trim(F.col("text")), r"\s+")
+        spans = (
+            batch_df.select("doc_id", w.alias("w"))
+            .select(
+                "doc_id",
+                F.posexplode(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0),
+                            F.ceil(
+                                F.size("w") / F.lit(float(span_words))
+                            ).cast("int")
+                            - F.lit(1),
+                        ),
+                        lambda i: F.concat_ws(
+                            " ", F.slice("w", i * span_words + 1, span_words)
+                        ),
+                    )
+                ).alias("pos", "span"),
+            )
+            .select(
+                "doc_id",
+                F.col("pos").cast("bigint").alias("pos"),
+                "span",
+                rolling_hash(F.col("span")).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        firsts = spans.groupBy("h").agg(
+            F.min(F.struct("doc_id", "pos")).alias("first")
+        )
+        batch_kept = (
+            spans.join(firsts, "h")
+            .filter(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+            .select("doc_id", "pos", "span", "h")
+        )
+        if index_store.current_snapshot() is None:
+            prior = spark.createDataFrame([], "h bigint")
+        else:
+            prior = index_store.read(spark)
+        kept = batch_kept.join(prior, "h", "left_anti")
+        rebuilt = kept.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "span"))),
+                    lambda s: s["span"],
+                ),
+            ).alias("clean_text"),
+        )
+        totals = spans.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_spans")
+        )
+        out = totals.join(rebuilt, "doc_id", "left").select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+        out.write.mode("append").parquet(out_dir)
+        index_store.write(
+            prior.unionByName(spans.select("h"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    return docs.writeStream.foreachBatch(dedup_batch)

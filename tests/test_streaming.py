@@ -200,3 +200,50 @@ def test_stream_definable_over_empty_directory(spark, tmp_path):
     assert stream.isStreaming
     assert dict(stream.dtypes)["ts"] == "timestamp"
     assert set(stream.columns) >= {"event_id", "ts", "user_id", "event_type"}
+
+
+def test_streaming_span_dedup_across_batches(spark, tmp_path):
+    """A span repeated in a LATER micro-batch must be stripped via the
+    persisted span-hash index; the first batch keeps it."""
+    import uuid
+
+    from atlassian_confluence_data_pipeline_spark.operators.state import StateStore
+    from atlassian_confluence_data_pipeline_spark.streaming.jobs import (
+        foreach_batch_span_dedup,
+    )
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    tail1 = "one two three four five six seven eight nine ten"
+    tail2 = "red orange yellow green blue indigo violet black white gray"
+    drop = tmp_path / "docs"
+    drop.mkdir()
+    spark.createDataFrame(
+        [(1, f"{boiler} {tail1}")], "doc_id bigint, text string"
+    ).coalesce(1).write.parquet(str(drop / "batch1.parquet"))
+    spark.createDataFrame(
+        [(2, f"{boiler} {tail2}")], "doc_id bigint, text string"
+    ).coalesce(1).write.parquet(str(drop / "batch2.parquet"))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(drop) + "/*.parquet")
+    )
+    store = StateStore(str(tmp_path / "span_index"))
+    out_dir = str(tmp_path / "clean")
+    q = (
+        foreach_batch_span_dedup(stream, store, out_dir, span_words=10)
+        .option("checkpointLocation", str(tmp_path / f"ck_{uuid.uuid4().hex[:6]}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert rows[1]["n_spans"] == 2 and rows[1]["n_kept"] == 2
+    assert rows[1]["clean_text"] == f"{boiler} {tail1}"
+    # the repeated boilerplate span is stripped from the later batch
+    assert rows[2]["n_spans"] == 2 and rows[2]["n_kept"] == 1
+    assert rows[2]["clean_text"] == tail2
+    # index is one row per distinct span hash
+    idx = store.read(spark)
+    assert idx.count() == idx.distinct().count() == 3
