@@ -245,3 +245,22 @@ class TestTopKPlanPruning:
         plan = self._physical(spark, sf_dir, "bm25_topk")
         assert "TakeOrderedAndProject" in plan
         assert "Window" not in plan
+
+
+class TestNarrowCentroidAssignment:
+    """The round-3 k-means/IVF assignment contract: nearest-centroid
+    assignment is a NARROW literal-fold map — no join, no window. The
+    only Exchanges in a Lloyd step are the two mean-recompute hash
+    aggregates; a regression to the broadcast-crossJoin + row_number
+    form would re-introduce a BNLJ and a Window plus one more
+    exchange per iteration."""
+
+    def test_lloyd_step_plan_is_narrow(self, spark, sf_dir):
+        from atlassian_confluence_data_pipeline_spark.plans import QUERIES
+
+        df = QUERIES["kmeans_lloyd_step"].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert " Window" not in plan
+        # exactly the two mean-aggregate exchanges, nothing else
+        assert plan.count("Exchange") == 2
