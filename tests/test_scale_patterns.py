@@ -264,3 +264,48 @@ class TestNarrowCentroidAssignment:
         assert " Window" not in plan
         # exactly the two mean-aggregate exchanges, nothing else
         assert plan.count("Exchange") == 2
+
+
+def test_assign_nearest_centroid_matches_window_form(spark):
+    """The literal-fold argmax must agree with the broadcast-crossJoin +
+    row_number reference form on every row — including EXACT ties
+    (duplicate centroids), where both must pick the smallest
+    centroid_id."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from atlassian_confluence_data_pipeline_spark.operators.similarity import (
+        assign_nearest_centroid,
+        cosine_similarity,
+    )
+
+    rng = random.Random(0xC3)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)
+    ]
+    cents = [(c, [rng.uniform(-1, 1) for _ in range(8)]) for c in range(4)]
+    cents.append((4, list(cents[1][1])))  # duplicate of centroid 1 -> tie
+    corpus = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_nearest_centroid(corpus, cents).collect()
+    }
+    cent_df = spark.createDataFrame(
+        cents, "centroid_id int, centroid array<double>"
+    )
+    sim = cosine_similarity(F.col("embedding"), F.col("centroid"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("__s").desc(), "centroid_id")
+    want = {
+        r["vec_id"]: r["centroid_id"]
+        for r in corpus.crossJoin(F.broadcast(cent_df))
+        .withColumn("__s", sim)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .collect()
+    }
+    assert got == want
+    # ties resolved toward the smaller id: centroid 4 (the duplicate)
+    # must never win over its twin, centroid 1
+    assert 4 not in set(got.values())
