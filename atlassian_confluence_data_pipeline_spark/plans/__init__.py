@@ -7,8 +7,10 @@ oracle SQL — the contract consumed by ``__spark_entry__.py``.
 
 from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     analytics,
+    behavior,
     connector,
     curation,
+    curation2,
     eventops,
     hierarchy,
     lookups,
@@ -21,6 +23,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     surface2,
     textops,
     tpch_like,
+    tpch2,
 )
 from atlassian_confluence_data_pipeline_spark.plans.registry import QUERIES, QuerySpec
 

@@ -1,0 +1,395 @@
+"""Curation wave 3: PII redaction, Gopher-style rule filtering, Zipf
+rank-frequency fit, pairwise source-distribution divergence, and BPE
+first-merge statistics.
+
+These round out the text-curation surface (plans/curation.py,
+plans/textops.py) with the remaining standard corpus-prep passes a
+training-data pipeline runs:
+
+- PII redaction is the per-row scrub step (regex surface F16
+  generalized; the reference's closest analog is the filename
+  sanitizer, file_system_manager semantics via functions/text.py).
+- Gopher rules are the classic rule-based quality filter (word-count /
+  word-shape / stopword heuristics) — all built-in expressions, no
+  UDFs, so the filter runs inside whole-stage codegen at 100 TB.
+- Zipf slope and JS divergence are corpus-health diagnostics over
+  aggregated term tables (vocab-sized, not corpus-sized — the heavy
+  input reduces to one hash aggregate each).
+- BPE pair counts are the first step of tokenizer training: weighted
+  adjacent-character-pair frequencies over the word-frequency table
+  (distinct words, not corpus positions — the standard trick that makes
+  BPE training corpus-size-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from atlassian_confluence_data_pipeline_spark.catalog import load_table
+from atlassian_confluence_data_pipeline_spark.plans.registry import query
+
+WS = r"\s+"
+
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE = r"\b555-\d{4}\b"
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.org from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.'
+              || CAST(doc_id % 100 AS VARCHAR)
+              || ' call 555-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+           AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(t, '{_IP}')) AS n_ips,
+       len(regexp_extract_all(t, '{_PHONE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '{_EMAIL}', '[EMAIL]', 'g'),
+             '{_IP}', '[IP]', 'g'),
+             '{_PHONE}', '[PHONE]', 'g')) AS redacted_md5
+FROM aug
+""",
+    tags=("curation", "pii", "regex", "narrow"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: count and redact emails, IPv4 addresses, and
+    555-prefix phone numbers. The fixture text is synthetic word salad,
+    so each doc is first augmented with deterministic doc_id-derived
+    PII (same expression on both engines) — the redaction then has real
+    work to do and the oracle checks it byte-for-byte via md5. Pure
+    per-row regex (narrow, codegen) — the 100 TB cost is one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" call 555-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _EMAIL, "[EMAIL]"), _IP, "[IP]"
+        ),
+        _PHONE,
+        "[PHONE]",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(aug, F.lit(_IP)).cast("long").alias("n_ips"),
+        F.regexp_count(aug, F.lit(_PHONE)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@query(
+    "gopher_quality_rules",
+    oracle="""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE)
+           / len(words) AS mean_len,
+         CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+              AS DOUBLE) / len(words) AS frac_alpha,
+         len(list_filter(words,
+             x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS stop_hits
+  FROM w
+)
+SELECT doc_id,
+       n_words,
+       round(mean_len, 4) AS mean_word_len,
+       round(frac_alpha, 4) AS frac_alpha_words,
+       stop_hits,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_len BETWEEN 3 AND 10
+        AND frac_alpha >= 0.8
+        AND stop_hits >= 2) AS passes
+FROM m
+""",
+    tags=("curation", "quality", "gopher", "narrow"),
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter: word count in [50, 100k], mean word
+    length in [3, 10], >=80% of words alphabetic, >=2 stopword hits.
+    All four signals come from one split + higher-order functions over
+    the word array — a single narrow projection, no UDFs, so the rule
+    cascade is a codegen'd scan at any scale. The rule *thresholds*
+    compare unrounded doubles, but every operand is an exact int/int
+    division computed identically on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.trim("text"), WS), lambda x: x != F.lit("")
+    )
+    d = docs.select("doc_id", words.alias("words"))
+    n_words = F.size("words")
+    mean_len = (
+        F.aggregate(
+            F.transform("words", F.length),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / n_words
+    )
+    frac_alpha = (
+        F.size(F.filter("words", lambda x: x.rlike("[A-Za-z]"))).cast("double")
+        / n_words
+    )
+    stop_hits = F.size(
+        F.filter(
+            "words", lambda x: x.isin("the", "a", "and", "of", "to", "in")
+        )
+    )
+    m = d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_len"),
+        frac_alpha.alias("frac_alpha"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_len", 4).alias("mean_word_len"),
+        F.round("frac_alpha", 4).alias("frac_alpha_words"),
+        "stop_hits",
+        (
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_len").between(3, 10)
+            & (F.col("frac_alpha") >= 0.8)
+            & (F.col("stop_hits") >= 2)
+        ).alias("passes"),
+    )
+
+
+@query(
+    "zipf_slope",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+ranked AS (
+  SELECT term, cnt,
+         row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+  FROM tf
+)
+SELECT count(*) AS n_terms,
+       round(regr_slope(ln(cnt), ln(rnk)), 4) AS slope,
+       round(regr_intercept(ln(cnt), ln(rnk)), 4) AS intercept
+FROM ranked WHERE rnk <= 100
+""",
+    tags=("curation", "zipf", "stats", "window"),
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf fit: least-squares slope of ln(freq) vs ln(rank) over the
+    top-100 terms (a healthy natural corpus is near -1; this synthetic
+    word salad is near 0 — the diagnostic detects exactly that). The
+    corpus reduces to a vocab-sized term-frequency aggregate before the
+    window, so ranking cost is O(vocab), not O(corpus); slope/intercept
+    are single-row regression aggregates over 100 points."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.trim("text"), WS), lambda x: x != F.lit(""))
+        ).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = tf.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("term"))),
+    ).filter(F.col("rnk") <= 100)
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(F.log("cnt"), F.log("rnk")), 4).alias("slope"),
+        F.round(F.regr_intercept(F.log("cnt"), F.log("rnk")), 4).alias(
+            "intercept"
+        ),
+    )
+
+
+@query(
+    "source_js_divergence",
+    oracle="""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS cnt FROM toks GROUP BY 1
+  ) t ORDER BY cnt DESC, term LIMIT 50
+),
+counts AS (
+  SELECT t.source, t.term, count(*) AS c
+  FROM toks t JOIN vocab v ON t.term = v.term
+  GROUP BY 1, 2
+),
+dense AS (
+  SELECT s.source, v.term, coalesce(c.c, 0) AS c
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN vocab v
+  LEFT JOIN counts c ON c.source = s.source AND c.term = v.term
+),
+probs AS (
+  SELECT d.source, d.term,
+         CAST(d.c + 1 AS DOUBLE) / CAST(t.tot + 50 AS DOUBLE) AS p
+  FROM dense d
+  JOIN (SELECT source, sum(c) AS tot FROM dense GROUP BY 1) t
+    ON d.source = t.source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       round(CAST(sum(CAST(
+         0.5 * a.p * ln(a.p / ((a.p + b.p) / 2))
+         + 0.5 * b.p * ln(b.p / ((a.p + b.p) / 2)) AS DECIMAL(28,18)))
+         AS DOUBLE), 6) AS js_div
+FROM probs a
+JOIN probs b ON a.term = b.term AND a.source < b.source
+GROUP BY 1, 2
+""",
+    tags=("curation", "divergence", "mixture", "agg"),
+)
+def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions over the global top-50 vocabulary (add-one smoothed)
+    — the dataset-mixture health check that catches a source whose
+    language drifted. The corpus collapses to a (source x vocab) dense
+    matrix (20 x 50 rows) before any pairwise work, so the all-pairs
+    join is over tiny aggregates; per-term contributions are summed in
+    DECIMAL for order-independence."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.trim("text"), WS), lambda x: x != F.lit(""))
+        ).alias("term"),
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(50)
+        .select("term")
+    )
+    counts = (
+        toks.join(F.broadcast(vocab), "term")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sources = docs.select("source").distinct()
+    dense = (
+        sources.crossJoin(F.broadcast(vocab))
+        .join(counts, ["source", "term"], "left")
+        .select("source", "term", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    tot = dense.groupBy("source").agg(F.sum("c").alias("tot"))
+    probs = dense.join(F.broadcast(tot), "source").select(
+        "source",
+        "term",
+        (
+            (F.col("c") + 1).cast("double")
+            / (F.col("tot") + 50).cast("double")
+        ).alias("p"),
+    )
+    a = probs.select(
+        F.col("source").alias("source_a"), "term", F.col("p").alias("pa")
+    )
+    b = probs.select(
+        F.col("source").alias("source_b"), "term", F.col("p").alias("pb")
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    contrib = (
+        0.5 * F.col("pa") * F.log(F.col("pa") / m)
+        + 0.5 * F.col("pb") * F.log(F.col("pb") / m)
+    ).cast("decimal(28,18)")
+    return (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.round(F.sum(contrib).cast("double"), 6).alias("js_div"))
+    )
+
+
+@query(
+    "bpe_merge_candidates",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+wf AS (SELECT word, count(*) AS freq FROM toks GROUP BY 1),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(word) - 1),
+                               i -> substr(word, CAST(i AS INT), 2))) AS pair,
+         freq
+  FROM wf WHERE len(word) >= 2
+),
+agg AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS weight FROM pairs GROUP BY 1
+)
+SELECT pair, weight,
+       CAST(row_number() OVER (ORDER BY weight DESC, pair) AS INT) AS rnk
+FROM agg
+QUALIFY rnk <= 20
+""",
+    tags=("curation", "bpe", "tokenizer", "agg"),
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge step: corpus-weighted adjacent character-pair
+    frequencies, top 20. Uses the standard tokenizer-training reduction
+    — pairs are generated from the DISTINCT word-frequency table, not
+    from corpus positions, so the expensive explode is O(|vocab| *
+    word_len) regardless of corpus size; the corpus itself is touched
+    once by the word-count aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.trim("text"), WS), lambda x: x != F.lit(""))
+        ).alias("word")
+    )
+    wf = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = wf.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("freq").alias("weight"))
+    return (
+        agg.withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("weight"), F.asc("pair")))
+            .cast("int"),
+        )
+        .filter(F.col("rnk") <= 20)
+    )

@@ -37,6 +37,8 @@ INTENTIONAL_BNLJ = {
     "ivf_ann_topk",
     "rich_inactive_customers",
     "bm25_topk",  # 1-row corpus-stats aggregate broadcast-crossed onto terms
+    "nation_acctbal_share",  # 1-row global-balance scalar crossed onto 25 rows
+    "source_js_divergence",  # 20-source dim crossed onto 50-term vocab (dense matrix)
 }
 
 #: queries whose plans legitimately carry many HOF folds (k parallel
