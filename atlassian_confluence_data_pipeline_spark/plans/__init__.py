@@ -11,7 +11,9 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     connector,
     curation,
     curation2,
+    embeddings2,
     eventops,
+    graphops,
     hierarchy,
     lookups,
     multimodal,
