@@ -309,3 +309,37 @@ def test_assign_nearest_centroid_matches_window_form(spark):
     # ties resolved toward the smaller id: centroid 4 (the duplicate)
     # must never win over its twin, centroid 1
     assert 4 not in set(got.values())
+
+
+class TestFourthWavePlanShapes:
+    """Plan contracts for the fourth-wave queries: the vector maps must
+    stay shuffle-free (a regression to per-centroid expression
+    duplication or a join-based argmin would show up as Exchanges /
+    BNLJ), and the interval self-join must stay a hash join on the
+    bucketed key rather than a nested-loop range join."""
+
+    def _physical(self, spark, sf_dir, name):
+        from atlassian_confluence_data_pipeline_spark.plans import QUERIES
+
+        df = QUERIES[name].fn(spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_pq_codes_plan_is_narrow(self, spark, sf_dir):
+        plan = self._physical(spark, sf_dir, "pq_codes")
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+
+    def test_random_projection_plan_is_narrow(self, spark, sf_dir):
+        plan = self._physical(spark, sf_dir, "random_projection_embed")
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+
+    def test_interval_join_is_hash_join(self, spark, sf_dir):
+        plan = self._physical(spark, sf_dir, "error_click_interval_join")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert (
+            "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan
+        )
