@@ -7,6 +7,7 @@ oracle SQL — the contract consumed by ``__spark_entry__.py``.
 
 from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     analytics,
+    analytics2,
     behavior,
     connector,
     curation,

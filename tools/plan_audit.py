@@ -39,6 +39,7 @@ INTENTIONAL_BNLJ = {
     "bm25_topk",  # 1-row corpus-stats aggregate broadcast-crossed onto terms
     "nation_acctbal_share",  # 1-row global-balance scalar crossed onto 25 rows
     "source_js_divergence",  # 20-source dim crossed onto 50-term vocab (dense matrix)
+    "join_key_skew_report",  # 1-row total-count scalar crossed onto top-20 keys
 }
 
 #: queries whose plans legitimately carry many HOF folds (k parallel
