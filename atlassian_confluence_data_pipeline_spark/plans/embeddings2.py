@@ -68,13 +68,28 @@ def random_projection_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
 
+    # the sign matrix is pre-evaluated in exact Python int arithmetic
+    # (identical to the SQL CASE/mod formula) and shipped as one
+    # literal array per output dim — the fold body is then a bare
+    # multiply-add instead of a mod/branch chain, and plan build stays
+    # flat. x * +-1.0 is IEEE-exact, so parity with the formula-based
+    # oracle is bitwise.
+    signs = [
+        [
+            1.0 if ((_A * (i * _OUT + j) + _B) % _M) % 2 == 0 else -1.0
+            for i in range(_DIM)
+        ]
+        for j in range(_OUT)
+    ]
+
     def proj(j: int) -> Column:
+        srow = F.lit(signs[j])
         return F.round(
             F.aggregate(
                 F.sequence(F.lit(0), F.lit(_DIM - 1)),
                 F.lit(0.0),
                 lambda acc, i: acc
-                + F.element_at(xd, i + 1) * _sign(i, j),
+                + F.element_at(xd, i + 1) * F.element_at(srow, i + 1),
             ),
             6,
         ).alias(f"p{j}")
@@ -153,26 +168,22 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
 
     def code(s: int) -> Column:
-        # literal array-of-structs codebook + ONE argmin fold per
-        # subspace (the assign_nearest_centroid pattern) — each distance
-        # is evaluated exactly once, no expression duplication. The
-        # (31,12)->(30,12) re-cast after each add keeps the decimal
-        # accumulator type fixed and is exact (sums stay < 100), so
-        # Spark and DuckDB add identical decimal values.
+        # compact 2-D literal codebook (one Literal node, no expression
+        # parse of 128 casts) + ONE argmin fold per subspace (the
+        # assign_nearest_centroid pattern) — each distance is evaluated
+        # exactly once, and plan BUILD cost stays flat (this query was
+        # the bench's slowest purely from driver-side analysis of the
+        # expanded literal tree). The (31,12)->(30,12) re-cast after
+        # each add keeps the decimal accumulator type fixed and is
+        # exact (sums stay < 100), so Spark and DuckDB add identical
+        # decimal values.
         lo = s * _SUBDIM
-        structs = []
-        for cid in range(_CODEBOOK):
-            cv = ", ".join(
-                f"CAST('{float(v)!r}' AS DOUBLE)"
-                for v in cents[cid][lo : lo + _SUBDIM]
-            )
-            structs.append(
-                f"named_struct('cid', CAST({cid} AS BIGINT), 'cv', array({cv}))"
-            )
-        carr = F.expr("array(" + ", ".join(structs) + ")")
+        cb2d = F.lit(
+            [cents[cid][lo : lo + _SUBDIM] for cid in range(_CODEBOOK)]
+        )
         dists = F.transform(
-            carr,
-            lambda c: F.struct(
+            F.sequence(F.lit(0), F.lit(_CODEBOOK - 1)),
+            lambda ci: F.struct(
                 F.aggregate(
                     F.sequence(F.lit(1), F.lit(_SUBDIM)),
                     F.lit(0).cast("decimal(30,12)"),
@@ -181,16 +192,20 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + (
                             (
                                 F.element_at(xd, F.lit(lo) + k)
-                                - F.element_at(c["cv"], k)
+                                - F.element_at(
+                                    F.element_at(cb2d, ci + 1), k
+                                )
                             )
                             * (
                                 F.element_at(xd, F.lit(lo) + k)
-                                - F.element_at(c["cv"], k)
+                                - F.element_at(
+                                    F.element_at(cb2d, ci + 1), k
+                                )
                             )
                         ).cast("decimal(30,12)")
                     ).cast("decimal(30,12)"),
                 ).alias("d"),
-                c["cid"].alias("cid"),
+                ci.cast("bigint").alias("cid"),
             ),
         )
         best = F.aggregate(
