@@ -210,3 +210,50 @@ def customer_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
     )
+
+
+@query(
+    "subsample_replicate_means",
+    oracle="""
+WITH reps AS (
+  SELECT b.b AS rep_id, o.o_orderkey, o.o_totalprice
+  FROM orders o
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS b) b
+  WHERE ((o.o_orderkey * 1103515245 + b.b * 12345) % 2147483648) % 2 = 0
+)
+SELECT rep_id, count(*) AS n_rows,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 4) AS mean_price
+FROM reps GROUP BY 1
+""",
+    tags=("sampling", "bootstrap", "stats"),
+)
+def subsample_replicate_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsampling-based error bars: 10 deterministic half-samples of
+    orders (portable affine hash over (o_orderkey, rep)), each reduced
+    to its replicate mean — the distributed answer to "how stable is
+    this statistic", without any row ever being collected. The 10x
+    row fan-out happens map-side (explode straight into partial
+    aggregates — one shuffle of 10 partial rows per partition);
+    replicate means are DECIMAL-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    reps = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(9).cast("long"))).alias("rep_id"),
+    ).filter(
+        (
+            (F.col("o_orderkey") * 1103515245 + F.col("rep_id") * 12345)
+            % 2147483648
+        )
+        % 2
+        == 0
+    )
+    return reps.groupBy("rep_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_price"),
+    )

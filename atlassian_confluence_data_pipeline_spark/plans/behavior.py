@@ -240,3 +240,56 @@ def error_click_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("err_id")
         .agg(F.count(F.lit(1)).alias("n_clicks_1h"))
     )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT event_id, user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+)
+SELECT event_id, user_id, CAST(session_seq AS BIGINT) AS session_seq
+FROM s
+""",
+    tags=("events", "session", "window", "lag"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General sessionization: assign each event a per-user session
+    sequence number by cumulative-summing gap-start flags (gap > 30
+    min). This is the row-level complement of session_window aggregation
+    (session_stats): downstream joins need the session id ON each event
+    row. Both windows are PARTITIONED by user_id with deterministic
+    (ts, event_id) order — the shuffle is keyed, partitions bounded by
+    per-user activity."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        ev.select("event_id", "user_id", "ts", new_sess.alias("new_sess"))
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("new_sess")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint")
+            .alias("session_seq"),
+        )
+    )

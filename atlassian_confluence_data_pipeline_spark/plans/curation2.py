@@ -393,3 +393,59 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 20)
     )
+
+
+@query(
+    "dataset_card_report",
+    oracle="""
+WITH base AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         count(DISTINCT lang) AS n_langs
+  FROM documents GROUP BY 1
+),
+dup AS (
+  SELECT source,
+         count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+  FROM documents GROUP BY 1
+)
+SELECT b.source, b.n_docs, b.n_tokens, b.n_chars, b.n_langs,
+       d.n_exact_dups,
+       round(CAST(b.n_tokens AS DOUBLE) / b.n_docs, 4) AS tokens_per_doc
+FROM base b JOIN dup d ON b.source = d.source
+""",
+    tags=("curation", "reporting", "agg", "dedup"),
+)
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: the summary table a curation pipeline
+    publishes with a corpus — doc/token/char counts, language spread,
+    exact-dup count (md5 identity), tokens per doc. Two hash aggregates
+    keyed by source joined on the 20-key dim — every input-side metric
+    is computed in the same single pass over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.trim("text"), WS), lambda x: x != F.lit(""))
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words)).cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    dup = docs.groupBy("source").agg(
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias(
+            "n_exact_dups"
+        )
+    )
+    return base.join(dup, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_langs",
+        "n_exact_dups",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_docs"), 4
+        ).alias("tokens_per_doc"),
+    )

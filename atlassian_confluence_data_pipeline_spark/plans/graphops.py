@@ -94,6 +94,8 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("dg"))
     nodes = deg.select(F.col("src").alias("node"))
     n = nodes.count()  # driver scalar: graph-node count (loop constant)
+    if n == 0:  # no near-dup pairs at this SF: empty graph, empty ranks
+        return spark.createDataFrame([], "node bigint, rank double")
     base = 0.15 / n  # python double == engine double on the same inputs
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     esrc = edges.join(deg, "src")

@@ -67,3 +67,67 @@ def running_user_stats(events: DataFrame, watermark: str = "2 hours") -> DataFra
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+TRANSITION_OUTPUT_SCHEMA = (
+    "user_id bigint, prev_type string, event_type string, n bigint"
+)
+TRANSITION_STATE_SCHEMA = "last_type string"
+
+
+def _update_transitions(
+    key: Tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    last_type = state.get[0] if state.exists else None
+    counts: dict = {}
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        types = pdf["event_type"].tolist()
+        prevs = [last_type] + types[:-1]
+        for p, t in zip(prevs, types):
+            if p is not None:
+                counts[(p, t)] = counts.get((p, t), 0) + 1
+        if types:
+            last_type = types[-1]
+    state.update((last_type,))
+    if counts:
+        ks = sorted(counts)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(ks),
+                "prev_type": [k[0] for k in ks],
+                "event_type": [k[1] for k in ks],
+                "n": [counts[k] for k in ks],
+            }
+        )
+
+
+def streaming_transition_counts(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming first-order transition counts per user: the batch
+    `event_transition_matrix` semantics with the LAST event type of
+    each micro-batch carried in keyed state, so the first event of
+    batch N+1 correctly pairs with the last event of batch N — the
+    link a per-batch lag window cannot see. State is one string per
+    user (bounded); each batch emits ITS OWN transition increments
+    (append-style update), which downstream sums into the matrix."""
+    from atlassian_confluence_data_pipeline_spark.pyfiles import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers()
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_transitions,
+            outputStructType=TRANSITION_OUTPUT_SCHEMA,
+            stateStructType=TRANSITION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -55,3 +55,66 @@ def test_running_user_stats_matches_batch(spark, sf_dir):
         g = got[uid]
         assert g[0] == exp[0] and g[2] == exp[2]
         assert abs(g[1] - exp[1]) < 1e-6
+
+
+def test_streaming_transitions_match_batch_across_batches(spark, tmp_path):
+    """The transition straddling two micro-batches must be counted:
+    summing per-batch increments over a 2-file stream equals the batch
+    lag-window matrix over the union — including the cross-batch pair,
+    which proves the carried state is used."""
+    import uuid
+
+    from pyspark.sql import functions as F
+    from atlassian_confluence_data_pipeline_spark.streaming.stateful import (
+        streaming_transition_counts,
+    )
+
+    rows1 = [
+        (1, "2024-01-01 10:00:00", 7, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:01:00", 7, "click", 1.0, "{}"),
+    ]
+    rows2 = [
+        (3, "2024-01-01 10:02:00", 7, "purchase", 1.0, "{}"),  # cross-batch link
+        (4, "2024-01-01 10:03:00", 7, "view", 1.0, "{}"),
+    ]
+    schema = (
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    drop = tmp_path / "ev"
+    drop.mkdir()
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.parquet(str(drop / f"b{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(drop) + "/*.parquet")
+    )
+    name = f"tr_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_transition_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.prev_type, r.event_type): r.total
+        for r in spark.sql(
+            f"SELECT prev_type, event_type, sum(n) AS total FROM {name} "
+            "GROUP BY 1, 2"
+        ).collect()
+    }
+    assert got == {
+        ("view", "click"): 1,
+        ("click", "purchase"): 1,  # the batch-straddling transition
+        ("purchase", "view"): 1,
+    }
