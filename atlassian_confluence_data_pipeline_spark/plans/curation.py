@@ -648,12 +648,19 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     affine constants), so the whole chain is value-hash-checked."""
     from atlassian_confluence_data_pipeline_spark.operators.lsh import (
         simhash_near_pairs,
-        srp_fingerprint,
+        with_srp_fingerprint,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    fps = emb.select(
-        "vec_id", srp_fingerprint(F.col("embedding")).alias("simhash")
+    # the checkpoint is a collapse barrier: simhash_near_pairs derives 4
+    # chunk columns + keeps simhash (5 references), and without the
+    # barrier CollapseProject re-inlines the 64-fold fingerprint
+    # pipeline per reference while materializing its banded table
+    # (measured 4.2s -> 1.0s at sf0.1)
+    fps = (
+        with_srp_fingerprint(emb.select("vec_id", "embedding"), "embedding")
+        .select("vec_id", "simhash")
+        .localCheckpoint(eager=False)
     )
     cand = simhash_near_pairs(
         fps, "vec_id", max_hamming=EMB_LSH_MAX_HAMMING, chunks=EMB_LSH_CHUNKS
@@ -684,12 +691,18 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("nb"),
     )
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
+    # narrow + checkpoint BEFORE the threshold filter: the filter would
+    # otherwise push through the projection and re-evaluate the dot
+    # fold per candidate (measured 0.56s -> 0.09s on the 34k-candidate
+    # verify at sf0.1)
+    scored = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos", cos)
-        .filter(F.col("cos") >= EMB_LSH_COS)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .localCheckpoint(eager=False)
+    )
+    return scored.filter(F.col("cos") >= EMB_LSH_COS).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
     )
 
 

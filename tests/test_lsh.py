@@ -85,7 +85,7 @@ def test_srp_fingerprint_recalls_planted_vector_pair(spark):
 
     from atlassian_confluence_data_pipeline_spark.operators.lsh import (
         simhash_near_pairs,
-        srp_fingerprint,
+        with_srp_fingerprint,
     )
     from atlassian_confluence_data_pipeline_spark.operators.similarity import (
         cosine_similarity,
@@ -98,7 +98,7 @@ def test_srp_fingerprint_recalls_planted_vector_pair(spark):
         (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(3, 13)
     ]
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
-    fps = df.select("vec_id", srp_fingerprint(F.col("embedding")).alias("simhash"))
+    fps = with_srp_fingerprint(df, "embedding").select("vec_id", "simhash")
     cand = simhash_near_pairs(fps, "vec_id", max_hamming=10, chunks=8)
     va = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     vb = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
