@@ -449,3 +449,78 @@ def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").cast("double") / F.col("n_docs"), 4
         ).alias("tokens_per_doc"),
     )
+
+
+@query(
+    "bigram_nll_scores",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), bg AS (
+  SELECT doc_id, i AS pos, w[i] AS w1, w[i+1] AS w2
+  FROM w, unnest(range(1, greatest(len(w), 1))) AS t(i)
+), c AS (
+  SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, sum(c) AS ctx FROM c GROUP BY 1
+), scored AS (
+  SELECT b.doc_id, b.pos, -ln(CAST(c.c AS DOUBLE) / ctx.ctx) AS nll
+  FROM bg b JOIN c ON b.w1 = c.w1 AND b.w2 = c.w2
+  JOIN ctx ON b.w1 = ctx.w1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(nll ORDER BY pos)),
+                         (a, b) -> a + b) / count(*), 6) AS avg_nll
+FROM scored GROUP BY doc_id
+""",
+    tags=("curation", "quality", "lm", "ngram"),
+)
+def bigram_nll_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring: each document's average negative
+    log-likelihood under the corpus's MLE bigram model P(w2|w1) =
+    c(w1,w2)/c(w1) — the consumer of bigram_lm_table's estimation step
+    (train LM, score docs, drop the tail). Counts and context totals
+    are vocab^2-bounded hash aggregates broadcast back onto the
+    exploded corpus; the per-doc sum uses the same position-ordered
+    fold as unigram_nll_scores so the float total is deterministic on
+    both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    warr = F.filter(F.split(F.trim("text"), WS), lambda x: x != F.lit(""))
+    w = docs.select("doc_id", warr.alias("w"))
+    n = F.greatest(F.size("w") - 1, F.lit(0))
+    bg = w.select(
+        "doc_id",
+        F.posexplode(
+            F.zip_with(
+                F.slice("w", 1, n),
+                F.slice("w", 2, n),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("pos0", "b"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "b.w1", "b.w2")
+    c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ctx = c.groupBy("w1").agg(F.sum("c").alias("ctx"))
+    nll = -F.log(F.col("c").cast("double") / F.col("ctx"))
+    return (
+        bg.join(F.broadcast(c), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .select("doc_id", "pos", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "nll"))),
+                        lambda x: x["nll"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
