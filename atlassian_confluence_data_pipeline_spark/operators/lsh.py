@@ -298,13 +298,24 @@ def verify_candidates_jaccard(
     a = sh.select(F.col("__vid").alias("id_a"), F.col("__sh").alias("__sh_a"))
     b = sh.select(F.col("__vid").alias("id_b"), F.col("__sh").alias("__sh_b"))
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
-    jac = inter.cast("double") / (
-        F.size("__sh_a") + F.size("__sh_b") - inter
-    )
-    return (
+    # materialize (intersection, sizes) per candidate BEFORE the ratio +
+    # threshold: the Jaccard expression references the intersection
+    # twice and the filter would push below the projection, so without
+    # the barrier each candidate pays the set intersection up to 4x
+    sized = (
         candidates.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("jaccard", jac)
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("__i"),
+            (F.size("__sh_a") + F.size("__sh_b")).alias("__s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    jac = F.col("__i").cast("double") / (F.col("__s") - F.col("__i"))
+    return (
+        sized.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
