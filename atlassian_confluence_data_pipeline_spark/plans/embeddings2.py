@@ -104,7 +104,8 @@ _CODEBOOK = 8  # centroids per subspace (seeded from the first 8 vectors)
 
 def _pq_oracle() -> str:
     # centroid c of subspace s = subvector s of seed row c; distance =
-    # DECIMAL-summed squared diff over the 16 subdims. All (vec x
+    # left-to-right double fold of squared diffs over the 16 subdims
+    # (fixed order = bit-identical across engines). All (vec x
     # centroid) distances come from one cross join with the 8-row
     # codebook, then an ordered-first aggregate picks each subspace's
     # argmin with the lowest-cid tie-break.
@@ -115,9 +116,9 @@ def _pq_oracle() -> str:
             f"(e.embedding[{lo} + k]::DOUBLE - c.embedding[{lo} + k]::DOUBLE)"
         )
         dist_cols.append(
-            "list_reduce(list_prepend(CAST(0 AS DECIMAL(38,12)), "
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
             f"list_transform(generate_series(1, {_SUBDIM}), "
-            f"k -> CAST({diff} * {diff} AS DECIMAL(38,12)))), "
+            f"k -> {diff} * {diff})), "
             f"(acc, x) -> acc + x) AS d{s}"
         )
     dists = ",\n         ".join(dist_cols)
@@ -153,8 +154,9 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow literal-argmax map as kmeans_iterations: the 8x4 codebook
     is collected (tiny, seed rows only) into literal arrays, so the
     100 TB plan is a single scan with a per-row fold — no join, no
-    shuffle. Squared distances are DECIMAL-summed for cross-engine
-    order-independence; ties break to the lowest centroid id."""
+    shuffle. Squared distances are fixed-order double folds
+    (bit-identical across engines); ties break to the lowest
+    centroid id."""
     emb = load_table(spark, sf_dir, "embeddings")
     seeds = (
         emb.filter(F.col("vec_id") < _CODEBOOK)
@@ -165,58 +167,48 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds
     }
 
-    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-
-    def code(s: int) -> Column:
-        # compact 2-D literal codebook (one Literal node, no expression
-        # parse of 128 casts) + ONE argmin fold per subspace (the
-        # assign_nearest_centroid pattern) — each distance is evaluated
-        # exactly once, and plan BUILD cost stays flat (this query was
-        # the bench's slowest purely from driver-side analysis of the
-        # expanded literal tree). The (31,12)->(30,12) re-cast after
-        # each add keeps the decimal accumulator type fixed and is
-        # exact (sums stay < 100), so Spark and DuckDB add identical
-        # decimal values.
+    # Two staged projections of FLAT arithmetic (no HOF): stage 1
+    # computes all 32 subspace distances as named columns — each a
+    # codegen'd sum of 16 squared diffs with the centroid values
+    # inlined as shortest-round-trip double literals — and stage 2
+    # picks each subspace's argmin with a least() + first-match CASE
+    # over the bound columns (first WHEN in cid order = lowest-cid
+    # tie-break; CollapseProject keeps the stages apart because the
+    # distance columns are non-cheap and referenced twice). An HOF
+    # fold over a 2-D literal codebook computed the same values ~5x
+    # slower: lambda bodies are interpreted per element, flat
+    # expressions run inside whole-stage codegen. The flat sum
+    # t1 + t2 + ... is bitwise-equal to the oracle's 0.0-seeded fold
+    # (squared terms are never -0.0, so the leading 0.0 + t1 == t1).
+    def dist_sql(s: int, cid: int) -> str:
         lo = s * _SUBDIM
-        cb2d = F.lit(
-            [cents[cid][lo : lo + _SUBDIM] for cid in range(_CODEBOOK)]
-        )
-        dists = F.transform(
-            F.sequence(F.lit(0), F.lit(_CODEBOOK - 1)),
-            lambda ci: F.struct(
-                F.aggregate(
-                    F.sequence(F.lit(1), F.lit(_SUBDIM)),
-                    F.lit(0).cast("decimal(30,12)"),
-                    lambda acc, k: (
-                        acc
-                        + (
-                            (
-                                F.element_at(xd, F.lit(lo) + k)
-                                - F.element_at(
-                                    F.element_at(cb2d, ci + 1), k
-                                )
-                            )
-                            * (
-                                F.element_at(xd, F.lit(lo) + k)
-                                - F.element_at(
-                                    F.element_at(cb2d, ci + 1), k
-                                )
-                            )
-                        ).cast("decimal(30,12)")
-                    ).cast("decimal(30,12)"),
-                ).alias("d"),
-                ci.cast("bigint").alias("cid"),
-            ),
-        )
-        best = F.aggregate(
-            dists,
-            F.struct(
-                F.lit(None).cast("decimal(30,12)").alias("d"),
-                F.lit(None).cast("bigint").alias("cid"),
-            ),
-            # ascending-cid fold + strict < keeps the LOWEST cid on ties
-            lambda a, x: F.when(a["d"].isNull() | (x["d"] < a["d"]), x).otherwise(a),
-        )
-        return best["cid"].alias(f"code{s}")
+        terms = []
+        for k in range(1, _SUBDIM + 1):
+            c = repr(cents[cid][lo + k - 1])
+            e = (
+                f"(CAST(element_at(embedding, {lo + k}) AS DOUBLE)"
+                f" - CAST('{c}' AS DOUBLE))"
+            )
+            terms.append(f"{e} * {e}")
+        return "(" + " + ".join(terms) + ")"
 
-    return emb.select("vec_id", *[code(s) for s in range(_SUBS)])
+    dist_cols = [
+        F.expr(dist_sql(s, cid)).alias(f"__d_{s}_{cid}")
+        for s in range(_SUBS)
+        for cid in range(_CODEBOOK)
+    ]
+    staged = emb.select("vec_id", *dist_cols)
+    code_cols = []
+    for s in range(_SUBS):
+        names = [f"__d_{s}_{cid}" for cid in range(_CODEBOOK)]
+        m = "least(" + ", ".join(names) + ")"
+        case = (
+            "CASE "
+            + " ".join(
+                f"WHEN {names[cid]} = {m} THEN CAST({cid} AS BIGINT)"
+                for cid in range(_CODEBOOK)
+            )
+            + " END"
+        )
+        code_cols.append(F.expr(case).alias(f"code{s}"))
+    return staged.select("vec_id", *code_cols)
