@@ -27,6 +27,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     textops,
     tpch_like,
     tpch2,
+    tpch3,
 )
 from atlassian_confluence_data_pipeline_spark.plans.registry import QUERIES, QuerySpec
 
