@@ -12,6 +12,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     connector,
     curation,
     curation2,
+    curation3,
     embeddings2,
     eventops,
     graphops,
