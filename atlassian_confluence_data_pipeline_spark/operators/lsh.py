@@ -165,6 +165,71 @@ def with_srp_fingerprint(
     return d.select(*cols, F.expr(pack).alias(out_col))
 
 
+def with_srp_fingerprint_arrow(
+    df: DataFrame, vec_col: str, out_col: str = "simhash", bits: int = 64
+) -> DataFrame:
+    """PRODUCTION-scale variant of :func:`with_srp_fingerprint`: one
+    numpy matmul per Arrow batch (``mapInPandas``) instead of the
+    interpreted per-bit HOF folds — same affine hyperplane family, so
+    the two agree except when a running dot sits within float round-off
+    of ZERO (numpy's pairwise summation reorders the adds). That sign-
+    boundary slack is exactly what the candidate/verify split absorbs:
+    SRP candidates are approximate by construction and every surviving
+    pair is re-checked with EXACT cosine downstream, so swapping this in
+    for the fold changes recall by at most the measure-zero boundary
+    set — not correctness. The oracle-paired queries keep the portable
+    fold (bit-reproducible in DuckDB); point a production job here when
+    the corpus is large enough that interpreted HOF cost dominates
+    (~64*dim interpreted steps/row vs one BLAS GEMM per batch).
+
+    Requires a fixed vector dimension within each Arrow batch (the
+    standard embedding-corpus contract); the hyperplane matrix is
+    rebuilt per observed dimension, never shipped."""
+    from pyspark.sql import types as T
+
+    from atlassian_confluence_data_pipeline_spark.pyfiles import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers()
+    perms = SRP_PERMS[:bits]
+    mod, thr = ROLLING_MOD, SIMHASH_THRESHOLD
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+
+    def _fp(batches):
+        import numpy as np
+        import pandas as pd  # noqa: F401  (Arrow batches arrive as pandas)
+
+        planes: dict[int, "np.ndarray"] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vs = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            dim = vs.shape[1]
+            if dim not in planes:
+                planes[dim] = np.array(
+                    [
+                        [
+                            1.0 if (a * j + b) % mod >= thr else -1.0
+                            for (a, b) in perms
+                        ]
+                        for j in range(dim)
+                    ]
+                )
+            dots = vs @ planes[dim]
+            bitm = (dots >= 0.0).astype(np.uint64)
+            fp = np.zeros(len(pdf), dtype=np.uint64)
+            for i in range(bits):
+                fp |= bitm[:, i] << np.uint64(i)
+            out = pdf.copy()
+            out[out_col] = fp.view(np.int64)
+            yield out
+
+    return df.mapInPandas(_fp, schema=schema)
+
+
 def minhash_signature(
     shingles: Column, k: int = 32, portable: bool = True, pre_hashed: bool = False
 ) -> Column:

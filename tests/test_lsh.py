@@ -110,3 +110,26 @@ def test_srp_fingerprint_recalls_planted_vector_pair(spark):
     )
     got = {(r.id_a, r.id_b) for r in verified.collect()}
     assert got == {(1, 2)}
+
+
+def test_srp_arrow_variant_matches_portable_fold(spark, sf_dir):
+    """The production numpy-matmul SRP path must produce the same
+    fingerprints as the oracle-portable HOF fold on the fixture corpus
+    (they can differ only when a running dot sits within float
+    round-off of zero — absent from the fixture by measure)."""
+    from atlassian_confluence_data_pipeline_spark.catalog import load_table
+    from atlassian_confluence_data_pipeline_spark.operators.lsh import (
+        with_srp_fingerprint,
+        with_srp_fingerprint_arrow,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    fold = {
+        r["vec_id"]: r["simhash"]
+        for r in with_srp_fingerprint(emb, "embedding").select("vec_id", "simhash").collect()
+    }
+    arrow = {
+        r["vec_id"]: r["simhash"]
+        for r in with_srp_fingerprint_arrow(emb, "embedding").select("vec_id", "simhash").collect()
+    }
+    assert fold == arrow
