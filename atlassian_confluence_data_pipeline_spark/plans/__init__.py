@@ -13,6 +13,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     curation,
     curation2,
     curation3,
+    curation4,
     embeddings2,
     eventops,
     graphops,
