@@ -8,6 +8,7 @@ oracle SQL — the contract consumed by ``__spark_entry__.py``.
 from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     analytics,
     analytics2,
+    analytics3,
     behavior,
     connector,
     curation,
@@ -22,14 +23,17 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     multimodal,
     relational,
     reshape,
+    retail,
     scalar,
     search,
     similarity,
     surface2,
     textops,
+    timeseries,
     tpch_like,
     tpch2,
     tpch3,
+    warehouse,
 )
 from atlassian_confluence_data_pipeline_spark.plans.registry import QUERIES, QuerySpec
 
