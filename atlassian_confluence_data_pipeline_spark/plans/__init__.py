@@ -19,8 +19,10 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     eventops,
     graphops,
     hierarchy,
+    layout,
     lookups,
     multimodal,
+    pretrain,
     relational,
     reshape,
     retail,

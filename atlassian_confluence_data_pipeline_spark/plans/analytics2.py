@@ -219,7 +219,8 @@ WITH reps AS (
   SELECT b.b AS rep_id, o.o_orderkey, o.o_totalprice
   FROM orders o
   CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS b) b
-  WHERE ((o.o_orderkey * 1103515245 + b.b * 12345) % 2147483648) % 2 = 0
+  WHERE (((o.o_orderkey % 2147483648) * 1103515245 + b.b * 12345)
+         % 2147483648) % 2 = 0
 )
 SELECT rep_id, count(*) AS n_rows,
        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
@@ -242,8 +243,13 @@ def subsample_replicate_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.explode(F.sequence(F.lit(0).cast("long"), F.lit(9).cast("long"))).alias("rep_id"),
     ).filter(
+        # key reduced below 2^31 before the multiply (overflow
+        # discipline: the product must stay < 2^62 for ANY key range)
         (
-            (F.col("o_orderkey") * 1103515245 + F.col("rep_id") * 12345)
+            (
+                (F.col("o_orderkey") % 2147483648) * 1103515245
+                + F.col("rep_id") * 12345
+            )
             % 2147483648
         )
         % 2

@@ -214,8 +214,12 @@ def bloom_semi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _pos(j: int, k):
+        # key reduced below 2^31 before the affine multiply (overflow
+        # discipline: a*k must stay < 2^62 for ANY key range)
         a, b = BLOOM_PROBES[j]
-        return ((F.lit(a) * k + F.lit(b)) % ROLLING_MOD) % BLOOM_BITS
+        return (
+            (F.lit(a) * (k % ROLLING_MOD) + F.lit(b)) % ROLLING_MOD
+        ) % BLOOM_BITS
 
     set_positions = sorted(
         r["p"]
@@ -386,17 +390,23 @@ def pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the oracle runs the literal quadratic NOT EXISTS dominance
     test; identical results prove the rewrite.
 
-    Scale shape: one sort-based window. The fixture uses a single
-    ordering partition (the frame is global by definition); at 100 TB
-    a skyline runs as range-partitioned sort + per-partition running
-    max with one boundary-exchange pass of per-partition maxima —
-    the standard distributed-prefix-max composition; the frontier
-    output itself is tiny (~log n under independence)."""
+    Scale shape: one sort-based window, ordered DESCENDING so the
+    strictly-later-dates frame is UNBOUNDED PRECEDING .. 1 PRECEDING —
+    Spark's incrementally-maintained frame (O(n) per partition). The
+    ascending formulation (1 FOLLOWING .. UNBOUNDED FOLLOWING) looks
+    identical but Spark's UnboundedFollowing frame RESCANS the
+    partition tail per row — O(n^2), measured hung at 600k rows; the
+    flip is semantics-preserving and is pinned by the x8 SCALING row.
+    The fixture uses a single ordering partition (the frame is global
+    by definition); at 100 TB a skyline runs as range-partitioned sort
+    + one boundary-exchange pass of per-partition maxima — the
+    standard distributed-prefix-max composition; the frontier output
+    itself is tiny (~log n under independence)."""
     orders = load_table(spark, sf_dir, "orders")
     day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
     w = (
-        Window.orderBy(day)
-        .rangeBetween(1, Window.unboundedFollowing)
+        Window.orderBy(day.desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     later_max = F.max("o_totalprice").over(w)
     return (

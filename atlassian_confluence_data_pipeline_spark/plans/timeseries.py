@@ -107,7 +107,8 @@ def source_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH u AS (
   SELECT doc_id, n_chars,
-         CAST(({SAMPLE_PERM[0]} * doc_id + {SAMPLE_PERM[1]}) % {ROLLING_MOD}
+         CAST(({SAMPLE_PERM[0]} * (doc_id % {ROLLING_MOD})
+               + {SAMPLE_PERM[1]}) % {ROLLING_MOD}
               + 1 AS DOUBLE) / {ROLLING_MOD + 1} AS u
   FROM documents WHERE n_chars > 0
 ), keyed AS (
@@ -139,10 +140,14 @@ def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming A-ES reservoir is the same math with a running heap."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     a, b = SAMPLE_PERM
+    # id reduced below 2^31 before the affine multiply (overflow
+    # discipline: a*id must stay < 2^62 for ANY key range)
     u = (
-        ((F.lit(a) * F.col("doc_id") + F.lit(b)) % ROLLING_MOD + 1).cast(
-            "double"
-        )
+        (
+            (F.lit(a) * (F.col("doc_id") % ROLLING_MOD) + F.lit(b))
+            % ROLLING_MOD
+            + 1
+        ).cast("double")
         / (ROLLING_MOD + 1)
     )
     keyed = docs.select(

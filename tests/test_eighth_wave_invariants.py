@@ -77,6 +77,23 @@ def test_triangle_handshake_and_coeff_bounds(spark, sf_dir):
     ).count() == 0
 
 
+def test_pareto_window_frame_is_incremental(spark, sf_dir):
+    """Pin the O(n) frame: the skyline window must be the DESC-ordered
+    UNBOUNDED PRECEDING .. 1 PRECEDING form (incrementally maintained).
+    The ascending UNBOUNDED FOLLOWING formulation is semantically
+    identical but Spark rescans the partition tail per row — O(n^2),
+    measured hung at 600k rows."""
+    phys = (
+        QUERIES["pareto_orders"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "unboundedpreceding$()" in phys
+    assert "unboundedfollowing" not in phys.lower()
+
+
 def test_pareto_frontier_mutually_non_dominating_and_maximal(spark, sf_dir):
     front = QUERIES["pareto_orders"].fn(spark, sf_dir).collect()
     assert front
