@@ -29,6 +29,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     scalar,
     search,
     similarity,
+    sketchq,
     surface2,
     textops,
     timeseries,

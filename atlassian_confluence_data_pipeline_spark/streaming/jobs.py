@@ -392,3 +392,45 @@ def foreach_batch_span_dedup(
         )
 
     return docs.writeStream.foreachBatch(dedup_batch)
+
+
+def foreach_batch_hll_distinct(
+    events,
+    register_store,
+    key_col: str = "user_id",
+):  # noqa: ANN001 - DataStreamWriter return hint kept lazy like peers
+    """Cross-batch streaming distinct count via portable HyperLogLog:
+    each micro-batch reduces to its <= 64 (reg, mx) register rows
+    (operators/sketches.py — the same hash/ladder the oracle-paired
+    hll_* queries use), which merge into the persisted register table
+    by element-wise max (StateStore atomic pointer flip). Because the
+    registers form a monoid (hll_merge_users proves the law under the
+    oracle gate), the stored sketch after N batches is BIT-IDENTICAL
+    to the batch sketch over all N batches' rows — replays and
+    re-merges are idempotent (max is), and the running distinct
+    estimate reads from 64 tiny rows, never from history.
+
+    This is the streaming analog of the reference's run counters
+    (master_script.py:294-300) upgraded to a mergeable sketch: state
+    size is CONSTANT regardless of stream length."""
+    from pyspark.sql import functions as F
+
+    from atlassian_confluence_data_pipeline_spark.operators.sketches import (
+        hll_registers,
+    )
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        regs = hll_registers(batch_df, F.col(key_col))
+        if register_store.current_snapshot() is None:
+            prior = spark.createDataFrame([], "reg int, mx int")
+        else:
+            prior = register_store.read(spark)
+        merged = (
+            prior.unionByName(regs)
+            .groupBy("reg")
+            .agg(F.max("mx").alias("mx"))
+        )
+        register_store.write(merged.localCheckpoint(eager=True))
+
+    return events.writeStream.foreachBatch(merge_batch)

@@ -42,6 +42,9 @@ INTENTIONAL_BNLJ = {
     "join_key_skew_report",  # 1-row total-count scalar crossed onto top-20 keys
     "binned_quantile_estimates",  # 3-row (p, k) probe table broadcast under
     # a non-equi cum>=k condition onto the 256-bin / distinct-value cumsums
+    "hll_distinct_orders",  # 1-row estimate x 1-row exact scalar attach
+    "hll_merge_users",  # three 1-row scalar frames crossed into the report
+    "kmv_intersection_users",  # four 1-row sketch-threshold scalars crossed
 }
 
 #: queries whose plans legitimately carry many HOF folds (k parallel
