@@ -11,6 +11,9 @@ Runs, in order, and stops at the first failure (exit code 1):
    — the superset of the driver's CORRECTNESS gate)
 3. ``python tools/plan_audit.py``               (anti-pattern sweep:
    cartesians, unexpected BNLJ, row-at-a-time Python UDFs, CSE traps)
+4. ``python tools/plan_snapshot.py --check``    (physical-plan shape
+   regression diff vs the committed PLAN_SNAPSHOT.json; intentional
+   shape changes are recorded with --write)
 
 ``--fast`` skips step 1 (the pytest suite) for quick mid-edit loops;
 a commit-worthy tree must pass all three.
@@ -30,6 +33,7 @@ STEPS = [
     ("pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"]),
     ("driver_sim", [sys.executable, "tools/driver_sim.py"]),
     ("plan_audit", [sys.executable, "tools/plan_audit.py"]),
+    ("plan_snapshot", [sys.executable, "tools/plan_snapshot.py", "--check"]),
 ]
 
 
