@@ -10,6 +10,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     analytics2,
     analytics3,
     behavior,
+    clustering,
     connector,
     curation,
     curation2,
@@ -21,6 +22,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     hierarchy,
     layout,
     lookups,
+    monitoring,
     multimodal,
     pretrain,
     relational,

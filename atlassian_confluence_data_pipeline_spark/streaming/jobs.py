@@ -434,3 +434,71 @@ def foreach_batch_hll_distinct(
         register_store.write(merged.localCheckpoint(eager=True))
 
     return events.writeStream.foreachBatch(merge_batch)
+
+
+def foreach_batch_cms_merge(
+    events,
+    cms_store,
+    key_col: str = "event_type",
+):  # noqa: ANN001 - DataStreamWriter return hint kept lazy like peers
+    """Cross-batch streaming Count-Min sketch: each micro-batch reduces
+    to its (row, cell, cnt) increments — the same portable affine
+    family and geometry as the batch heavy_hitters_cms query
+    (plans/analytics.py) — and merges into the persisted sketch by
+    per-cell ADDITION (counts are an additive monoid, the way HLL
+    registers are a max monoid). State is CONSTANT (rows x width
+    cells) no matter how long the stream runs; any key's running
+    frequency estimate reads min over its rows' cells, with the
+    classic one-sided (over-)estimate guarantee preserved across
+    batches because addition commutes with the min-of-sums bound.
+
+    NOTE replays: unlike the max-merge HLL, addition is NOT
+    idempotent — exactly-once sinks (or batch-id dedup, as
+    foreachBatch provides via its checkpointed batch_id) are required;
+    the test drives it with availableNow + checkpoint the same way
+    production would."""
+    from pyspark.sql import functions as F
+
+    from atlassian_confluence_data_pipeline_spark.functions.text import (
+        rolling_hash,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.analytics import (
+        CMS_WIDTH,
+        _cms_perms,
+    )
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        h = rolling_hash(F.col(key_col).cast("string"))
+        cells = batch_df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("row"),
+                            (
+                                (F.lit(a) * h + F.lit(b))
+                                % 2147483647
+                                % CMS_WIDTH
+                            ).cast("int").alias("cell"),
+                        )
+                        for j, (a, b) in enumerate(_cms_perms())
+                    ]
+                )
+            ).alias("rc")
+        ).select("rc.row", "rc.cell")
+        inc = cells.groupBy("row", "cell").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        if cms_store.current_snapshot() is None:
+            prior = spark.createDataFrame([], "row int, cell int, cnt bigint")
+        else:
+            prior = cms_store.read(spark)
+        merged = (
+            prior.unionByName(inc)
+            .groupBy("row", "cell")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        )
+        cms_store.write(merged.localCheckpoint(eager=True))
+
+    return events.writeStream.foreachBatch(merge_batch)

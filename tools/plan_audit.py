@@ -45,6 +45,8 @@ INTENTIONAL_BNLJ = {
     "hll_distinct_orders",  # 1-row estimate x 1-row exact scalar attach
     "hll_merge_users",  # three 1-row scalar frames crossed into the report
     "kmv_intersection_users",  # four 1-row sketch-threshold scalars crossed
+    "cusum_drift_daily_revenue",  # 1-row moment frame broadcast onto |days|
+    "ab_test_value_ztest",  # two 1-row variant-moment frames crossed
 }
 
 #: queries whose plans legitimately carry many HOF folds (k parallel
