@@ -30,19 +30,41 @@ from atlassian_confluence_data_pipeline_spark.functions.text import ROLLING_MOD
 from atlassian_confluence_data_pipeline_spark.operators.lsh import MINHASH_PERMS
 
 #: register count (power of two) and its standard bias constant
-HLL_M = 64
-HLL_ALPHA = 0.709  # alpha_64 from Flajolet et al. 2007
-#: bits of hash left after the 6 register-index bits (hash < 2^31)
-HLL_W_BITS = 25
+#: (alpha_m = 0.7213 / (1 + 1.079/m) for m >= 128, Flajolet et al. 2007)
+HLL_M = 256
+HLL_ALPHA = 0.7213 / (1 + 1.079 / 256)
+#: bits of hash left after the 8 register-index bits (hash < 2^31)
+HLL_W_BITS = 23
 #: the affine perm drawn for the HLL hash
 HLL_PERM = MINHASH_PERMS[50]
+#: avalanche finalizer multiplier (golden-ratio constant; products with
+#: h < 2^31 stay < 2^63)
+HLL_MIX = 2654435761
 
 
 def hll_hash(key: Column) -> Column:
-    """Affine hash into [0, 2^31): key reduces below 2^31 first (the
-    overflow discipline — a*k stays < 2^62 for any key range)."""
+    """Mixed hash into [0, 2^31): affine perm then a multiply-xor-shift
+    FINALIZER. The finalizer matters: a bare affine map is linear, so
+    over SEQUENTIAL keys (the common id shape) the remainder bits form
+    an arithmetic progression and the register ranks are systematically
+    biased — measured 65% HLL error on 500 sequential ids, vs ~sketch
+    noise after mixing (pinned by tests/test_wave_properties.py). Pure
+    integer ops (xor, shift, mod) so any engine reproduces it; the key
+    reduces below 2^31 first (overflow discipline)."""
     a, b = HLL_PERM
-    return (F.lit(a) * (key % ROLLING_MOD) + F.lit(b)) % ROLLING_MOD
+    h1 = (F.lit(a) * (key % ROLLING_MOD) + F.lit(b)) % ROLLING_MOD
+    h2 = h1.bitwiseXOR(F.shiftright(h1, 15))
+    h3 = (F.lit(HLL_MIX) * h2) % ROLLING_MOD
+    return h3.bitwiseXOR(F.shiftright(h3, 13))
+
+
+def hll_hash_sql(key: str) -> str:
+    """DuckDB rendering of :func:`hll_hash`, bit-for-bit."""
+    a, b = HLL_PERM
+    h1 = f"(({a} * ({key} % {ROLLING_MOD}) + {b}) % {ROLLING_MOD})"
+    h2 = f"xor({h1}, {h1} >> 15)"
+    h3 = f"(({HLL_MIX} * {h2}) % {ROLLING_MOD})"
+    return f"xor({h3}, {h3} >> 13)"
 
 
 def hll_register_index(h: Column) -> Column:
@@ -96,7 +118,7 @@ def hll_estimate_sql(reg_rel: str) -> str:
     registers are implicit zeros."""
     m = HLL_M
     raw = (
-        f"{HLL_ALPHA} * {m} * {m} / "
+        f"CAST('{HLL_ALPHA!r}' AS DOUBLE) * {m} * {m} / "
         f"(({m} - count(*)) * CAST(1.0 AS DOUBLE)"
         f" + sum(power(CAST(2.0 AS DOUBLE), -mx)))"
     )

@@ -24,9 +24,10 @@ from atlassian_confluence_data_pipeline_spark.catalog import load_table
 from atlassian_confluence_data_pipeline_spark.functions.text import ROLLING_MOD
 from atlassian_confluence_data_pipeline_spark.operators.sketches import (
     HLL_M,
-    HLL_PERM,
     hll_estimate_col,
     hll_estimate_sql,
+    hll_hash,
+    hll_hash_sql,
     hll_rank_sql,
     hll_registers,
 )
@@ -34,8 +35,7 @@ from atlassian_confluence_data_pipeline_spark.plans.registry import query
 
 
 def _hash_sql(key: str) -> str:
-    a, b = HLL_PERM
-    return f"(({a} * ({key} % {ROLLING_MOD}) + {b}) % {ROLLING_MOD})"
+    return hll_hash_sql(key)
 
 
 def _reg_cte(src: str, key: str, group: str | None = None) -> str:
@@ -255,13 +255,7 @@ def kmv_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     def side(etype: str):
         h = (
             ev.filter(F.col("event_type") == etype)
-            .select(
-                (
-                    (F.lit(HLL_PERM[0]) * (F.col("user_id") % ROLLING_MOD)
-                     + F.lit(HLL_PERM[1]))
-                    % ROLLING_MOD
-                ).alias("h")
-            )
+            .select(hll_hash(F.col("user_id")).alias("h"))
             .distinct()
         )
         k = h.orderBy("h").limit(KMV_K)

@@ -19,8 +19,8 @@ from atlassian_confluence_data_pipeline_spark.plans import QUERIES
 def test_hll_estimate_within_sketch_error(spark, sf_dir):
     row = QUERIES["hll_distinct_orders"].fn(spark, sf_dir).first()
     assert row["exact_distinct"] > 0
-    # m=64 gives ~1.04/sqrt(64) = 13% standard error; allow 4 sigma
-    assert row["rel_error"] < 0.52
+    # m=256 gives ~1.04/sqrt(256) = 6.5% standard error; allow ~4 sigma
+    assert row["rel_error"] < 0.26
     assert row["hll_estimate"] > 0
 
 
@@ -89,4 +89,4 @@ def test_groupwise_hll_covers_types_with_bounded_error(spark, sf_dir):
     assert len(rows) == ev.select("event_type").distinct().count()
     for r in rows:
         assert r["exact_distinct"] > 0
-        assert r["rel_error"] < 0.6  # 4+ sigma at m=64
+        assert r["rel_error"] < 0.3  # 4+ sigma at m=256
