@@ -24,6 +24,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     lookups,
     monitoring,
     multimodal,
+    paths,
     pretrain,
     relational,
     reshape,

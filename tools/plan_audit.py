@@ -47,6 +47,7 @@ INTENTIONAL_BNLJ = {
     "kmv_intersection_users",  # four 1-row sketch-threshold scalars crossed
     "cusum_drift_daily_revenue",  # 1-row moment frame broadcast onto |days|
     "ab_test_value_ztest",  # two 1-row variant-moment frames crossed
+    "dedup_method_agreement",  # three 1-row pair-count scalars crossed
 }
 
 #: queries whose plans legitimately carry many HOF folds (k parallel
