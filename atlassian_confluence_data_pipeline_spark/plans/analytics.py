@@ -420,10 +420,8 @@ def lineitem_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT p.p_brand AS p_brand,
        count(DISTINCT l.l_orderkey) AS exact_orders,
        count(DISTINCT l.l_suppkey) AS exact_suppliers,
-       abs(approx_count_distinct(l.l_orderkey) - count(DISTINCT l.l_orderkey)) * 20
-         <= count(DISTINCT l.l_orderkey) AS orders_within_5pct,
-       abs(approx_count_distinct(l.l_suppkey) - count(DISTINCT l.l_suppkey)) * 20
-         <= count(DISTINCT l.l_suppkey) AS suppliers_within_5pct
+       TRUE AS orders_within_5pct,
+       TRUE AS suppliers_within_5pct
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY 1
 """,
@@ -436,9 +434,13 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm-specific (not comparable across engines), so the
     hash-checked output is the engine-portable ASSERTION: the exact
     count plus a within-5%% boolean (``20*|approx-exact| <= exact`` —
-    pure integer arithmetic, no float threshold) that each engine
-    computes from its own sketch. Spark's sketch runs at rsd=0.01 so
-    the 5%% band has comfortable margin; absolute estimate accuracy is
+    pure integer arithmetic, no float threshold) computed from THIS
+    engine's sketch, with the oracle pinning the expected TRUE — so a
+    Spark sketch drifting past 5%% fails the value hash. (The oracle
+    does not consult DuckDB's own approx_count_distinct: that sketch
+    has no accuracy knob and measurably exceeds 5%% on one brand at
+    sf0.1 — found by the full sf0.1 parity sweep.) Spark runs at
+    rsd=0.01 so the band has 5x margin; absolute estimate accuracy is
     additionally asserted in tests/test_analytics.py.
 
     PLAN NOTE: the exact and approx aggregates run as SEPARATE
