@@ -16,6 +16,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     curation2,
     curation3,
     curation4,
+    economics,
     embeddings2,
     eventops,
     graphops,

@@ -1,0 +1,242 @@
+"""Eighteenth wave: funnel economics and concentration analytics.
+
+- conversion latency percentiles: per converting user, the delay from
+  first click to the first subsequent purchase; exact p50/p90 of the
+  latency distribution by count selection (the funnel-timing metric a
+  conversion report leads with),
+- value-retention cohorts: the LTV-style triangle — per signup cohort
+  week, summed event value by weeks-since-cohort (DECIMAL-exact) —
+  the revenue-weighted sibling of weekly_cohort_retention's user
+  counts,
+- customer revenue concentration: the Gini coefficient of order
+  revenue across customers plus top-decile share — the concentration
+  diagnostic that quantifies "how skewed is this key" as a number
+  (the business-side face of the engine's salting/skew machinery).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from atlassian_confluence_data_pipeline_spark.catalog import load_table
+from atlassian_confluence_data_pipeline_spark.plans.registry import query
+
+_DEC = "decimal(18,6)"
+
+LATENCY_PROBS = (0.5, 0.9)
+
+
+@query(
+    "conversion_latency_percentiles",
+    oracle="""
+WITH fc AS (
+  SELECT user_id, min(ts) AS first_click FROM events
+  WHERE event_type = 'click' GROUP BY 1
+), fp AS (
+  SELECT e.user_id,
+         min(epoch_us(e.ts) - epoch_us(fc.first_click)) AS lat_us
+  FROM events e JOIN fc ON e.user_id = fc.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= fc.first_click
+  GROUP BY 1
+), vc AS (
+  SELECT lat_us, count(*) AS c FROM fp GROUP BY 1
+), cum AS (
+  SELECT lat_us, sum(c) OVER (ORDER BY lat_us) AS cum,
+         sum(c) OVER () AS n
+  FROM vc
+), p(p) AS (VALUES (0.5), (0.9))
+SELECT p.p,
+       CAST((SELECT count(*) FROM fp) AS BIGINT) AS n_converters,
+       CAST(min(CASE WHEN cum.cum >= ceil(p.p * cum.n) THEN cum.lat_us END)
+            // 1000000 AS BIGINT) AS latency_s
+FROM p CROSS JOIN cum
+GROUP BY p.p
+""",
+    tags=("events", "funnel", "latency", "percentile"),
+)
+def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click->purchase conversion latency: per user, the delay from
+    FIRST click to the first purchase at-or-after it; exact p50/p90 of
+    that distribution by count selection (first value whose cumulative
+    count reaches ceil(p*n) — the grouped_median_prices discipline) in
+    whole seconds. The funnel-timing headline a conversion report
+    leads with; integer microsecond arithmetic throughout.
+
+    Scale shape: two hash aggregates (first click per user; min
+    latency per converter), a cumulative window over DISTINCT latency
+    values, and a 2-row probe — latency state never exceeds the
+    distinct-value count."""
+    ev = load_table(spark, sf_dir, "events")
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_micros("ts") - F.unix_micros("first_click")
+            ).alias("lat_us")
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_conv = fp.count()
+    vc = fp.groupBy("lat_us").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("lat_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vc.select(
+        "lat_us",
+        F.sum("c").over(w).alias("cum"),
+        F.lit(n_conv).alias("n"),
+    )
+    probs = spark.createDataFrame([(p,) for p in LATENCY_PROBS], "p double")
+    hit = F.when(
+        F.col("cum") >= F.ceil(F.col("p") * F.col("n")), F.col("lat_us")
+    )
+    return (
+        probs.crossJoin(cum)
+        .groupBy("p")
+        .agg(
+            F.lit(n_conv).cast("bigint").alias("n_converters"),
+            F.floor(F.min(hit) / 1_000_000).cast("bigint").alias("latency_s"),
+        )
+    )
+
+
+@query(
+    "value_retention_cohorts",
+    oracle="""
+WITH f AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY 1
+), a AS (
+  SELECT e.user_id, f.cohort_week, date_trunc('week', e.ts) AS week,
+         e.value
+  FROM events e JOIN f ON e.user_id = f.user_id
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', CAST(cohort_week AS DATE), CAST(week AS DATE))
+            / 7 AS INT) AS weeks_since,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+         AS total_value
+FROM a GROUP BY 1, 2
+""",
+    tags=("events", "cohort", "ltv", "retention"),
+)
+def value_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-retention (LTV) triangle: users grouped by first-activity
+    week, event VALUE summed per (cohort, weeks-since) cell — the
+    revenue-weighted sibling of weekly_cohort_retention's user counts,
+    and the input an LTV curve integrates. Sums are DECIMAL-exact.
+
+    Scale shape: one first-activity aggregate, a broadcast of the
+    |users|-row cohort map back onto events, one (cohort, week) hash
+    aggregate — same geometry as the count-based triangle."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    a = ev.join(F.broadcast(f), "user_id").select(
+        "user_id",
+        "cohort_week",
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        "value",
+    )
+    weeks_since = (
+        F.datediff(F.col("week").cast("date"), F.col("cohort_week").cast("date"))
+        / 7
+    ).cast("int")
+    return a.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        weeks_since.alias("weeks_since"),
+    ).agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.round(
+            F.sum(F.col("value").cast(_DEC)).cast("double"), 2
+        ).alias("total_value"),
+    )
+
+
+@query(
+    "customer_revenue_gini",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT rev,
+         row_number() OVER (ORDER BY rev, o_custkey) AS i,
+         count(*) OVER () AS n
+  FROM per_cust
+), s AS (
+  SELECT n,
+         CAST(sum(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) AS total,
+         CAST(sum(CAST(i * rev AS DECIMAL(38,6))) AS DOUBLE) AS weighted
+  FROM ranked GROUP BY n
+), topd AS (
+  SELECT CAST(sum(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) AS top_rev
+  FROM ranked WHERE i > n - (n // 10)
+)
+SELECT CAST(s.n AS BIGINT) AS n_customers,
+       round(2.0 * s.weighted / (s.n * s.total)
+             - (s.n + 1.0) / s.n, 6) AS gini,
+       round(topd.top_rev / s.total, 6) AS top_decile_share
+FROM s CROSS JOIN topd
+""",
+    tags=("analytics", "concentration", "skew"),
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration across customers: the Gini coefficient
+    (2*sum(i*x_i)/(n*sum x) - (n+1)/n over revenue ranked ascending,
+    ties broken by key) plus the top-decile revenue share — the
+    number that says HOW skewed the key distribution is (the
+    business-facing face of the engine's salting/skew machinery:
+    a high Gini on a join key is the early warning that hot-key
+    defenses will be needed). Rank-weighted sums are DECIMAL-exact so
+    the coefficient is bit-stable.
+
+    Scale shape: per-customer DECIMAL aggregate, one global ordering
+    window over |customers| rows (the aggregate's own output, not the
+    fact table; at 100 TB: range-partitioned rank + boundary offsets),
+    then scalar math."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("rev")
+    )
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = per_cust.select(
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    ).localCheckpoint(eager=True)
+    s = ranked.groupBy("n").agg(
+        F.sum(F.col("rev").cast(_DEC)).cast("double").alias("total"),
+        F.sum((F.col("i") * F.col("rev")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("weighted"),
+    )
+    topd = ranked.filter(
+        F.col("i") > F.col("n") - F.floor(F.col("n") / 10)
+    ).agg(F.sum(F.col("rev").cast(_DEC)).cast("double").alias("top_rev"))
+    return (
+        s.crossJoin(topd)
+        .select(
+            F.col("n").cast("bigint").alias("n_customers"),
+            F.round(
+                2.0 * F.col("weighted") / (F.col("n") * F.col("total"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                6,
+            ).alias("gini"),
+            F.round(F.col("top_rev") / F.col("total"), 6).alias(
+                "top_decile_share"
+            ),
+        )
+    )

@@ -48,6 +48,9 @@ INTENTIONAL_BNLJ = {
     "cusum_drift_daily_revenue",  # 1-row moment frame broadcast onto |days|
     "ab_test_value_ztest",  # two 1-row variant-moment frames crossed
     "dedup_method_agreement",  # three 1-row pair-count scalars crossed
+    "conversion_latency_percentiles",  # 2-row probe table crossed onto
+    # the distinct-latency cumsum (binned_quantile pattern)
+    "customer_revenue_gini",  # 1-row top-decile scalar crossed
 }
 
 #: queries whose plans legitimately carry many HOF folds (k parallel
