@@ -22,7 +22,11 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="atlassian_confluence_data_pipeline_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
-    sub.add_parser("list", help="list registered queries")
+    list_p = sub.add_parser("list", help="list registered queries")
+    list_p.add_argument("--tag", default=None, help="filter by tag substring")
+
+    orc_p = sub.add_parser("oracle", help="print a query's DuckDB oracle SQL")
+    orc_p.add_argument("query")
 
     run_p = sub.add_parser("run", help="run one query")
     run_p.add_argument("query")
@@ -44,8 +48,21 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "list":
         for name in sorted(QUERIES):
             spec = QUERIES[name]
+            if args.tag and not any(args.tag in t for t in spec.tags):
+                continue
             kind = "oracle" if spec.oracle else "rows-only"
             print(f"{name:35s} [{kind:9s}] {', '.join(spec.tags)}")
+        return 0
+
+    if args.cmd == "oracle":
+        if args.query not in QUERIES:
+            print(f"unknown query {args.query!r}; try `list`", file=sys.stderr)
+            return 2
+        spec = QUERIES[args.query]
+        if spec.oracle is None:
+            print("-- (rows-only query: no SQL oracle)", file=sys.stderr)
+            return 1
+        print(spec.oracle.strip())
         return 0
 
     from atlassian_confluence_data_pipeline_spark.session import get_session
