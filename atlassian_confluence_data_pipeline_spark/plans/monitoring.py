@@ -126,7 +126,7 @@ WITH assigned AS (
 ), m AS (
   SELECT variant, count(*) AS n,
          CAST(sum(CAST(value AS {_DEC})) AS DOUBLE) AS s1,
-         CAST(sum(CAST(value * value AS {_DEC})) AS DOUBLE) AS s2
+         CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
   FROM assigned GROUP BY 1
 ), sides AS (
   SELECT
@@ -174,7 +174,7 @@ def ab_test_value_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = ev.select(variant.alias("variant"), "value").groupBy("variant").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast(_DEC)).cast("double").alias("s1"),
-        F.sum((F.col("value") * F.col("value")).cast(_DEC))
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
         .cast("double")
         .alias("s2"),
     )

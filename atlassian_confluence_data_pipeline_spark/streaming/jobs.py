@@ -400,15 +400,15 @@ def foreach_batch_hll_distinct(
     key_col: str = "user_id",
 ):  # noqa: ANN001 - DataStreamWriter return hint kept lazy like peers
     """Cross-batch streaming distinct count via portable HyperLogLog:
-    each micro-batch reduces to its <= 64 (reg, mx) register rows
-    (operators/sketches.py — the same hash/ladder the oracle-paired
+    each micro-batch reduces to its <= HLL_M (= 256) (reg, mx) register
+    rows (operators/sketches.py — the same hash/ladder the oracle-paired
     hll_* queries use), which merge into the persisted register table
     by element-wise max (StateStore atomic pointer flip). Because the
     registers form a monoid (hll_merge_users proves the law under the
     oracle gate), the stored sketch after N batches is BIT-IDENTICAL
     to the batch sketch over all N batches' rows — replays and
     re-merges are idempotent (max is), and the running distinct
-    estimate reads from 64 tiny rows, never from history.
+    estimate reads from HLL_M tiny rows, never from history.
 
     This is the streaming analog of the reference's run counters
     (master_script.py:294-300) upgraded to a mergeable sketch: state
@@ -436,6 +436,11 @@ def foreach_batch_hll_distinct(
     return events.writeStream.foreachBatch(merge_batch)
 
 
+#: reserved ``row`` value marking the last-applied-batch-id meta row in a
+#: persisted CMS snapshot (real CMS rows are 0..depth-1, so -1 is free)
+CMS_META_ROW = -1
+
+
 def foreach_batch_cms_merge(
     events,
     cms_store,
@@ -453,10 +458,13 @@ def foreach_batch_cms_merge(
     batches because addition commutes with the min-of-sums bound.
 
     NOTE replays: unlike the max-merge HLL, addition is NOT
-    idempotent — exactly-once sinks (or batch-id dedup, as
-    foreachBatch provides via its checkpointed batch_id) are required;
-    the test drives it with availableNow + checkpoint the same way
-    production would."""
+    idempotent, so this function implements batch-id dedup itself:
+    the last-applied ``batch_id`` is persisted INSIDE the snapshot as
+    a meta row (``row = -1``), so the sketch and its replay watermark
+    commit in the same atomic pointer flip, and ``merge_batch`` is a
+    no-op for any ``batch_id <= last_applied`` (the micro-batch replay
+    after a failure between store.write and the streaming checkpoint
+    commit). Estimate readers must filter ``row >= 0``."""
     from pyspark.sql import functions as F
 
     from atlassian_confluence_data_pipeline_spark.functions.text import (
@@ -469,6 +477,20 @@ def foreach_batch_cms_merge(
 
     def merge_batch(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if cms_store.current_snapshot() is None:
+            prior = spark.createDataFrame([], "row int, cell int, cnt bigint")
+            last_applied = -1
+        else:
+            snap = cms_store.read(spark)
+            mark = (
+                snap.filter(F.col("row") == CMS_META_ROW)
+                .agg(F.max("cnt"))
+                .first()[0]
+            )
+            last_applied = -1 if mark is None else int(mark)
+            prior = snap.filter(F.col("row") >= 0)
+        if batch_id <= last_applied:
+            return  # replayed micro-batch: its additive merge already landed
         h = rolling_hash(F.col(key_col).cast("string"))
         cells = batch_df.select(
             F.explode(
@@ -490,15 +512,15 @@ def foreach_batch_cms_merge(
         inc = cells.groupBy("row", "cell").agg(
             F.count(F.lit(1)).cast("bigint").alias("cnt")
         )
-        if cms_store.current_snapshot() is None:
-            prior = spark.createDataFrame([], "row int, cell int, cnt bigint")
-        else:
-            prior = cms_store.read(spark)
         merged = (
             prior.unionByName(inc)
             .groupBy("row", "cell")
             .agg(F.sum("cnt").cast("bigint").alias("cnt"))
         )
-        cms_store.write(merged.localCheckpoint(eager=True))
+        meta = spark.createDataFrame(
+            [(CMS_META_ROW, CMS_META_ROW, batch_id)],
+            "row int, cell int, cnt bigint",
+        )
+        cms_store.write(merged.unionByName(meta).localCheckpoint(eager=True))
 
     return events.writeStream.foreachBatch(merge_batch)

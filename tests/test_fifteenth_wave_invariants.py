@@ -98,9 +98,29 @@ def test_streaming_cms_equals_batch_cells_and_overestimates(
         .collect()
     }
     stored = {
-        (r["row"], r["cell"]): r["cnt"] for r in store.read(spark).collect()
+        (r["row"], r["cell"]): r["cnt"]
+        for r in store.read(spark).filter(F.col("row") >= 0).collect()
     }
     assert stored == batch
+
+    # replay safety: re-running the same availableNow stream against a
+    # FRESH checkpoint restarts batch ids at 0 — both are <= the
+    # persisted last-applied marker, so the additive merge must NOT be
+    # applied twice (the ADVICE replay-double-count scenario).
+    q2 = (
+        foreach_batch_cms_merge(stream, store)
+        .option(
+            "checkpointLocation", str(tmp_path / f"ck_{uuid.uuid4().hex[:6]}")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    replayed = {
+        (r["row"], r["cell"]): r["cnt"]
+        for r in store.read(spark).filter(F.col("row") >= 0).collect()
+    }
+    assert replayed == batch
 
     # estimate (min over rows) >= exact for every key
     exact = {

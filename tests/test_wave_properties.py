@@ -72,6 +72,7 @@ def _hll_estimate(keys) -> float:
     the multiply-xor-shift finalizer — without it, sequential keys bias
     the estimate by ~65%; this test is what caught that)."""
     from atlassian_confluence_data_pipeline_spark.operators.sketches import (
+        HLL_ALPHA,
         HLL_MIX,
     )
 
@@ -92,7 +93,7 @@ def _hll_estimate(keys) -> float:
         regs[reg] = max(regs.get(reg, 0), rank)
     zeros = HLL_M - len(regs)
     s = zeros * 1.0 + sum(2.0 ** -mx for mx in regs.values())
-    raw = 0.709 * HLL_M * HLL_M / s
+    raw = HLL_ALPHA * HLL_M * HLL_M / s
     if raw <= 2.5 * HLL_M and zeros > 0:
         import math
 
