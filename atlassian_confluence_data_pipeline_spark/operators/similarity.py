@@ -65,7 +65,10 @@ def collect_centroids(cent: DataFrame) -> list:
 
 
 def assign_nearest_centroid(
-    df: DataFrame, cent_rows: list, vec_col: str = "embedding"
+    df: DataFrame,
+    cent_rows: list,
+    vec_col: str = "embedding",
+    sim_col: str | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment as a NARROW map: the centroids are
     embedded as one literal array-of-structs column (a single F.expr
@@ -80,7 +83,9 @@ def assign_nearest_centroid(
     same left-to-right binary64 ``s += x*x`` sequence the SQL fold
     uses; doubles serialize via repr() (shortest round-trip form)
     inside CAST('…' AS DOUBLE), parsed correctly-rounded back to the
-    identical bits. Returns ``df``'s columns plus ``centroid_id``."""
+    identical bits. Returns ``df``'s columns plus ``centroid_id``; with
+    ``sim_col``, also the winning cosine itself (the projection onto
+    the assigned centroid — semantic_dedup's sub-cell axis)."""
     import math
 
     def _d(v: float) -> str:
@@ -115,7 +120,10 @@ def assign_nearest_centroid(
         ),
         lambda a, x: F.when(x["s"] > a["s"], x).otherwise(a),
     )
-    return with_norm.select(best["cid"].alias("centroid_id"), *cols)
+    out = [best["cid"].alias("centroid_id")]
+    if sim_col is not None:
+        out.append(best["s"].alias(sim_col))
+    return with_norm.select(*out, *cols)
 
 
 def ivf_topk(

@@ -9,7 +9,7 @@ no global sort) — the plan that survives a 100x scale-up.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -19,6 +19,167 @@ def top_k(df: DataFrame, order_cols: Sequence[Column], k: int) -> DataFrame:
     """Global top-k. ``order_cols`` must be a total order (add a unique
     tie-breaker) so results are deterministic across engines."""
     return df.orderBy(*order_cols).limit(k)
+
+
+def distributed_prefix_rank(
+    df: DataFrame,
+    order_by: Sequence[str],
+    sums: Mapping[str, str] | None = None,
+    rank_col: str | None = None,
+    exclusive_maxes: Mapping[str, str] | None = None,
+    num_ranges: int = 32,
+    bucket_col: str = "__range_bucket",
+) -> DataFrame:
+    """Distributed global prefix sum / rank — the two-pass replacement
+    for an unpartitioned ``Window.orderBy(...)`` (whose WindowExec
+    funnels the ENTIRE domain through one task):
+
+    1. bucket every row by range of the leading (numeric, non-null)
+       order key — boundaries from ``approxQuantile`` so buckets are
+       balanced; the bucket function is monotone and value-deterministic
+       (equal keys share a bucket, so global order == (bucket, order_by)
+       order);
+    2. run the cumulative window PARTITIONED by bucket — Spark's normal
+       hash-partitioned WindowExec, every task sees ~1/num_ranges of the
+       domain;
+    3. reduce each bucket to its total (one tiny hash aggregate,
+       <= num_ranges rows — the boundary exchange), turn the exclusive
+       prefix of those totals into literal per-bucket offsets, and add
+       them back as a narrow projection (a literal map lookup — no join,
+       no extra shuffle).
+
+    Adds, per ``sums`` entry ``out_name -> src_col``, the INCLUSIVE
+    global prefix sum of ``src_col`` in ``order_by`` order; with
+    ``rank_col``, the 1-based global row number (``order_by`` must then
+    be a total order for determinism); per ``exclusive_maxes`` entry,
+    the EXCLUSIVE global prefix max (max of src over rows STRICTLY
+    before this one — null on the global first row), the running-max
+    shape a distributed skyline needs. Loop-control data collected to
+    the driver is <= num_ranges rows + num_ranges-1 quantile boundaries —
+    bounded by configuration, never by data. Null leading keys are not
+    supported (approxQuantile ignores them; callers' domains are
+    aggregate outputs with non-null keys).
+
+    Eager (runs the quantile sample + totals jobs when called), like the
+    reference pipeline's loop-control aggregates (master_script.py:294-300
+    reads its counters mid-run the same way)."""
+    sums = dict(sums or {})
+    exclusive_maxes = dict(exclusive_maxes or {})
+    if not sums and not exclusive_maxes and rank_col is None:
+        return df
+    first = order_by[0]
+    n_bounds = max(1, num_ranges) - 1
+    bounds = (
+        df.stat.approxQuantile(
+            first, [i / num_ranges for i in range(1, num_ranges)], 0.001
+        )
+        if n_bounds > 0
+        else []
+    )
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.size(
+            F.filter(barr, lambda b: b < F.col(first).cast("double"))
+        )
+    else:
+        bucket = F.lit(0)
+    b = df.withColumn(bucket_col, bucket)
+
+    wl = (
+        Window.partitionBy(bucket_col)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local_cols = {out: F.sum(src).over(wl) for out, src in sums.items()}
+    wx = (
+        Window.partitionBy(bucket_col)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    for out, src in exclusive_maxes.items():
+        local_cols[out] = F.max(src).over(wx)
+    if rank_col is not None:
+        local_cols[rank_col] = F.row_number().over(
+            Window.partitionBy(bucket_col).orderBy(*order_by)
+        )
+    for out, col in local_cols.items():
+        b = b.withColumn(out, col)
+
+    totals = (
+        b.groupBy(bucket_col)
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            *[F.sum(src).alias(f"__t_{out}") for out, src in sums.items()],
+            *[
+                F.max(src).alias(f"__m_{out}")
+                for out, src in exclusive_maxes.items()
+            ],
+        )
+        .collect()
+    )
+    offsets: dict[str, dict[int, int | float]] = {
+        out: {} for out in sums
+    }
+    max_off: dict[str, dict[int, int | float]] = {
+        out: {} for out in exclusive_maxes
+    }
+    rank_off: dict[int, int] = {}
+    run = {out: 0 for out in sums}
+    run_max: dict[str, int | float | None] = {
+        out: None for out in exclusive_maxes
+    }
+    run_cnt = 0
+    for row in sorted(totals, key=lambda r: r[bucket_col]):
+        for out in sums:
+            offsets[out][row[bucket_col]] = run[out]
+            run[out] += row[f"__t_{out}"] or 0
+        for out in exclusive_maxes:
+            if run_max[out] is not None:
+                max_off[out][row[bucket_col]] = run_max[out]
+            m = row[f"__m_{out}"]
+            if m is not None and (run_max[out] is None or m > run_max[out]):
+                run_max[out] = m
+        rank_off[row[bucket_col]] = run_cnt
+        run_cnt += row["__cnt"]
+
+    def _vlit(v) -> Column:
+        # Decimal literals carry per-value precision; unify so the map's
+        # value type is consistent (exactness preserved — 38,6 covers
+        # every DECIMAL discipline in the engine)
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return F.lit(str(v)).cast("decimal(38,6)")
+        return F.lit(v)
+
+    def _lookup(m: dict[int, int | float], default_zero: bool = True) -> Column:
+        if not m or (default_zero and all(v == 0 for v in m.values())):
+            return F.lit(0) if default_zero else F.lit(None)
+        lmap = F.create_map(
+            *[x for k, v in m.items() for x in (F.lit(k), _vlit(v))]
+        )
+        hit = lmap[F.col(bucket_col)]
+        return F.coalesce(hit, F.lit(0)) if default_zero else hit
+
+    out_cols = [
+        (F.col(out) + _lookup(offsets[out])).alias(out) for out in sums
+    ]
+    for out in exclusive_maxes:
+        # greatest() ignores nulls (returns null only when BOTH the
+        # bucket-local exclusive max and the prior-bucket offset are
+        # null, i.e. the global first rows) — exactly exclusive-max
+        # semantics across the bucket boundary
+        out_cols.append(
+            F.greatest(
+                F.col(out), _lookup(max_off[out], default_zero=False)
+            ).alias(out)
+        )
+    if rank_col is not None:
+        out_cols.append(
+            (F.col(rank_col) + _lookup(rank_off)).alias(rank_col)
+        )
+    keep = [c for c in b.columns if c != bucket_col and c not in local_cols]
+    return b.select(*keep, *out_cols)
 
 
 def top_k_per_group(

@@ -963,9 +963,16 @@ def kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: near-dup regime (same constant as the embedding near-dup queries)
 SEMDEDUP_COS = 0.45
 
+#: corpus rows per sub-cell-division unit: the number of sub-cells per
+#: coarse cell is ceil(n / this) (integer arithmetic in BOTH engines),
+#: so expected cell population stays CONSTANT as the corpus grows — the
+#: SemDeDup k ~ n/C discipline that keeps within-cell pairing linear
+SEMDEDUP_SUBCELL_ROWS = 250
+
 
 def _semantic_dedup_oracle() -> str:
     cos = _IVF_COS.format(a="a.v", b="b.v")
+    r = SEMDEDUP_SUBCELL_ROWS
     return f"""
 WITH comp AS (
   SELECT label, vec_id,
@@ -981,17 +988,30 @@ WITH comp AS (
   SELECT label AS centroid_id, list(m ORDER BY pos) AS c FROM cm GROUP BY label
 ), e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), params AS (
+  SELECT CAST((count(*) + {r - 1}) // {r} AS BIGINT) AS s FROM embeddings
 ), asg AS (
-  SELECT vec_id, v, centroid_id FROM (
+  SELECT vec_id, v, centroid_id, sim AS proj FROM (
     SELECT e.vec_id, e.v, cent.centroid_id,
+           {_IVF_COS.format(a='e.v', b='cent.c')} AS sim,
            row_number() OVER (PARTITION BY e.vec_id ORDER BY
              {_IVF_COS.format(a='e.v', b='cent.c')} DESC, cent.centroid_id) AS r
     FROM e CROSS JOIN cent
   ) WHERE r = 1
+), st AS (
+  SELECT centroid_id, min(proj) AS mn,
+         greatest((max(proj) - min(proj)) / (SELECT s FROM params), 1e-12)
+           AS w
+  FROM asg GROUP BY 1
+), sub AS (
+  SELECT asg.vec_id, asg.v, asg.centroid_id,
+         CAST(floor((asg.proj - st.mn) / st.w) AS BIGINT) AS sc
+  FROM asg JOIN st USING (centroid_id)
 ), drops AS (
   SELECT DISTINCT b.vec_id AS drop_id
-  FROM asg a JOIN asg b
+  FROM sub a JOIN sub b
     ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+   AND abs(a.sc - b.sc) <= 1
   WHERE {cos} >= {SEMDEDUP_COS}
 )
 SELECT asg.vec_id, asg.centroid_id,
@@ -1009,29 +1029,34 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style SEMANTIC dedup over the embedding corpus — the
     composition a pretraining-data pipeline runs after exact/fuzzy text
     dedup: coarse-cluster every vector (the deterministic k-means cell
-    assignment, a NARROW literal-centroid argmax — no shuffle), compare
-    pairs ONLY within a cell (the cell blocking is what bounds the
-    pairwise cost; cells grow with corpus count, per-cell population
-    stays ~n/k), and drop every vector that has a higher-priority
-    (lower vec_id) cell-mate above the cosine floor. Returns the full
-    census (vec_id, centroid_id, keep) — keepers + dropped, so the
-    caller can both filter and audit.
+    assignment, a NARROW literal-centroid argmax — no shuffle), refine
+    each coarse cell into CORPUS-SCALED sub-cells, compare pairs ONLY
+    within a (cell, ±1 sub-cell) block, and drop every vector that has
+    a higher-priority (lower vec_id) block-mate above the cosine floor.
+    Returns the full census (vec_id, centroid_id, keep) — keepers +
+    dropped, so the caller can both filter and audit.
 
-    Within-cell pairing is an equi-join on centroid_id (hot cells
-    spread over salted pair tasks, exactness-preserving); the drop set
-    is a distinct projection and the final flag a broadcast-able left
-    anti semi-join pattern. Every float comparison reproduces
-    bit-for-bit in the oracle (deterministic id-ordered centroid folds
-    + the shared cosine formula).
+    SUB-CELL DISCIPLINE (the round-3 brief's near-linearity fix): the
+    number of sub-cells per coarse cell is ceil(n / 250) — integer
+    arithmetic, identical in both engines — so expected cell
+    population stays CONSTANT as the corpus grows (SemDeDup's k ~ n/C
+    regime) and within-cell pairing is O(n) instead of n²/k-fixed. The
+    sub-cell axis is the vector's cosine to its OWN centroid (the
+    argmax value itself — zero extra folds), quantized equal-width
+    per cell; a pair's projections differ by at most its angular
+    distance (spherical triangle inequality), so comparing own ±1
+    neighboring sub-cells (the multi-probe band trick: the a-side
+    emits 3 band keys, the b-side its own) catches every pair whose
+    projection gap is under one bucket width — exact duplicates and
+    high-cosine mates always co-locate; the far-projection misses are
+    the same cross-cell approximation SemDeDup itself accepts, and
+    the DuckDB oracle reproduces the blocking decision bit-for-bit
+    (min/max/width/floor all from the identical doubles).
 
-    COST MODEL (SCALING.md): exact within-cell comparison is n²/k —
-    SemDeDup stays near-linear ONLY when the cell count k scales with
-    the corpus (real deployments: k ~ n/C for constant cell size C).
-    The fixture pins k to its 10 labels for oracle determinism, so the
-    fixed-k scaling measurement is quadratic BY CONSTRUCTION — treat
-    this query as the cell-blocked oracle baseline; at 100 TB feed the
-    same composition more centroids (kmeans_iterations supplies them)
-    or use the SRP chain (embedding_lsh_pairs) for candidates."""
+    Within-block pairing is an equi-join on (centroid_id, band) (hot
+    blocks spread over salted pair tasks, exactness-preserving); the
+    drop set is a distinct projection and the final flag a
+    broadcast-able left anti semi-join pattern."""
     from atlassian_confluence_data_pipeline_spark.operators.similarity import (
         dot,
         l2_norm,
@@ -1047,33 +1072,73 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("centroid_id"), F.col("mean_vec").alias("centroid")
         )
     )
+    n = emb.count()
+    n_sub = (n + SEMDEDUP_SUBCELL_ROWS - 1) // SEMDEDUP_SUBCELL_ROWS
     # one norm fold per VECTOR instead of two per candidate pair (the
     # embedding_near_dup_pairs pattern — identical fold, identical bits)
     assigned = (
-        _assign_nearest_centroid(emb.select("vec_id", "embedding"), cent_rows)
+        _assign_nearest_centroid(
+            emb.select("vec_id", "embedding"), cent_rows, sim_col="proj"
+        )
         .select(
             "centroid_id",
             "vec_id",
             "embedding",
+            "proj",
             l2_norm(F.col("embedding")).alias("__n"),
         )
         .localCheckpoint(eager=True)
     )
-    hot = hot_blocks(assigned.select("centroid_id"), ["centroid_id"], 2000)
-    a = assigned.select(
+    # per-cell projection range -> equal-width sub-cell quantization;
+    # k tiny rows of loop-control stats (never corpus-scale)
+    stats = assigned.groupBy("centroid_id").agg(
+        F.min("proj").alias("mn"), F.max("proj").alias("mx")
+    ).collect()
+    mn_map = F.create_map(
+        *[
+            x
+            for row in stats
+            for x in (F.lit(row["centroid_id"]), F.lit(row["mn"]))
+        ]
+    )
+    w_map = F.create_map(
+        *[
+            x
+            for row in stats
+            for x in (
+                F.lit(row["centroid_id"]),
+                F.lit(max((row["mx"] - row["mn"]) / n_sub, 1e-12)),
+            )
+        ]
+    )
+    sub = assigned.withColumn(
+        "__sc",
+        F.floor(
+            (F.col("proj") - mn_map[F.col("centroid_id")])
+            / w_map[F.col("centroid_id")]
+        ).cast("bigint"),
+    )
+    a = sub.select(
         "centroid_id",
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
         F.col("__n").alias("na"),
+        F.explode(
+            F.array(F.col("__sc") - 1, F.col("__sc"), F.col("__sc") + 1)
+        ).alias("__band"),
     )
-    b = assigned.select(
+    b = sub.select(
         "centroid_id",
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vb"),
         F.col("__n").alias("nb"),
+        F.col("__sc").alias("__band"),
+    )
+    hot = hot_blocks(
+        b.select("centroid_id", "__band"), ["centroid_id", "__band"], 2000
     )
     a, b, join_keys = guarded_pair_frames(
-        a, b, "id_a", "id_b", hot, ["centroid_id"], 8
+        a, b, "id_a", "id_b", hot, ["centroid_id", "__band"], 8
     )
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     drops = (

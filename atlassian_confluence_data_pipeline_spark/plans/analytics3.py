@@ -33,6 +33,9 @@ from atlassian_confluence_data_pipeline_spark.plans.curation4 import (
     BLOOM_BITS,
     BLOOM_PROBES,
 )
+from atlassian_confluence_data_pipeline_spark.operators.windows import (
+    distributed_prefix_rank,
+)
 from atlassian_confluence_data_pipeline_spark.plans.registry import query
 
 #: quantile sketch: fixed equi-width bin count (constant memory)
@@ -108,11 +111,12 @@ def binned_quantile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max/width are the same doubles, bins are integer arithmetic.
 
     Scale shape: the sketch is one hash aggregate to {B} rows and a
-    {B}-row cumulative window (driver-scale). The exact column rides a
-    cumulative window over DISTINCT values — the sf-bounded audit
-    baseline (at scale: range-partitioned cumsum or just trust the
-    sketch; that asymmetry is the point of the query). min/max are
-    scalar loop-control aggregates."""
+    {B}-row cumulative window (constant-bounded domain — fine
+    unpartitioned). The exact audit column rides the two-pass
+    distributed prefix sum over DISTINCT values
+    (distributed_prefix_rank: per-range cumulative counts + boundary-
+    offset add — no single-partition window even for the audit).
+    min/max are scalar loop-control aggregates."""
     li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
     mm = li.agg(
         F.min("l_extendedprice").alias("mn"),
@@ -149,9 +153,11 @@ def binned_quantile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         (F.col("cum") - F.col("cnt")).alias("cumprev"),
     )
-    vd = li.groupBy("l_extendedprice").agg(F.count(F.lit(1)).alias("cnt2"))
-    vcum = vd.withColumn(
-        "cum", F.sum("cnt2").over(Window.orderBy("l_extendedprice"))
+    vd = li.groupBy("l_extendedprice").agg(
+        F.count(F.lit(1)).alias("cnt2")
+    ).localCheckpoint(eager=True)
+    vcum = distributed_prefix_rank(
+        vd, ["l_extendedprice"], sums={"cum": "cnt2"}
     )
     exact = (
         kdf.join(vcum, F.col("cum") >= F.col("k"))
@@ -390,28 +396,33 @@ def pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the oracle runs the literal quadratic NOT EXISTS dominance
     test; identical results prove the rewrite.
 
-    Scale shape: one sort-based window, ordered DESCENDING so the
-    strictly-later-dates frame is UNBOUNDED PRECEDING .. 1 PRECEDING —
-    Spark's incrementally-maintained frame (O(n) per partition). The
-    ascending formulation (1 FOLLOWING .. UNBOUNDED FOLLOWING) looks
-    identical but Spark's UnboundedFollowing frame RESCANS the
-    partition tail per row — O(n^2), measured hung at 600k rows; the
-    flip is semantics-preserving and is pinned by the x8 SCALING row.
-    The fixture uses a single ordering partition (the frame is global
-    by definition); at 100 TB a skyline runs as range-partitioned sort
-    + one boundary-exchange pass of per-partition maxima — the
-    standard distributed-prefix-max composition; the frontier output
-    itself is tiny (~log n under independence)."""
+    Scale shape: the distributed prefix-MAX composition the reference
+    formulation reduces to: the fact table first collapses to one max
+    price per DAY (hash aggregate — the only pass over the corpus),
+    then distributed_prefix_rank computes the exclusive running max
+    over strictly-later days on the |days| series (per-range window +
+    boundary max offsets — no single-partition window; ordering by
+    NEGATED day number renders 'strictly later' as 'strictly
+    preceding'), and the tiny day->threshold map broadcasts back onto
+    the facts for the keep filter. Dominance by a SAME-day order is
+    impossible by definition (the dominator must be strictly later),
+    so the per-day collapse is lossless."""
     orders = load_table(spark, sf_dir, "orders")
     day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
-    w = (
-        Window.orderBy(day.desc())
-        .rangeBetween(Window.unboundedPreceding, -1)
+    daymax = (
+        orders.groupBy(day.alias("day"))
+        .agg(F.max("o_totalprice").alias("mx"))
+        .withColumn("nday", -F.col("day"))
+        .localCheckpoint(eager=True)
     )
-    later_max = F.max("o_totalprice").over(w)
+    # exclusive prefix max in nday order == max over strictly LATER days
+    lm = distributed_prefix_rank(
+        daymax, ["nday"], exclusive_maxes={"lm": "mx"}
+    ).select("day", "lm")
     return (
-        orders.withColumn("__lm", later_max)
-        .filter(F.col("__lm").isNull() | (F.col("__lm") <= F.col("o_totalprice")))
+        orders.withColumn("day", day)
+        .join(F.broadcast(lm), "day", "left")
+        .filter(F.col("lm").isNull() | (F.col("lm") <= F.col("o_totalprice")))
         .select(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),

@@ -384,14 +384,14 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
     )
     agg = pairs.groupBy("pair").agg(F.sum("freq").alias("weight"))
-    return (
-        agg.withColumn(
-            "rnk",
-            F.row_number()
-            .over(Window.orderBy(F.desc("weight"), F.asc("pair")))
-            .cast("int"),
-        )
-        .filter(F.col("rnk") <= 20)
+    # top-20 via TakeOrderedAndProject FIRST (per-partition heaps, no
+    # global sort), then rank inside the bounded 20-row frame
+    top = agg.orderBy(F.desc("weight"), F.asc("pair")).limit(20)
+    return top.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("weight"), F.asc("pair")))
+        .cast("int"),
     )
 
 

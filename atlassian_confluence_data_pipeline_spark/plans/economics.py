@@ -16,10 +16,13 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from atlassian_confluence_data_pipeline_spark.catalog import load_table
+from atlassian_confluence_data_pipeline_spark.operators.windows import (
+    distributed_prefix_rank,
+)
 from atlassian_confluence_data_pipeline_spark.plans.registry import query
 
 _DEC = "decimal(18,6)"
@@ -64,9 +67,10 @@ def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
     leads with; integer microsecond arithmetic throughout.
 
     Scale shape: two hash aggregates (first click per user; min
-    latency per converter), a cumulative window over DISTINCT latency
-    values, and a 2-row probe — latency state never exceeds the
-    distinct-value count."""
+    latency per converter), then the two-pass distributed prefix sum
+    over DISTINCT latency values (distributed_prefix_rank — per-range
+    cumulative counts + boundary-offset add, no single-partition
+    window), and a 2-row probe."""
     ev = load_table(spark, sf_dir, "events")
     fc = (
         ev.filter(F.col("event_type") == "click")
@@ -87,12 +91,9 @@ def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
     )
     n_conv = fp.count()
     vc = fp.groupBy("lat_us").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy("lat_us").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = vc.select(
+    cum = distributed_prefix_rank(vc, ["lat_us"], sums={"cum": "c"}).select(
         "lat_us",
-        F.sum("c").over(w).alias("cum"),
+        "cum",
         F.lit(n_conv).alias("n"),
     )
     probs = spark.createDataFrame([(p,) for p in LATENCY_PROBS], "p double")
@@ -203,20 +204,24 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     defenses will be needed). Rank-weighted sums are DECIMAL-exact so
     the coefficient is bit-stable.
 
-    Scale shape: per-customer DECIMAL aggregate, one global ordering
-    window over |customers| rows (the aggregate's own output, not the
-    fact table; at 100 TB: range-partitioned rank + boundary offsets),
-    then scalar math."""
+    Scale shape: per-customer DECIMAL aggregate, then the two-pass
+    distributed rank (operators/windows.py distributed_prefix_rank:
+    range-bucket by (rev, custkey), per-bucket row_number, <= 32-row
+    boundary-offset add) — no single-partition window; |customers|
+    rows never funnel through one task. n is the bucket totals' sum
+    (loop-control scalar), then scalar math."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("rev")
-    )
-    w = Window.orderBy("rev", "o_custkey")
-    ranked = per_cust.select(
-        "rev",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
     ).localCheckpoint(eager=True)
+    n_cust = per_cust.count()
+    ranked = (
+        distributed_prefix_rank(
+            per_cust, ["rev", "o_custkey"], rank_col="i"
+        )
+        .select("rev", "i", F.lit(n_cust).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     s = ranked.groupBy("n").agg(
         F.sum(F.col("rev").cast(_DEC)).cast("double").alias("total"),
         F.sum((F.col("i") * F.col("rev")).cast("decimal(38,6)"))

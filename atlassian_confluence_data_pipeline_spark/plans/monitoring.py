@@ -13,12 +13,15 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from atlassian_confluence_data_pipeline_spark.catalog import load_table
 from atlassian_confluence_data_pipeline_spark.functions.text import ROLLING_MOD
 from atlassian_confluence_data_pipeline_spark.operators.lsh import MINHASH_PERMS
+from atlassian_confluence_data_pipeline_spark.operators.windows import (
+    distributed_prefix_rank,
+)
 from atlassian_confluence_data_pipeline_spark.plans.registry import query
 
 #: CUSUM control limit in daily-revenue sigmas
@@ -74,14 +77,24 @@ def cusum_drift_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bit-identical cross-engine; sigma comes from the same
     DECIMAL-exact moment discipline as the z-score family.
 
-    Scale shape: one hash aggregate to |days| rows, one ordered window
-    over those (metric-series scale, not fact scale), scalar moments
-    cross-attached."""
+    Scale shape: one hash aggregate to |days| rows, then the two-pass
+    distributed prefix sum/rank over the day series (the day domain
+    grows with retention, so even the metric series gets the
+    distributed_prefix_rank treatment: per-range DECIMAL partial sums
+    + boundary-offset add, no single-partition window), scalar moments
+    cross-attached. Day ordering is by epoch-day number — identical to
+    the lexical yyyy-MM-dd order the oracle uses."""
     o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
-    ).agg(
-        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("rev")
+    daily = (
+        o.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast(_DEC))
+            .cast("double")
+            .alias("rev")
+        )
+        .withColumn("dnum", F.datediff(F.col("d"), F.lit("1970-01-01")))
+        .withColumn("rev_dec", F.col("rev").cast(_DEC))
+        .localCheckpoint(eager=True)
     )
     st = daily.agg(
         F.count(F.lit(1)).alias("n"),
@@ -90,14 +103,13 @@ def cusum_drift_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("s2"),
     )
-    w = Window.orderBy("day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = daily.select(
-        "day",
+    cum = distributed_prefix_rank(
+        daily, ["dnum"], sums={"c_dec": "rev_dec"}, rank_col="t"
+    ).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
         "rev",
-        F.sum(F.col("rev").cast(_DEC)).over(w).cast("double").alias("c"),
-        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
+        F.col("c_dec").cast("double").alias("c"),
+        F.col("t").cast("bigint").alias("t"),
     )
     dev = F.col("c") - F.col("t") * F.col("s1") / F.col("n")
     sigma = F.sqrt(

@@ -19,12 +19,15 @@ final rounded ratios.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from atlassian_confluence_data_pipeline_spark.functions.text import ROLLING_MOD
 from atlassian_confluence_data_pipeline_spark.catalog import load_table
 from atlassian_confluence_data_pipeline_spark.operators.lsh import MINHASH_PERMS
+from atlassian_confluence_data_pipeline_spark.operators.windows import (
+    distributed_prefix_rank,
+)
 from atlassian_confluence_data_pipeline_spark.plans.registry import query
 from atlassian_confluence_data_pipeline_spark.plans.textops import _words
 
@@ -216,21 +219,23 @@ def doc_concat_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     answers 'which document owns global token t' with one range
     lookup.
 
-    Scale shape: the fixture runs one global cumulative window (the
-    WindowExec single-partition path — fine at driver-scale row
-    counts since only (doc_id, n) enters the window, 16 bytes/row);
-    at 100 TB this is the canonical two-pass distributed prefix sum:
-    per-range partial sums, one tiny boundary exchange, then a narrow
-    add — same numbers, no global sort."""
+    Scale shape: the canonical two-pass distributed prefix sum
+    (operators/windows.py distributed_prefix_rank): range-bucket by
+    doc_id, per-bucket cumulative window (hash-partitioned WindowExec —
+    every task sees ~1/32 of the domain), <= 32-row boundary exchange,
+    narrow literal-map add. No single-partition window anywhere; the
+    only driver-side data is the bucket totals (bounded by config, not
+    corpus)."""
     docs = load_table(spark, sf_dir, "documents")
-    w = docs.select("doc_id", F.size(_words(F.col("text"))).alias("n"))
-    win = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = F.sum("n").over(win)
-    return w.select(
+    w = docs.select(
+        "doc_id", F.size(_words(F.col("text"))).alias("n")
+    ).localCheckpoint(eager=True)
+    cum = distributed_prefix_rank(w, ["doc_id"], sums={"end_offset": "n"})
+    return cum.select(
         "doc_id",
         F.col("n").cast("bigint").alias("n_tokens"),
-        (cum - F.col("n")).cast("bigint").alias("start_offset"),
-        cum.cast("bigint").alias("end_offset"),
+        (F.col("end_offset") - F.col("n")).cast("bigint").alias(
+            "start_offset"
+        ),
+        F.col("end_offset").cast("bigint").alias("end_offset"),
     )

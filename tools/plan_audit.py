@@ -63,6 +63,38 @@ MANY_FOLD_OK = {
 
 FOLD_THRESHOLD = 8
 
+#: queries whose physical plan contains an UNPARTITIONED window whose
+#: input domain is provably BOUNDED (a constant independent of corpus
+#: size: top-k limits, fixed bin/vocab counts, k-row merges) — the only
+#: sanctioned use of the WindowExec single-partition path. Anything
+#: windowing a domain that grows with the data must go through
+#: operators/windows.py distributed_prefix_rank instead.
+BOUNDED_GLOBAL_WINDOW_OK: dict[str, str] = {
+    "binned_quantile_estimates": "cumsum over the fixed 256-bin histogram"
+    " (the exact-audit branch uses distributed_prefix_rank)",
+    "bpe_merge_candidates": "rank inside the 20-row TakeOrdered result",
+    "rrf_hybrid_search": "ranks inside the two 100-row TakeOrdered cuts"
+    " and the <=200-row fused frame",
+    "weighted_sample_wor": "rank inside the K-row TakeOrdered sample",
+    "zipf_slope": "rank inside the top-100 TakeOrdered vocabulary cut",
+}
+
+UNPARTITIONED_WINDOW_RE = None  # compiled lazily below
+
+
+def _has_unpartitioned_window(phys: str) -> bool:
+    """True if the physical plan contains a windowspecdefinition with NO
+    partition columns (its first argument is an ORDER clause — bare
+    attribute followed by ASC/DESC NULLS)."""
+    global UNPARTITIONED_WINDOW_RE
+    import re
+
+    if UNPARTITIONED_WINDOW_RE is None:
+        UNPARTITIONED_WINDOW_RE = re.compile(
+            r"windowspecdefinition\([^,()]+ (?:ASC|DESC) NULLS"
+        )
+    return bool(UNPARTITIONED_WINDOW_RE.search(phys))
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -70,8 +102,8 @@ def main() -> int:
     args = ap.parse_args()
     spark = get_session("plan-audit", cpus=8)
     flagged: list[str] = []
-    print("| query | cartesian | BNLJ | py-udf | aggregate( count |")
-    print("|---|---|---|---|---|")
+    print("| query | cartesian | BNLJ | py-udf | aggregate( count | 1p-window |")
+    print("|---|---|---|---|---|---|")
     for name in sorted(QUERIES):
         try:
             df = QUERIES[name].fn(spark, args.sf)
@@ -79,12 +111,13 @@ def main() -> int:
             phys = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # pragma: no cover - audit robustness
             flagged.append(f"{name}: plan build failed: {e}")
-            print(f"| {name} | ERROR | | | |")
+            print(f"| {name} | ERROR | | | | |")
             continue
         cartesian = "CartesianProduct" in phys or "Cross" in opt.split("\n")[0]
         bnlj = "BroadcastNestedLoopJoin" in phys
         pyudf = "BatchEvalPython" in phys
         folds = opt.count("aggregate(")
+        gwin = _has_unpartitioned_window(phys)
         row_flags = []
         if cartesian:
             row_flags.append("cartesian product")
@@ -94,11 +127,18 @@ def main() -> int:
             row_flags.append("row-at-a-time Python UDF")
         if folds > FOLD_THRESHOLD and name not in MANY_FOLD_OK:
             row_flags.append(f"{folds} aggregate-folds (CSE trap?)")
+        if gwin and name not in BOUNDED_GLOBAL_WINDOW_OK:
+            row_flags.append(
+                "unpartitioned WindowExec over an unbounded domain"
+                " (use distributed_prefix_rank, or allowlist with the"
+                " bound if the domain is constant)"
+            )
         for fl in row_flags:
             flagged.append(f"{name}: {fl}")
         print(
             f"| {name} | {'X' if cartesian else ''} |"
             f" {'X' if bnlj else ''} | {'X' if pyudf else ''} | {folds} |"
+            f" {'X' if gwin else ''} |"
         )
     print()
     if flagged:
