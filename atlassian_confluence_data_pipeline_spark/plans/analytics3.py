@@ -315,15 +315,16 @@ def neardup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on (a, c) — triangle work scales with wedge count, the
     graph-native cost, never with the corpus. Degree/triangle tallies
     are hash aggregates with map-side partials."""
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        shared_pair_table,
+    )
     from atlassian_confluence_data_pipeline_spark.plans.multimodal import (
         near_dup_pairs_lsh,
     )
 
-    e = (
-        near_dup_pairs_lsh(spark, sf_dir)
-        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .localCheckpoint(eager=True)
-    )
+    e = shared_pair_table(
+        spark, sf_dir, "near_dup_pairs_lsh", near_dup_pairs_lsh
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = und.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")

@@ -552,11 +552,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from atlassian_confluence_data_pipeline_spark.operators.graph import (
         connected_components,
     )
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        shared_pair_table,
+    )
     from atlassian_confluence_data_pipeline_spark.plans.multimodal import (
         near_dup_pairs_lsh,
     )
 
-    pairs = near_dup_pairs_lsh(spark, sf_dir)
+    pairs = shared_pair_table(
+        spark, sf_dir, "near_dup_pairs_lsh", near_dup_pairs_lsh
+    )
     return connected_components(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
     )
@@ -1233,11 +1238,16 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from atlassian_confluence_data_pipeline_spark.operators.graph import (
         connected_components,
     )
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        shared_pair_table,
+    )
     from atlassian_confluence_data_pipeline_spark.plans.multimodal import (
         minhash_lsh_pairs,
     )
 
-    pairs = minhash_lsh_pairs(spark, sf_dir)
+    pairs = shared_pair_table(
+        spark, sf_dir, "minhash_lsh_pairs", minhash_lsh_pairs
+    )
     return connected_components(pairs, "id_a", "id_b").select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
     )

@@ -84,7 +84,13 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so all three iterations stay bit-exact vs the unrolled SQL
     oracle. |nodes| is the only driver scalar (a count, like the
     k-means loop controls — never row data)."""
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        shared_pair_table,
+    )
+
+    pairs = shared_pair_table(
+        spark, sf_dir, "minhash_lsh_pairs", minhash_lsh_pairs
+    ).select("id_a", "id_b")
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(

@@ -154,21 +154,20 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two near-linear LSH chains + one equi-join of their
     (small) pair lists + scalar counts — the comparison itself costs
     nothing beyond the detectors."""
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        shared_pair_table,
+    )
     from atlassian_confluence_data_pipeline_spark.plans.multimodal import (
         near_dup_pairs_lsh,
         simhash_pairs,
     )
 
-    mh = (
-        near_dup_pairs_lsh(spark, sf_dir)
-        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .localCheckpoint(eager=True)
-    )
-    sh = (
-        simhash_pairs(spark, sf_dir)
-        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-        .localCheckpoint(eager=True)
-    )
+    mh = shared_pair_table(
+        spark, sf_dir, "near_dup_pairs_lsh", near_dup_pairs_lsh
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    sh = shared_pair_table(
+        spark, sf_dir, "simhash_pairs", simhash_pairs
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     common = mh.join(sh, ["a", "b"]).agg(
         F.count(F.lit(1)).alias("n_common")
     )

@@ -19,10 +19,26 @@ Data Source API:
 The 'server' is a deterministic arithmetic corpus (options: n_pages,
 n_spaces) so correctness is oracle-checkable — DuckDB regenerates the
 same corpus from `range()` (see plans/connector.py).
+
+With the ``base_url`` option the same reader becomes a REAL HTTP
+client: each partition issues ``GET {base_url}/pages?start=S&limit=N``
+(plus pushed-filter params) through :func:`http_fetch_json`, which
+reproduces the reference client's retry discipline
+(confluence_client.py:113-234) exactly — 3 retries, exponential
+backoff ``2s * 2^(n-1) + jitter``, a 5x-delay sleep-then-retry on 429,
+retry on 5xx/connection errors/timeouts, immediate raise on other 4xx,
+30 s request timeout. The synthetic corpus stays the oracle fixture;
+the HTTP path is exercised by tests/test_connector.py against a local
+scripted server.
 """
 
 from __future__ import annotations
 
+import json as _json
+import random as _random
+import time as _time
+import urllib.error
+import urllib.request
 from datetime import datetime, timedelta
 from typing import Iterator
 
@@ -61,6 +77,51 @@ def _page(i: int, n_spaces: int) -> tuple:
     )
 
 
+def http_fetch_json(
+    url: str,
+    *,
+    timeout_s: float = 30.0,
+    max_retries: int = 3,
+    retry_delay_s: float = 2.0,
+    sleep=_time.sleep,
+    rand=_random.random,
+):
+    """GET ``url`` and decode JSON with the reference client's retry
+    table (confluence_client.py:113-234, faithful decision-for-decision):
+
+    - attempt n > 0 first sleeps ``retry_delay * 2^(n-1) + rand()*0.5``
+      (exponential backoff with jitter, :121);
+    - HTTP 429 sleeps an EXTRA ``retry_delay * 5`` then retries (:195);
+    - HTTP 5xx retries (:202), other 4xx raise immediately (:206);
+    - connection errors / timeouts retry (:208-214);
+    - after ``max_retries`` exhausted, the terminal error raises.
+
+    ``sleep``/``rand`` are injectable so tests assert the exact delay
+    schedule without real waiting."""
+    retry_count = 0
+    while retry_count <= max_retries:
+        if retry_count > 0:
+            sleep(retry_delay_s * (2 ** (retry_count - 1)) + rand() * 0.5)
+        try:
+            with urllib.request.urlopen(url, timeout=timeout_s) as resp:
+                return _json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            if e.code == 429 and retry_count < max_retries:
+                sleep(retry_delay_s * 5)  # rate-limit: longer delay (:199)
+                retry_count += 1
+                continue
+            if 500 <= e.code < 600 and retry_count < max_retries:
+                retry_count += 1
+                continue
+            raise
+        except (urllib.error.URLError, TimeoutError, OSError):
+            if retry_count < max_retries:
+                retry_count += 1
+                continue
+            raise
+    raise RuntimeError(f"Failed to make request after {max_retries} retries")
+
+
 class _RangePartition(InputPartition):
     def __init__(self, start: int, end: int):
         self.start, self.end = start, end
@@ -74,6 +135,14 @@ class ConfluenceFixtureReader(DataSourceReader):
         # after every page fetch (confluence_client.py:327,346,399,449).
         # Applied once per partition batch (= one 'request'); 0 = off.
         self.page_throttle_ms = int(options.get("page_throttle_ms", "0"))
+        # live-HTTP mode: fetch each partition's rows from a REST server
+        # instead of generating the synthetic corpus
+        self.base_url = options.get("base_url")
+        self.http_timeout_s = float(options.get("http_timeout_s", "30"))
+        self.http_max_retries = int(options.get("http_max_retries", "3"))
+        self.http_retry_delay_s = float(
+            options.get("http_retry_delay_s", "2")
+        )
         self.space_eq: str | None = None
         self.version_bounds: list[tuple[str, int]] = []
 
@@ -112,6 +181,39 @@ class ConfluenceFixtureReader(DataSourceReader):
                 return False
         return True
 
+    def _fetch_http_rows(self, partition: _RangePartition) -> list[tuple]:
+        """One paginated 'request' per partition, pushed filters as
+        query params (the reference's spaceKey param / CQL analog), with
+        the full retry/backoff/429 discipline of http_fetch_json."""
+        from urllib.parse import urlencode
+
+        params = {
+            "start": partition.start,
+            "limit": partition.end - partition.start,
+        }
+        if self.space_eq is not None:
+            params["space_key"] = self.space_eq
+        for kind, bound in self.version_bounds:
+            params[f"version_{kind}"] = bound
+        url = f"{self.base_url.rstrip('/')}/pages?{urlencode(params)}"
+        payload = http_fetch_json(
+            url,
+            timeout_s=self.http_timeout_s,
+            max_retries=self.http_max_retries,
+            retry_delay_s=self.http_retry_delay_s,
+        )
+        return [
+            (
+                str(r["id"]),
+                r["title"],
+                r["space_key"],
+                int(r["version"]),
+                datetime.fromisoformat(r["last_modified"]),
+                int(r["n_children"]),
+            )
+            for r in payload.get("results", [])
+        ]
+
     def read(self, partition: _RangePartition):
         """Yield ONE Arrow batch per partition (columnar hand-off to the
         JVM — far cheaper than per-row tuple pickling)."""
@@ -121,11 +223,16 @@ class ConfluenceFixtureReader(DataSourceReader):
             import time
 
             time.sleep(self.page_throttle_ms / 1000.0)
-        rows = [
-            row
-            for i in range(partition.start, partition.end)
-            if self._keep(row := _page(i, self.n_spaces))
-        ]
+        if self.base_url:
+            # the server already applied pushed filters; _keep re-checks
+            # client-side (belt-and-braces, same rows either way)
+            rows = [r for r in self._fetch_http_rows(partition) if self._keep(r)]
+        else:
+            rows = [
+                row
+                for i in range(partition.start, partition.end)
+                if self._keep(row := _page(i, self.n_spaces))
+            ]
         if not rows:
             return
         cols = list(zip(*rows))
@@ -144,7 +251,9 @@ class ConfluenceFixtureReader(DataSourceReader):
 
 class ConfluenceFixtureDataSource(DataSource):
     """``spark.read.format("confluence_pages")`` — options: n_pages,
-    n_spaces, page_throttle_ms (per-request rate limit; see reader)."""
+    n_spaces, page_throttle_ms (per-request rate limit; see reader),
+    base_url (live-HTTP mode), http_timeout_s, http_max_retries,
+    http_retry_delay_s (reference client retry discipline)."""
 
     @classmethod
     def name(cls) -> str:

@@ -79,6 +79,27 @@ def main() -> None:
     # the driver captures only the stdout tail; persist the full record
     # so round-over-round diffs never depend on a truncated capture
     (Path(__file__).resolve().parent / "BENCH_LOCAL.json").write_text(line + "\n")
+    # ... and end stdout with a COMPACT one-line summary (headline total
+    # + the 10 slowest queries) that always fits inside a 2 KB tail
+    # capture even when the full per-query JSON line truncates
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": slowest,
+                "queries_note": f"10 slowest of {len(timings)};"
+                " full map in BENCH_LOCAL.json and the line above",
+                "sf": float(sf),
+                "n_queries": len(timings),
+                "cpus": CPUS,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

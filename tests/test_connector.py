@@ -1,16 +1,186 @@
 """Custom Python DataSource connector: filter-pushdown absorption,
-pagination partitioning, and end-to-end read correctness."""
+pagination partitioning, end-to-end read correctness, and the live-HTTP
+mode's retry/backoff/429 discipline (reference
+confluence_client.py:113-234) against a local scripted server."""
 
 from __future__ import annotations
 
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, StringStartsWith
 
 from atlassian_confluence_data_pipeline_spark.sources.confluence_source import (
     PAGE_BATCH,
     ConfluenceFixtureReader,
+    _page,
+    http_fetch_json,
     register,
 )
+
+
+class _ScriptedServer:
+    """Local HTTP server whose /pages endpoint serves the deterministic
+    synthetic corpus, optionally failing the first ``fail_first``
+    requests with ``fail_status`` — the retry-then-succeed fixture."""
+
+    def __init__(self, n_pages=300, n_spaces=3, fail_first=0, fail_status=503):
+        state = {"failures_left": fail_first}
+        lock = threading.Lock()
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # noqa: D102 - quiet test server
+                pass
+
+            def do_GET(self):  # noqa: N802 - http.server API
+                with lock:
+                    if state["failures_left"] > 0:
+                        state["failures_left"] -= 1
+                        self.send_response(fail_status)
+                        self.end_headers()
+                        return
+                q = parse_qs(urlparse(self.path).query)
+                start = int(q.get("start", ["0"])[0])
+                limit = int(q.get("limit", ["100"])[0])
+                space = q.get("space_key", [None])[0]
+                results = []
+                for i in range(start, min(start + limit, n_pages)):
+                    r = _page(i, n_spaces)
+                    if space is not None and r[2] != space:
+                        continue
+                    results.append(
+                        {
+                            "id": r[0],
+                            "title": r[1],
+                            "space_key": r[2],
+                            "version": r[3],
+                            "last_modified": r[4].isoformat(),
+                            "n_children": r[5],
+                        }
+                    )
+                body = json.dumps({"results": results}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.httpd.server_address[1]}"
+        self.thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self.thread.start()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def test_http_retry_then_succeed_backoff_schedule():
+    """Two 503s then success: the fetch retries with the reference's
+    exponential backoff (2s * 2^(n-1), jitter injected as 0) and
+    returns the payload."""
+    srv = _ScriptedServer(n_pages=5, fail_first=2, fail_status=503)
+    sleeps: list[float] = []
+    try:
+        payload = http_fetch_json(
+            srv.url + "/pages?start=0&limit=5",
+            sleep=sleeps.append,
+            rand=lambda: 0.0,
+        )
+    finally:
+        srv.close()
+    assert len(payload["results"]) == 5
+    assert sleeps == [2.0, 4.0]  # backoff before attempts 1 and 2
+
+
+def test_http_429_rate_limit_backoff():
+    """A 429 sleeps the reference's 5x retry_delay FIRST, then the
+    normal backoff before the retry attempt (client.py:195-199)."""
+    srv = _ScriptedServer(n_pages=3, fail_first=1, fail_status=429)
+    sleeps: list[float] = []
+    try:
+        payload = http_fetch_json(
+            srv.url + "/pages?start=0&limit=3",
+            sleep=sleeps.append,
+            rand=lambda: 0.0,
+        )
+    finally:
+        srv.close()
+    assert len(payload["results"]) == 3
+    assert sleeps == [10.0, 2.0]  # 5x rate-limit sleep, then backoff
+
+
+def test_http_non_retryable_4xx_raises_immediately():
+    import urllib.error
+
+    srv = _ScriptedServer(n_pages=3, fail_first=99, fail_status=404)
+    sleeps: list[float] = []
+    try:
+        with pytest.raises(urllib.error.HTTPError):
+            http_fetch_json(
+                srv.url + "/pages?start=0&limit=3",
+                sleep=sleeps.append,
+                rand=lambda: 0.0,
+            )
+    finally:
+        srv.close()
+    assert sleeps == []  # no retry, no backoff on plain 4xx
+
+
+def test_http_connection_failure_exhausts_retries():
+    """An unreachable server (connection refused — the timeout-class
+    failure) retries max_retries times with the full backoff ladder,
+    then raises the terminal error."""
+    import urllib.error
+
+    srv = _ScriptedServer(n_pages=1)
+    url = srv.url  # capture a port, then close so connections refuse
+    srv.close()
+    sleeps: list[float] = []
+    with pytest.raises((urllib.error.URLError, OSError)):
+        http_fetch_json(
+            url + "/pages?start=0&limit=1",
+            sleep=sleeps.append,
+            rand=lambda: 0.0,
+        )
+    assert sleeps == [2.0, 4.0, 8.0]  # all three backoffs spent
+
+
+def test_http_mode_end_to_end_matches_synthetic(spark):
+    """spark.read in base_url mode against the local server returns
+    EXACTLY the synthetic corpus (same rows, same pushed-filter
+    behavior) — the oracle fixture validates the live path."""
+    register(spark)
+    srv = _ScriptedServer(n_pages=250, n_spaces=3)
+    try:
+        live = (
+            spark.read.format("confluence_pages")
+            .option("n_pages", 250)
+            .option("n_spaces", 3)
+            .option("base_url", srv.url)
+            .load()
+        )
+        synth = (
+            spark.read.format("confluence_pages")
+            .option("n_pages", 250)
+            .option("n_spaces", 3)
+            .load()
+        )
+        assert sorted(map(tuple, live.collect())) == sorted(
+            map(tuple, synth.collect())
+        )
+        # pushed space filter travels as a query param and agrees
+        lf = live.filter(F.col("space_key") == "SPACE_1")
+        assert lf.count() == synth.filter(
+            F.col("space_key") == "SPACE_1"
+        ).count()
+    finally:
+        srv.close()
 
 
 def test_reader_absorbs_supported_filters():

@@ -1,0 +1,67 @@
+"""Star-contraction connected components (round-4 brief item 5):
+output equivalence with the min-label cross-check on random graphs, and
+the O(log n) round bound on the adversarial deep-path graph that makes
+O(diameter) propagation infeasible."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from atlassian_confluence_data_pipeline_spark.operators.graph import (
+    connected_components,
+    connected_components_minlabel,
+)
+
+
+def _labels(df):
+    return {(r["node"], r["component"]) for r in df.collect()}
+
+
+def test_matches_minlabel_on_random_graphs(spark):
+    rng = random.Random(5)
+    for trial in range(3):
+        n = 300
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(int(n * (0.6 + 0.4 * trial)))
+        ]
+        pairs = spark.createDataFrame(edges, "a bigint, b bigint")
+        star = _labels(connected_components(pairs, "a", "b"))
+        naive = _labels(connected_components_minlabel(pairs, "a", "b"))
+        assert star == naive
+
+
+def test_path_graph_converges_in_log_rounds(spark):
+    """1000-node path: diameter 999, so min-label would need ~999
+    rounds (it is capped at 50 and would return WRONG labels); star
+    contraction must converge in O(log n) — well under 2*log2(n)+4 —
+    and still label every node with the path's minimum id."""
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a bigint, b bigint"
+    )
+    stats: dict = {}
+    out = connected_components(pairs, "a", "b", stats=stats)
+    got = _labels(out)
+    assert got == {(i, 0) for i in range(n)}
+    assert stats["rounds"] <= 2 * math.ceil(math.log2(n)) + 4, stats
+
+
+def test_self_pairs_and_singleton_components(spark):
+    pairs = spark.createDataFrame(
+        [(7, 7), (1, 2), (2, 1), (9, 8)], "a bigint, b bigint"
+    )
+    got = _labels(connected_components(pairs, "a", "b"))
+    assert got == {(7, 7), (1, 1), (2, 1), (8, 8), (9, 8)}
+
+
+def test_two_cliques_with_bridge(spark):
+    c1 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    c2 = [(i, j) for i in range(10, 14) for j in range(i + 1, 14)]
+    pairs = spark.createDataFrame(c1 + c2 + [(4, 10)], "a bigint, b bigint")
+    got = dict(_labels(connected_components(pairs, "a", "b")))
+    assert all(v == 0 for v in got.values())  # bridge merges everything
+    assert set(got) == set(range(5)) | set(range(10, 14))
