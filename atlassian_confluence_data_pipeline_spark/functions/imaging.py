@@ -1,13 +1,15 @@
 """Pure-numpy image codecs for the multimodal binary columns (X5).
 
 No media library exists in this container, so the engine carries its
-own dependency-free decoders for the two uncompressed formats a
-from-scratch implementation can honestly support: 24-bit BI_RGB BMP
-and binary PPM (P6). That makes the decode contract of
-``sources/binary.py`` (reference analog: attachment byte handling,
-api_client/confluence_client.py:601-633) EXECUTABLE — real width/
-height/pixel values, not a stub — while compressed formats (PNG/JPEG)
-remain the documented external-library path.
+own dependency-free codecs for the formats stdlib + numpy can honestly
+support: 24-bit BI_RGB BMP, binary PPM (P6), and — via stdlib
+``zlib`` — 8-bit truecolor PNG (full filter set 0-4 on decode,
+filter-0 scanlines on encode; CRC-verified chunks). That makes the
+decode contract of ``sources/binary.py`` (reference analog: attachment
+byte handling, api_client/confluence_client.py:601-633) EXECUTABLE —
+real width/height/pixel values, not a stub — while transform-coded
+formats (JPEG, video codecs) remain the documented external-library
+path.
 
 Everything operates on ``uint8`` RGB arrays of shape (h, w, 3) and is
 deterministic, so Spark-side tests can assert exact round-trips.
@@ -16,6 +18,7 @@ deterministic, so Spark-side tests can assert exact round-trips.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -96,13 +99,116 @@ def decode_ppm(data: bytes) -> np.ndarray:
     )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body))
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG (8-bit truecolor, no interlace,
+    filter 0 per scanline, one zlib IDAT). Stdlib-only; decodable by
+    any PNG reader."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG -> (h, w, 3) uint8 RGB. Supports the engine's write domain
+    plus everything a standard tool would emit for it: 8-bit truecolor
+    (color type 2), no interlace, full filter set 0-4 (None/Sub/Up/
+    Average/Paeth), CRC-verified chunks, multi-IDAT streams."""
+    if data[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_MAGIC)
+    w = h = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(tag + body) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG (need 8-bit truecolor, "
+                    f"got depth={depth} color={ctype} interlace={interlace})"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(
+            stride, np.int32
+        )
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential
+            cur = np.zeros(stride, np.int32)
+            for i in range(stride):
+                a = cur[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, 3).copy()
+
+
 def decode_image_bytes(data: bytes) -> np.ndarray:
-    """Dispatch on magic bytes: BMP or PPM -> (h, w, 3) uint8 RGB."""
+    """Dispatch on magic bytes: BMP, PPM, or PNG -> (h, w, 3) uint8 RGB."""
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:2] == b"P6":
         return decode_ppm(data)
-    raise ValueError("unsupported image format (supported: 24-bit BMP, P6 PPM)")
+    if data[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        return decode_png(data)
+    raise ValueError(
+        "unsupported image format (supported: 24-bit BMP, P6 PPM, PNG)"
+    )
 
 
 def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:

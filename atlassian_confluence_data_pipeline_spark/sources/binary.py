@@ -14,9 +14,12 @@ shape) is exercised without external media files.
 
 Decode/feature-extract runs through ``mapInPandas`` — one Arrow batch
 per partition. Byte-level features (size, digest, byte histogram) are
-REAL; actual image/audio decode is STUBBED behind NotImplementedError
-because no media libraries exist in this container — the Spark-side
-contract (signatures, schemas, batching) is what the engine defines.
+REAL, and so is image decode for BMP, PPM, and PNG (the pure
+stdlib+numpy codecs in functions/imaging.py — zlib carries the PNG
+path). Only transform-coded media (JPEG, audio, video codecs) remains
+the documented external-library path: those payloads flow through the
+same schema/batching contract and surface as tolerant-load ``err``
+rows in decode_image rather than failures.
 """
 
 from __future__ import annotations
@@ -107,12 +110,15 @@ def extract_byte_features(attachments: DataFrame, n_buckets: int = 16) -> DataFr
 def image_attachments_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic image attachments derived from `documents`: small
     RGB gradients (size and pixel pattern are pure functions of doc_id),
-    encoded 24-bit BMP for even ids and P6 PPM for odd — real payloads
-    for the real decoders in functions/imaging.py."""
+    encoded 24-bit BMP / P6 PPM / PNG cycling on doc_id % 3 — real
+    payloads for the real decoders in functions/imaging.py (PNG rides
+    stdlib zlib; same pixels either way, so the decode oracle is
+    container-agnostic)."""
     import numpy as np
 
     from atlassian_confluence_data_pipeline_spark.functions.imaging import (
         encode_bmp,
+        encode_png,
         encode_ppm,
     )
     from atlassian_confluence_data_pipeline_spark.pyfiles import (
@@ -129,10 +135,12 @@ def image_attachments_from_documents(docs: DataFrame) -> DataFrame:
                 w, h = d % 6 + 2, d % 4 + 2
                 y, x, c = np.ogrid[:h, :w, :3]
                 px = ((d + 7 * x + 13 * y + 101 * c) % 256).astype(np.uint8)
-                if d % 2 == 0:
+                if d % 3 == 0:
                     rows.append((d, f"img_{d}.bmp", encode_bmp(px)))
-                else:
+                elif d % 3 == 1:
                     rows.append((d, f"img_{d}.ppm", encode_ppm(px)))
+                else:
+                    rows.append((d, f"img_{d}.png", encode_png(px)))
             yield pd.DataFrame(rows, columns=["owner_id", "filename", "content"])
 
     return docs.select("doc_id").mapInPandas(

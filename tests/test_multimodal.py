@@ -72,10 +72,79 @@ def test_codec_roundtrips():
     assert np.array_equal(decode_ppm(encode_ppm(px)), px)
     assert np.array_equal(decode_image_bytes(encode_bmp(px)), px)
     with pytest.raises(ValueError):
-        decode_image_bytes(b"\x89PNG not supported")
+        decode_image_bytes(b"GIF89a not supported")
     # PPM comments/whitespace tolerance per spec
     ppm = b"P6\n# a comment\n5 3\n255\n" + px.tobytes()
     assert np.array_equal(decode_ppm(ppm), px)
+
+
+def test_png_roundtrip_and_filters():
+    from atlassian_confluence_data_pipeline_spark.functions.imaging import (
+        decode_png,
+        encode_png,
+    )
+
+    for d, h, w in [(1, 1, 1), (3, 2, 3), (9, 7, 5), (4, 16, 16)]:
+        px = _gradient(d, h, w)
+        data = encode_png(px)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        assert np.array_equal(decode_png(data), px)
+        assert np.array_equal(decode_image_bytes(data), px)
+
+    # a PNG built with the FULL filter set (Sub/Up/Average/Paeth), the
+    # way an external encoder would write it, must decode identically
+    import struct
+    import zlib
+
+    px = _gradient(11, 4, 6)
+    stride = 6 * 3
+    prev = np.zeros(stride, np.int32)
+    lines = []
+    for y, f in enumerate([1, 2, 3, 4]):
+        cur = px[y].reshape(-1).astype(np.int32)
+        enc = np.zeros(stride, np.int32)
+        for i in range(stride):
+            a = cur[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = (
+                    a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                )
+            enc[i] = (cur[i] - pred) & 0xFF
+        lines.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+    raw = b"".join(lines)
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), px)
+
+    # corrupted CRC is rejected, not silently decoded
+    bad = bytearray(encode_png(px))
+    bad[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
 
 
 def test_resize_nearest_semantics():
