@@ -109,6 +109,66 @@ def asof_join_backward(
     return out
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+) -> DataFrame:
+    """As-of join (forward): for every left row, attach the EARLIEST
+    right row with ``right_ts >= left_ts`` within the same ``on`` key —
+    the next-event direction (click -> next purchase), mirroring
+    :func:`asof_join_backward`'s union-and-carry form with the merged
+    timeline walked DESCENDING: sorting each key's rows by ts
+    descending (right rows before left at equal ts, so ties are
+    inclusive) and carrying the last non-null right value makes the
+    carried value the smallest right_ts at-or-after each left row. One
+    shuffle on the key, no range-join pair explosion.
+
+    ``right`` must be unique per (on, right_ts), as with backward."""
+    from pyspark.sql import Window
+
+    carried = [f"__r_{c}" for c in right_value_cols]
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        *[F.col(c).alias(a) for c, a in zip(right_value_cols, carried)],
+    )
+    l_cols = left.columns
+    l = left.select(
+        *l_cols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        *[F.lit(None).cast(t.dataType).alias(a)
+          for t, a in zip(
+              [right.schema[c] for c in right_value_cols], carried
+          )],
+    )
+    merged = r.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols if c != on],
+        on,
+        "__ts",
+        "__tag",
+        *carried,
+    ).unionByName(l.select(*[c for c in l_cols if c != on], on, "__ts", "__tag", *carried))
+    # descending ts; right rows (tag 0) first at equal ts => right_ts ==
+    # left_ts counts, matching ASOF ... ON l.ts <= r.ts
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.desc("__ts"), F.asc("__tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for a in carried:
+        merged = merged.withColumn(a, F.last(a, ignorenulls=True).over(w))
+    out = merged.filter(F.col("__tag") == 1).drop("__ts", "__tag")
+    for c, a in zip(right_value_cols, carried):
+        out = out.withColumnRenamed(a, f"asof_{c}")
+    return out
+
+
 def cdc_delta(
     current: DataFrame,
     state: DataFrame,

@@ -29,6 +29,7 @@ def distributed_prefix_rank(
     exclusive_maxes: Mapping[str, str] | None = None,
     num_ranges: int = 32,
     bucket_col: str = "__range_bucket",
+    bounds: Sequence[float] | None = None,
 ) -> DataFrame:
     """Distributed global prefix sum / rank — the two-pass replacement
     for an unpartitioned ``Window.orderBy(...)`` (whose WindowExec
@@ -69,13 +70,18 @@ def distributed_prefix_rank(
         return df
     first = order_by[0]
     n_bounds = max(1, num_ranges) - 1
-    bounds = (
-        df.stat.approxQuantile(
-            first, [i / num_ranges for i in range(1, num_ranges)], 0.001
+    if bounds is not None:
+        # caller-supplied split points (e.g. equal-width from already-
+        # known min/max) — skips the approxQuantile sampling job
+        bounds = [float(b) for b in bounds]
+    else:
+        bounds = (
+            df.stat.approxQuantile(
+                first, [i / num_ranges for i in range(1, num_ranges)], 0.001
+            )
+            if n_bounds > 0
+            else []
         )
-        if n_bounds > 0
-        else []
-    )
     if bounds:
         barr = F.array(*[F.lit(float(b)) for b in bounds])
         bucket = F.size(

@@ -9,6 +9,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     analytics,
     analytics2,
     analytics3,
+    attribution,
     behavior,
     clustering,
     connector,

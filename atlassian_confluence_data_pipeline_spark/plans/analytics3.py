@@ -156,8 +156,13 @@ def binned_quantile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     vd = li.groupBy("l_extendedprice").agg(
         F.count(F.lit(1)).alias("cnt2")
     ).localCheckpoint(eager=True)
+    # equal-width range bounds from the already-known min/max — skips
+    # the operator's approxQuantile sampling job (prices are ~uniform)
     vcum = distributed_prefix_rank(
-        vd, ["l_extendedprice"], sums={"cum": "cnt2"}
+        vd,
+        ["l_extendedprice"],
+        sums={"cum": "cnt2"},
+        bounds=[mn + (mx - mn) * i / 32 for i in range(1, 32)],
     )
     exact = (
         kdf.join(vcum, F.col("cum") >= F.col("k"))
