@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from atlassian_confluence_data_pipeline_spark.functions.html import (
@@ -36,6 +36,7 @@ class RefreshResult:
     processed: DataFrame  # transformed rows + change_type
     new_state: DataFrame  # merged ledger after the run
     stats: DataFrame  # grouped run statistics (A1)
+    metrics: dict | None = None  # observed run counters (see run_with_store)
 
 
 def incremental_refresh(
@@ -44,6 +45,7 @@ def incremental_refresh(
     lookback_cutoff: str,
     base_url: str = "https://example.org/wiki",
     check_missing: bool = True,
+    observation: Observation | None = None,
 ) -> RefreshResult:
     """One incremental run over a `pages` frame (FIXTURES.md §B schema).
 
@@ -59,6 +61,12 @@ def incremental_refresh(
                          filename sanitization (F1-F5)
       5. state merge   — last-write-wins MERGE (K3)
       6. stats         — grouped outcome counts (A1)
+
+    With ``observation``, the processed frame is instrumented with
+    ``observe()`` so the run counters the reference tallies row-by-row
+    (master_script.py:106-113, 294-300) fall out of the SAME job that
+    materializes the state merge — zero extra passes; read them with
+    ``observation.get`` after the first action (run_with_store does).
     """
     updated = pages.filter(
         F.col("version.when") >= F.lit(lookback_cutoff).cast("timestamp")
@@ -92,6 +100,23 @@ def incremental_refresh(
             sanitize_filename(F.col("title")), F.lit("_"), F.col("id"), F.lit(".html")
         ).alias("filename"),
     )
+    if observation is not None:
+        processed = processed.observe(
+            observation,
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.when(F.col("change_type") == "new", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(F.col("change_type") == "updated", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_updated"),
+            F.sum(F.when(F.col("html").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_failed_html"),
+            F.coalesce(F.sum(F.length("html")), F.lit(0))
+            .cast("bigint")
+            .alias("html_chars"),
+        )
 
     ledger_updates = processed.select(
         "id",
@@ -127,9 +152,18 @@ def run_with_store(
     """incremental_refresh against a persistent StateStore: read ledger,
     run, atomically publish the merged snapshot. Re-running with no new
     page versions is a no-op (idempotence — state_manager.py:72
-    semantics; property-tested)."""
+    semantics; property-tested).
+
+    Run counters ride an ``Observation`` on the processed frame: the
+    state-merge materialization is the action that populates them, so
+    the reference's end-of-run report (master_script.py:590-609) costs
+    ZERO extra jobs here — ``result.metrics`` is filled from the same
+    pass that published the ledger."""
     state = store.read(spark)
-    result = incremental_refresh(pages, state, lookback_cutoff, **kwargs)
+    obs = Observation()
+    result = incremental_refresh(
+        pages, state, lookback_cutoff, observation=obs, **kwargs
+    )
     merged = result.new_state.localCheckpoint(eager=True)
     store.write(merged)
-    return RefreshResult(result.processed, merged, result.stats)
+    return RefreshResult(result.processed, merged, result.stats, dict(obs.get))

@@ -52,6 +52,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -249,6 +250,50 @@ class ConfluenceFixtureReader(DataSourceReader):
         )
 
 
+class ConfluenceStreamReader(SimpleDataSourceStreamReader):
+    """The reference's INCREMENTAL POLL as a Structured Streaming
+    source (master_script.py:456-581's daily lookback loop, made a real
+    stream): the offset is the next unread page index, each micro-batch
+    reads up to ``pages_per_batch`` pages (the pagination window as the
+    batch boundary), and because the corpus is addressed by offset
+    ranges, ``readBetweenOffsets`` replays any batch EXACTLY — the
+    deterministic-replay contract that makes downstream exactly-once
+    sinks (audit_log, foreachBatch MERGE) end-to-end exactly-once.
+
+    In live-HTTP mode the same offsets would drive paginated GETs
+    through http_fetch_json; the synthetic corpus keeps the semantics
+    testable and deterministic."""
+
+    def __init__(self, options):
+        self.n_pages = int(options.get("n_pages", "1000"))
+        self.n_spaces = int(options.get("n_spaces", "5"))
+        self.pages_per_batch = int(
+            options.get("pages_per_batch", str(PAGE_BATCH))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(lo + self.pages_per_batch, self.n_pages)
+        end = {"next": hi}
+        return iter(
+            [_page(i, self.n_spaces) for i in range(lo, hi)]
+        ), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [
+                _page(i, self.n_spaces)
+                for i in range(int(start["next"]), int(end["next"]))
+            ]
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are pure arithmetic; nothing to clean up
+
+
 class ConfluenceFixtureDataSource(DataSource):
     """``spark.read.format("confluence_pages")`` — options: n_pages,
     n_spaces, page_throttle_ms (per-request rate limit; see reader),
@@ -264,6 +309,9 @@ class ConfluenceFixtureDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ConfluenceFixtureReader:
         return ConfluenceFixtureReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> ConfluenceStreamReader:
+        return ConfluenceStreamReader(self.options)
 
 
 def register(spark) -> None:

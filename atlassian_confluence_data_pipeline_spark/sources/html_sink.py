@@ -1,0 +1,122 @@
+"""K1 as an OFFICIAL Spark sink: a Python Data Source V2 *writer* for
+the reference's one-HTML-file-per-page output
+(html_generator.py:50-64 — ``html/{space}/{new|updated}/{name}.html``).
+
+``operators/sinks.write_one_file_per_row`` does this with
+foreachPartition; this module does it through Spark's writer commit
+protocol (``DataSourceWriter.write/commit/abort``), which is what a
+production file sink actually needs:
+
+- every task writes its rows into a PRIVATE staging directory
+  (``{path}/_staging/{uuid}/``) and reports the manifest in its
+  WriterCommitMessage — a failed/retried task never touches the
+  destination;
+- the driver's ``commit`` publishes all staged files with atomic
+  renames and stamps ``_SUCCESS`` last, so readers see either the
+  whole output or none of it (the StateStore pointer-flip discipline,
+  applied to a file sink);
+- ``abort`` removes all staging output, leaving any previously
+  published run untouched.
+
+Usage::
+
+    df.write.format("confluence_html").mode("append"|"overwrite")
+      .option("filename_col", "filename").option("content_col", "html")
+      .save(path)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import Row, StructType
+
+STAGING = "_staging"
+
+
+@dataclass
+class _Manifest(WriterCommitMessage):
+    staging_dir: str
+    filenames: list
+
+
+class HtmlFileWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("confluence_html sink requires a path")
+        self.filename_col = options.get("filename_col", "filename")
+        self.content_col = options.get("content_col", "html")
+        self.overwrite = overwrite
+
+    def write(self, iterator: Iterator[Row]) -> WriterCommitMessage:
+        staging = os.path.join(self.path, STAGING, uuid.uuid4().hex)
+        os.makedirs(staging, exist_ok=True)
+        names = []
+        for row in iterator:
+            name = row[self.filename_col]
+            if os.sep in name or name.startswith("."):
+                raise ValueError(f"unsafe filename {name!r} (sanitize upstream)")
+            with open(os.path.join(staging, name), "w") as fh:
+                fh.write(row[self.content_col] or "")
+            names.append(name)
+        return _Manifest(staging_dir=staging, filenames=names)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for entry in os.listdir(self.path):
+                if entry != STAGING:
+                    target = os.path.join(self.path, entry)
+                    if os.path.isdir(target):
+                        shutil.rmtree(target)
+                    else:
+                        os.remove(target)
+        for m in messages:
+            for name in m.filenames:
+                os.replace(
+                    os.path.join(m.staging_dir, name),
+                    os.path.join(self.path, name),
+                )
+        shutil.rmtree(os.path.join(self.path, STAGING), ignore_errors=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write("")
+
+    def abort(self, messages) -> None:
+        # failed tasks may not have reported a manifest; sweep the whole
+        # staging area — published output is never touched
+        shutil.rmtree(os.path.join(self.path, STAGING), ignore_errors=True)
+
+
+class HtmlFileSinkDataSource(DataSource):
+    """``df.write.format("confluence_html")`` — options: path (via
+    ``save(path)``), filename_col, content_col."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "confluence_html"
+
+    def schema(self) -> str:  # pragma: no cover - writer-only source
+        return "filename string, html string"
+
+    def writer(self, schema: StructType, overwrite: bool) -> HtmlFileWriter:
+        return HtmlFileWriter(self.options, overwrite)
+
+
+def register(spark) -> None:
+    """Idempotent registration + worker shipping (same contract as the
+    reader source)."""
+    from atlassian_confluence_data_pipeline_spark.pyfiles import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers(spark)
+    spark.dataSource.register(HtmlFileSinkDataSource)

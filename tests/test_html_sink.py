@@ -1,0 +1,108 @@
+"""Python Data Source V2 writer sink (K1 through the official commit
+protocol): content parity, _SUCCESS stamping, overwrite semantics, and
+all-or-nothing publication on task failure."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from atlassian_confluence_data_pipeline_spark.sources.html_sink import register
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "filename string, html string")
+
+
+def test_write_publishes_files_and_success_marker(spark, tmp_path):
+    register(spark)
+    out = str(tmp_path / "html")
+    os.makedirs(out)
+    rows = [(f"page_{i}.html", f"<p>body {i}</p>") for i in range(37)]
+    _df(spark, rows).repartition(4).write.format("confluence_html").mode(
+        "append"
+    ).save(out)
+    got = {
+        n: open(os.path.join(out, n)).read()
+        for n in os.listdir(out)
+        if n.endswith(".html")
+    }
+    assert got == dict(rows)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(out, "_staging"))
+
+
+def test_overwrite_replaces_previous_run(spark, tmp_path):
+    register(spark)
+    out = str(tmp_path / "html")
+    os.makedirs(out)
+    _df(spark, [("old.html", "<p>old</p>")]).write.format(
+        "confluence_html"
+    ).mode("append").save(out)
+    _df(spark, [("new.html", "<p>new</p>")]).write.format(
+        "confluence_html"
+    ).mode("overwrite").save(out)
+    names = {n for n in os.listdir(out) if n.endswith(".html")}
+    assert names == {"new.html"}
+
+
+def test_failed_job_publishes_nothing(spark, tmp_path):
+    """A poison row makes one task raise AFTER other tasks staged their
+    files: the commit never runs, abort sweeps staging, and the
+    destination stays empty — no partial output ever visible."""
+    register(spark)
+    out = str(tmp_path / "html")
+    os.makedirs(out)
+    rows = [(f"p_{i}.html", "ok") for i in range(20)]
+    rows.append(("../escape.html", "evil"))  # unsafe name -> write() raises
+    with pytest.raises(Exception):
+        _df(spark, rows).repartition(5).write.format("confluence_html").mode(
+            "append"
+        ).save(out)
+    assert [n for n in os.listdir(out) if n.endswith(".html")] == []
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_failed_job_leaves_previous_run_intact(spark, tmp_path):
+    register(spark)
+    out = str(tmp_path / "html")
+    os.makedirs(out)
+    _df(spark, [("keep.html", "<p>keep</p>")]).write.format(
+        "confluence_html"
+    ).mode("append").save(out)
+    with pytest.raises(Exception):
+        _df(spark, [("../bad.html", "x")]).write.format(
+            "confluence_html"
+        ).mode("overwrite").save(out)
+    # the failed overwrite must not have deleted the published run
+    assert open(os.path.join(out, "keep.html")).read() == "<p>keep</p>"
+
+
+def test_end_to_end_from_documents(spark, sf_dir, tmp_path):
+    """The reference flow: sanitized filename + rendered HTML, one file
+    per row, through the official writer."""
+    from atlassian_confluence_data_pipeline_spark.catalog import load_table
+    from atlassian_confluence_data_pipeline_spark.functions.text import (
+        sanitize_filename,
+    )
+
+    register(spark)
+    out = str(tmp_path / "docs")
+    os.makedirs(out)
+    docs = load_table(spark, sf_dir, "documents").limit(25)
+    page = docs.select(
+        F.concat(
+            sanitize_filename(F.concat(F.lit("Doc "), F.col("doc_id"))),
+            F.lit(".html"),
+        ).alias("filename"),
+        F.concat(
+            F.lit("<html><body><p>"), F.substring("text", 1, 40),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    page.write.format("confluence_html").mode("append").save(out)
+    files = [n for n in os.listdir(out) if n.endswith(".html")]
+    assert len(files) == 25
+    assert all(open(os.path.join(out, n)).read().startswith("<html>") for n in files)

@@ -95,6 +95,34 @@ def test_rerun_is_idempotent(spark, tmp_path):
     assert second.new_state.count() == first.new_state.count()
 
 
+def test_observed_run_metrics_match_stats(spark, tmp_path):
+    """run_with_store's Observation counters (the reference's run-report
+    tallies, gathered as a side effect of the state-merge job — no
+    extra pass) agree with the grouped stats DataFrame."""
+    pages = make_pages(spark)
+    store = StateStore(str(tmp_path / "ledger"))
+    result = run_with_store(spark, pages, store, CUTOFF)
+    m = result.metrics
+    stats = result.stats.collect()
+    assert m["n_pages"] == sum(r["n_pages"] for r in stats) == 7
+    assert m["n_new"] == sum(
+        r["n_pages"] for r in stats if r["change_type"] == "new"
+    )
+    assert m["n_updated"] == sum(
+        r["n_pages"] for r in stats if r["change_type"] == "updated"
+    )
+    assert m["n_pages"] == m["n_new"] + m["n_updated"]
+    # the fixture's null-body page (P4 guard) surfaces as a failed-html
+    # tally — exactly the reference's failure counter
+    n_null = result.processed.filter("html IS NULL").count()
+    assert m["n_failed_html"] == n_null == 1
+    assert m["html_chars"] > 0
+    # an empty incremental re-run reports zeros, not stale numbers
+    again = run_with_store(spark, pages, store, CUTOFF)
+    assert again.metrics["n_pages"] == 0
+    assert again.metrics["html_chars"] == 0
+
+
 def test_stats_aggregation(spark):
     pages, state = make_pages(spark), make_state(spark)
     stats = incremental_refresh(pages, state, CUTOFF).stats.collect()
