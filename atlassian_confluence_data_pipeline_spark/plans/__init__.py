@@ -29,6 +29,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     multimodal,
     paths,
     pretrain,
+    quality,
     relational,
     reshape,
     retail,

@@ -51,6 +51,7 @@ INTENTIONAL_BNLJ = {
     "conversion_latency_percentiles",  # 2-row probe table crossed onto
     # the distinct-latency cumsum (binned_quantile pattern)
     "customer_revenue_gini",  # 1-row top-decile scalar crossed
+    "freshness_lag_report",  # 1-row stream-head scalar broadcast onto 5 groups
 }
 
 #: queries whose plans legitimately carry many HOF folds (k parallel
