@@ -28,6 +28,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     monitoring,
     multimodal,
     paths,
+    patterns,
     pretrain,
     quality,
     relational,
