@@ -3,28 +3,38 @@ pairwise near-duplicate matches into dedup GROUPS (keep one doc per
 component, drop the rest).
 
 No recursive SQL in Spark, so components resolve in a driver-side
-round loop. The default is the ALTERNATING STAR-CONTRACTION algorithm
-(large-star / small-star, Kiveris et al., "Connected Components in
-MapReduce and Beyond"): each round rewires every node toward its
-neighborhood minimum, so component depth HALVES-or-better per round and
-the fixpoint — a forest of stars centered at each component's minimum
-id — arrives in O(log n) rounds even on path/chain graphs where plain
-min-label propagation needs O(diameter) rounds (a 1000-node path: ~11
-rounds vs ~999; pinned by tests/test_graph_cc.py).
+round loop. The default is ADAPTIVE (the AQE philosophy applied to
+graph iteration — measure, then pick the plan):
 
-Scale notes (per round, both phases):
+1. up to ESCALATE_AFTER rounds of cheap MIN-LABEL PROPAGATION (one
+   equi-join + one min-aggregate per round — about half the cost of a
+   star round). Near-dup / DBSCAN-core graphs have single-digit
+   diameters, so this phase almost always converges and the common
+   case never pays more than pure propagation did;
+2. if not converged, the graph is deep: CONTRACT it by the labels won
+   so far (every partial component collapses to its current minimum)
+   and finish with ALTERNATING STAR CONTRACTION (large-star /
+   small-star, Kiveris et al., "Connected Components in MapReduce and
+   Beyond") on the shrunken label graph — component depth
+   halves-or-better per round, so the fixpoint (a star forest centered
+   at each component's minimum id) arrives in O(log n) rounds even on
+   path/chain graphs where pure propagation needs O(diameter)
+   (1000-node path: ~8+11 total rounds vs ~999; pinned by
+   tests/test_graph_cc.py).
+
+Scale notes (per round, either phase):
 - ONE symmetric projection, ONE min-aggregate by node, ONE equi-join —
   all shuffling on node id, map-side combine on the min;
-- per-round edge frames are eagerly local-checkpointed (lineage stays
-  O(1); on a cluster this becomes `checkpoint()` to durable storage);
-- the convergence probe is a left-anti `isEmpty` + count — driver
-  scalars, never a data collect;
+- per-round frames are eagerly local-checkpointed (lineage stays O(1);
+  on a cluster this becomes `checkpoint()` to durable storage);
+- convergence probes are `isEmpty` / count scalars, never data
+  collects;
 - a hot node (one doc near-duplicating millions) makes its
   min-aggregate wide but associative — partial aggregation absorbs it.
 
-``connected_components_minlabel`` keeps the round-3 min-label
-propagation as the independently-simple cross-check implementation the
-property tests compare against.
+``connected_components_minlabel`` / ``connected_components_star`` are
+the two pure strategies, kept as independently-simple cross-checks for
+the adaptive default (identical output, proven by property tests).
 """
 
 from __future__ import annotations
@@ -33,41 +43,64 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def connected_components(
-    pairs: DataFrame,
-    a_col: str,
-    b_col: str,
-    max_iter: int = 50,
-    stats: dict | None = None,
-) -> DataFrame:
-    """Resolve (a, b) undirected pairs into components by alternating
-    star contraction.
-
-    Returns (node, component) where ``component`` is the minimum node id
-    reachable from ``node``. Only nodes that appear in ``pairs`` are
-    returned (singletons are their own trivial component — callers that
-    need them union the unpaired ids back in). With ``stats``, writes
-    the round count to ``stats["rounds"]``.
-    """
-    nodes = (
-        pairs.select(F.col(a_col).alias("node"))
-        .unionByName(pairs.select(F.col(b_col).alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    edges = (
-        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    rounds = 0
-    for _ in range(max_iter):
-        # ---- large-star: every node u connects its LARGER neighbors to
-        # min(N(u) ∪ {u}) — deep branches shortcut toward local minima
-        und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
-            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+def _symmetric_edges(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    return (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def _minlabel_rounds(
+    edges: DataFrame, labels: DataFrame, max_rounds: int
+) -> tuple[DataFrame, bool, int]:
+    """Up to ``max_rounds`` min-label sweeps; returns (labels,
+    converged, rounds_used)."""
+    used = 0
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("neighbor_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("neighbor_component", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("new")
+            .join(labels.alias("old"), "node")
+            .filter(F.col("new.component") != F.col("old.component"))
+        )
+        converged = changed.isEmpty()
+        labels = updated
+        used += 1
+        if converged:
+            return labels, True, used
+    return labels, False, used
+
+
+def _star_rounds(
+    edges: DataFrame, max_rounds: int
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star until the edge set is a stable
+    star forest; returns ((a=node, b=root) edges, rounds_used).
+    ``edges`` is an (a, b) frame with no self-loops."""
+    rounds = 0
+    for _ in range(max_rounds):
+        und = edges.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).unionByName(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
         mins = und.groupBy("u").agg(F.min("v").alias("mv"))
         large = (
             und.join(mins, "u")
@@ -80,8 +113,6 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # ---- small-star: orient each edge toward its larger endpoint,
-        # then connect that node's smaller neighborhood to its minimum
         o = large.select(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
@@ -106,13 +137,105 @@ def connected_components(
         edges = new_edges
         if unchanged:
             break
+    return edges, rounds
+
+
+#: min-label rounds to try before escalating to star contraction. A
+#: min-label round is ONE join + ONE aggregate — roughly half a star
+#: round — so escalation only pays off when the diameter clearly
+#: outruns the budget; 8 covers every graph the dedup/DBSCAN workloads
+#: actually produce (measured diameters <= 6 at sf0.1 x8) while a
+#: 1000-node path still finishes in 8 + O(log n) rounds
+ESCALATE_AFTER = 8
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Resolve (a, b) undirected pairs into components (adaptive:
+    min-label first, star contraction on the label-contracted graph if
+    the diameter outlives ESCALATE_AFTER rounds).
+
+    Returns (node, component) where ``component`` is the minimum node id
+    reachable from ``node``. Only nodes that appear in ``pairs`` are
+    returned (singletons are their own trivial component — callers that
+    need them union the unpaired ids back in). With ``stats``, writes
+    ``stats["rounds"]`` (total) and ``stats["escalated"]``.
+    """
+    edges = _symmetric_edges(pairs, a_col, b_col)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    labels, converged, used = _minlabel_rounds(
+        edges, labels, min(ESCALATE_AFTER, max_iter)
+    )
+    if converged:
+        if stats is not None:
+            stats["rounds"] = used
+            stats["escalated"] = False
+        return labels
+    # deep graph: contract every partial component to its current label
+    # and finish on the (much smaller) label graph with star rounds
+    la = labels.select(
+        F.col("node").alias("src"), F.col("component").alias("la")
+    )
+    lb = labels.select(
+        F.col("node").alias("dst"), F.col("component").alias("lb")
+    )
+    contracted = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .select(F.col("la").alias("a"), F.col("lb").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    star_edges, star_used = _star_rounds(contracted, max_iter - used)
+    roots = star_edges.select(F.col("a").alias("la"), F.col("b").alias("root"))
+    out = labels.join(
+        roots, labels["component"] == roots["la"], "left"
+    ).select(
+        "node", F.coalesce("root", F.col("component")).alias("component")
+    )
+    if stats is not None:
+        stats["rounds"] = used + star_used
+        stats["escalated"] = True
+    return out
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Pure alternating star contraction (O(log n) rounds regardless of
+    shape) — the deep-graph strategy, runnable standalone."""
+    nodes = (
+        pairs.select(F.col(a_col).alias("node"))
+        .unionByName(pairs.select(F.col(b_col).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e0 = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    star_edges, rounds = _star_rounds(e0, max_iter)
     if stats is not None:
         stats["rounds"] = rounds
-    # fixpoint is a star forest: every non-root points at its component
-    # minimum; roots (and fully-contracted isolated nodes) label
-    # themselves
     return nodes.join(
-        edges.select(F.col("a").alias("node"), F.col("b").alias("root")),
+        star_edges.select(F.col("a").alias("node"), F.col("b").alias("root")),
         "node",
         "left",
     ).select(
@@ -123,47 +246,14 @@ def connected_components(
 def connected_components_minlabel(
     pairs: DataFrame, a_col: str, b_col: str, max_iter: int = 50
 ) -> DataFrame:
-    """Min-label propagation CC — O(component diameter) rounds; kept as
-    the independently-simple cross-check for the star-contraction
-    default (identical output, proven by property tests)."""
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    """Pure min-label propagation — O(component diameter) rounds; the
+    independently-simple cross-check implementation."""
+    edges = _symmetric_edges(pairs, a_col, b_col)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("component").alias("neighbor_component"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("neighbor_component", F.col("component")),
-                ).alias("component"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            updated.alias("new")
-            .join(labels.alias("old"), "node")
-            .filter(F.col("new.component") != F.col("old.component"))
-        )
-        converged = changed.isEmpty()
-        labels = updated
-        if converged:
-            break
+    labels, _, _ = _minlabel_rounds(edges, labels, max_iter)
     return labels

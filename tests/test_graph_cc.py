@@ -1,7 +1,8 @@
-"""Star-contraction connected components (round-4 brief item 5):
-output equivalence with the min-label cross-check on random graphs, and
-the O(log n) round bound on the adversarial deep-path graph that makes
-O(diameter) propagation infeasible."""
+"""Adaptive connected components (round-4 brief item 5): min-label
+first, star contraction on the label-contracted graph for deep shapes.
+Output equivalence with both pure strategies on random graphs, the
+O(log n) total-round bound on the adversarial deep path, and the
+cheap-path guarantee that shallow graphs never escalate."""
 
 from __future__ import annotations
 
@@ -13,6 +14,7 @@ from pyspark.sql import functions as F
 from atlassian_confluence_data_pipeline_spark.operators.graph import (
     connected_components,
     connected_components_minlabel,
+    connected_components_star,
 )
 
 
@@ -29,9 +31,10 @@ def test_matches_minlabel_on_random_graphs(spark):
             for _ in range(int(n * (0.6 + 0.4 * trial)))
         ]
         pairs = spark.createDataFrame(edges, "a bigint, b bigint")
-        star = _labels(connected_components(pairs, "a", "b"))
+        adaptive = _labels(connected_components(pairs, "a", "b"))
         naive = _labels(connected_components_minlabel(pairs, "a", "b"))
-        assert star == naive
+        star = _labels(connected_components_star(pairs, "a", "b"))
+        assert adaptive == naive == star
 
 
 def test_path_graph_converges_in_log_rounds(spark):
@@ -47,7 +50,13 @@ def test_path_graph_converges_in_log_rounds(spark):
     out = connected_components(pairs, "a", "b", stats=stats)
     got = _labels(out)
     assert got == {(i, 0) for i in range(n)}
-    assert stats["rounds"] <= 2 * math.ceil(math.log2(n)) + 4, stats
+    assert stats["escalated"] is True
+    assert stats["rounds"] <= 2 * math.ceil(math.log2(n)) + 8, stats
+    # the pure star strategy alone also meets the log bound
+    sstats: dict = {}
+    sout = connected_components_star(pairs, "a", "b", stats=sstats)
+    assert _labels(sout) == got
+    assert sstats["rounds"] <= 2 * math.ceil(math.log2(n)) + 4, sstats
 
 
 def test_self_pairs_and_singleton_components(spark):
@@ -56,6 +65,20 @@ def test_self_pairs_and_singleton_components(spark):
     )
     got = _labels(connected_components(pairs, "a", "b"))
     assert got == {(7, 7), (1, 1), (2, 1), (8, 8), (9, 8)}
+
+
+def test_shallow_graphs_never_escalate(spark):
+    """Clique-shaped near-dup graphs must take the cheap path: min-label
+    converges within the escalation budget and star never runs."""
+    c1 = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    c2 = [(100 + i, 100 + i + 1) for i in range(2)]  # 3-node path
+    pairs = spark.createDataFrame(c1 + c2, "a bigint, b bigint")
+    stats: dict = {}
+    out = _labels(connected_components(pairs, "a", "b", stats=stats))
+    assert stats["escalated"] is False and stats["rounds"] <= 3
+    assert out == {(i, 0) for i in range(6)} | {
+        (100, 100), (101, 100), (102, 100)
+    }
 
 
 def test_two_cliques_with_bridge(spark):
