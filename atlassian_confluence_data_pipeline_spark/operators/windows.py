@@ -188,6 +188,110 @@ def distributed_prefix_rank(
     return b.select(*keep, *out_cols)
 
 
+def distributed_modular_chain(
+    df: DataFrame,
+    order_by: Sequence[str],
+    h_col: str,
+    out_col: str,
+    mult: int,
+    mod: int,
+    num_ranges: int = 32,
+    bucket_col: str = "__range_bucket",
+) -> DataFrame:
+    """Distributed LINEAR RECURRENCE ``y_i = (mult * y_{i-1} + h_i) % mod``
+    over the global ``order_by`` order (y_0 = 0) — the sequential
+    hash-chain / ledger-commitment computation that looks unparallelizable
+    but is an associative AFFINE SCAN:
+
+    1. range-bucket by the leading order key (same discipline as
+       distributed_prefix_rank);
+    2. ONE grouped ``applyInPandas`` pass per bucket computes the local
+       chain from a zero seed plus ``mult^rank % mod`` per row — affine
+       maps compose, so a bucket's effect on any incoming carry ``c`` is
+       ``y_i = (local_y_i + c * mult^rank_i) % mod``;
+    3. the <= num_ranges (multiplier, offset) bucket compositions come
+       back as loop-control scalars; the driver folds them into
+       per-bucket incoming carries; a narrow literal-map projection
+       applies them — exact integer arithmetic end-to-end, so the result
+       is BIT-IDENTICAL to the sequential recurrence (DuckDB's recursive
+       CTE verifies it).
+
+    Requires ``mult, h < 2^31`` and ``mod <= 2^31`` so every product
+    stays inside int64 (the engine's LSH overflow discipline). Bucket
+    passes are O(rows); at 100 TB each bucket's scan is one Arrow
+    batch stream, and only 2 scalars per bucket ever leave the
+    executors."""
+    import pandas as _pd  # noqa: F401 - grouped-map batches arrive as pandas
+
+    first = order_by[0]
+    n_bounds = max(1, num_ranges) - 1
+    bounds = (
+        df.stat.approxQuantile(
+            first, [i / num_ranges for i in range(1, num_ranges)], 0.001
+        )
+        if n_bounds > 0
+        else []
+    )
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.size(
+            F.filter(barr, lambda b: b < F.col(first).cast("double"))
+        )
+    else:
+        bucket = F.lit(0)
+    b = df.withColumn(bucket_col, bucket)
+
+    order_cols = list(order_by)
+    in_schema = b.schema
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema.fields
+    )
+    schema = f"{out_fields}, __local bigint, __pow bigint"
+
+    def _scan(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(
+            drop=True
+        )
+        y = 0
+        p = 1
+        locs, pows = [], []
+        for h in pdf[h_col]:
+            y = (mult * y + int(h) % mod) % mod
+            p = (p * mult) % mod
+            locs.append(y)
+            pows.append(p)
+        pdf["__local"] = locs
+        pdf["__pow"] = pows
+        return pdf
+
+    scanned = b.groupBy(bucket_col).applyInPandas(_scan, schema=schema)
+    totals = (
+        scanned.groupBy(bucket_col)
+        .agg(
+            F.max_by("__local", F.struct(*order_cols)).alias("__B"),
+            F.max_by("__pow", F.struct(*order_cols)).alias("__P"),
+        )
+        .collect()
+    )
+    carries: dict[int, int] = {}
+    c = 0
+    for row in sorted(totals, key=lambda r: r[bucket_col]):
+        carries[row[bucket_col]] = c
+        c = (row["__P"] * c + row["__B"]) % mod
+    if any(v != 0 for v in carries.values()):
+        cmap = F.create_map(
+            *[x for k, v in carries.items() for x in (F.lit(k), F.lit(v))]
+        )
+        carry = F.coalesce(cmap[F.col(bucket_col)], F.lit(0))
+    else:
+        carry = F.lit(0)
+    keep = [c2 for c2 in df.columns]
+    return scanned.select(
+        *keep,
+        ((F.col("__local") + carry * F.col("__pow")) % mod).alias(out_col),
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     group_cols: Sequence[str],

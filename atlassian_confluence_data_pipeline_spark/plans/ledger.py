@@ -170,3 +170,81 @@ def windowed_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_error"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tamper-evident audit chain — distributed linear recurrence
+# ---------------------------------------------------------------------------
+
+#: hash-chain constants: odd multiplier < 2^31, Mersenne-prime modulus
+#: (products stay < 2^62 — the LSH overflow discipline)
+CHAIN_MULT = 1_103_515_245
+CHAIN_MOD = 2_147_483_647
+
+
+@query(
+    "audit_chain_daily_revenue",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), numbered AS (
+  SELECT d, cents, row_number() OVER (ORDER BY d) AS rn FROM daily
+), chain(rn, y) AS (
+  SELECT CAST(1 AS BIGINT),
+         ({CHAIN_MULT} * CAST(0 AS BIGINT) + cents % {CHAIN_MOD})
+           % {CHAIN_MOD}
+  FROM numbered WHERE rn = 1
+  UNION ALL
+  SELECT c.rn + 1,
+         ({CHAIN_MULT} * c.y + n.cents % {CHAIN_MOD}) % {CHAIN_MOD}
+  FROM chain c JOIN numbered n ON n.rn = c.rn + 1
+)
+SELECT strftime(n.d, '%Y-%m-%d') AS day,
+       round(CAST(n.cents AS DOUBLE) / 100, 2) AS revenue,
+       CAST(c.y AS BIGINT) AS chain
+FROM numbered n JOIN chain c USING (rn)
+""",
+    tags=("ledger", "chain", "recurrence", "scalepath"),
+)
+def audit_chain_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tamper-evident audit chain over the daily revenue series:
+    ``chain_t = (a * chain_{t-1} + cents_t) mod M`` — each day's value
+    commits to ALL history, so altering any prior day changes every
+    subsequent link (the ledger-integrity primitive; the reference's
+    append-only audit log upgraded with sequential commitment).
+    Revenue enters as EXACT integer cents (DECIMAL sum * 100), so the
+    chain is bit-identical across engines.
+
+    Scale shape — the point of the query: a linear recurrence looks
+    inherently sequential, but affine maps compose, so
+    distributed_modular_chain runs it as per-range local scans + a
+    <= 32-scalar carry fold + a narrow literal-map projection
+    (operators/windows.py). The oracle runs the literal sequential
+    recursive CTE; identical output proves the parallel decomposition.
+    """
+    from atlassian_confluence_data_pipeline_spark.operators.windows import (
+        distributed_modular_chain,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .withColumn("dnum", F.datediff(F.col("d"), F.lit("1970-01-01")))
+        .localCheckpoint(eager=True)
+    )
+    chained = distributed_modular_chain(
+        daily, ["dnum"], "cents", "chain", CHAIN_MULT, CHAIN_MOD
+    )
+    return chained.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("cents").cast("double") / 100, 2).alias("revenue"),
+        F.col("chain").cast("bigint").alias("chain"),
+    )

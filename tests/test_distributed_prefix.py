@@ -110,3 +110,29 @@ def test_plan_has_no_single_partition_window(spark):
 def test_noop_without_outputs(spark):
     df = _rows(spark, [(1, 2)])
     assert distributed_prefix_rank(df, ["k"]) is df
+
+
+def test_modular_chain_matches_sequential(spark):
+    from atlassian_confluence_data_pipeline_spark.operators.windows import (
+        distributed_modular_chain,
+    )
+
+    MOD, A = 2_147_483_647, 1_103_515_245
+    rng = random.Random(9)
+    rows = [
+        (rng.randint(0, 10**9), i, rng.randint(0, 2**40))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, i bigint, h bigint")
+    for nr in (1, 16):
+        got = {
+            (r["k"], r["i"]): r["chain"]
+            for r in distributed_modular_chain(
+                df, ["k", "i"], "h", "chain", A, MOD, num_ranges=nr
+            ).collect()
+        }
+        y, want = 0, {}
+        for k, i, h in sorted(rows):
+            y = (A * y + h % MOD) % MOD
+            want[(k, i)] = y
+        assert got == want  # exact integer parity with the sequential scan
