@@ -31,6 +31,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     patterns,
     pretrain,
     quality,
+    quantization,
     relational,
     reshape,
     retail,

@@ -52,6 +52,8 @@ INTENTIONAL_BNLJ = {
     # the distinct-latency cumsum (binned_quantile pattern)
     "customer_revenue_gini",  # 1-row top-decile scalar crossed
     "freshness_lag_report",  # 1-row stream-head scalar broadcast onto 5 groups
+    "int8_topk_recall",  # 10-row broadcast query side under the != self
+    # condition (cosine_topk pattern), twice (exact + quantized rankings)
 }
 
 #: queries whose plans legitimately carry many HOF folds (k parallel
