@@ -136,3 +136,25 @@ def test_modular_chain_matches_sequential(spark):
             y = (A * y + h % MOD) % MOD
             want[(k, i)] = y
         assert got == want  # exact integer parity with the sequential scan
+
+
+def test_plan_audit_window_detector_on_plan_text():
+    """The audit's unpartitioned-window detector reads plan text; pin
+    its behavior on both shapes so audit regressions are loud."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plan_audit import _has_unpartitioned_window
+
+    partitioned = (
+        "Window [sum(v#1L) windowspecdefinition(bucket#53, k#0L ASC NULLS"
+        " FIRST, specifiedwindowframe(...)) AS s#55L], [bucket#53]"
+    )
+    unpartitioned = (
+        "Window [sum(v#1L) windowspecdefinition(k#0L ASC NULLS FIRST,"
+        " specifiedwindowframe(...)) AS s#55L], [k#0L ASC NULLS FIRST]"
+    )
+    assert not _has_unpartitioned_window(partitioned)
+    assert _has_unpartitioned_window(unpartitioned)
+    assert _has_unpartitioned_window(partitioned + "\n" + unpartitioned)
