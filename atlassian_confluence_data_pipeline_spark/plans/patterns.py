@@ -119,3 +119,94 @@ def purchase_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("bigint").alias("longest_streak"),
         F.sum("len").cast("bigint").alias("active_days"),
     )
+
+
+@query(
+    "null_safe_join_regions",
+    oracle="""
+WITH l AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE CAST(o_orderkey % 5 AS INT) END AS bucket
+  FROM orders
+), r AS (
+  SELECT CASE WHEN v = 5 THEN NULL ELSE CAST(v AS INT) END AS bucket,
+         concat('grp_', CAST(v AS VARCHAR)) AS label
+  FROM (SELECT unnest(range(0, 6)) AS v)
+)
+SELECT r.label, CAST(count(l.o_orderkey) AS BIGINT) AS n_orders
+FROM l JOIN r ON l.bucket IS NOT DISTINCT FROM r.bucket
+GROUP BY 1
+""",
+    tags=("join", "nullsafe", "sql"),
+)
+def null_safe_join_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM): orders carry
+    a nullable derived bucket (every 7th key is NULL — the
+    missing-attribute case), the tiny label dim carries a NULL bucket
+    too, and the join matches NULL with NULL — the semantics a plain
+    equi-join silently drops. Spark's `eqNullSafe` keeps this a real
+    HASH join (null-safe equality is still an equi-key after
+    null-bucketing), not a nested loop.
+
+    Scale shape: broadcast 6-row dim onto the fact projection, one
+    grouped count — null rows hash to the null bucket like any other
+    key."""
+    o = load_table(spark, sf_dir, "orders")
+    left = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise((F.col("o_orderkey") % 5).cast("int"))
+        .alias("bucket"),
+    )
+    right = spark.createDataFrame(
+        [(None if v == 5 else v, f"grp_{v}") for v in range(6)],
+        "bucket int, label string",
+    )
+    return (
+        left.join(
+            F.broadcast(right), left["bucket"].eqNullSafe(right["bucket"])
+        )
+        .groupBy("label")
+        .agg(F.count("o_orderkey").cast("bigint").alias("n_orders"))
+    )
+
+
+@query(
+    "order_rank_distribution",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(nth_value(o_totalprice, 1) OVER
+             (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS group_min_price
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+""",
+    tags=("window", "rank", "distribution"),
+)
+def order_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic-rank family in one query: percent_rank,
+    cume_dist, ntile(4), and nth_value over per-priority price order —
+    the distribution coordinates a pricing report assigns every order.
+    All four are KEYED windows (partitioned by priority); ranks are
+    integer-derived so the rounded ratios are bit-stable; the total
+    order (price, key) pins ties."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.nth_value("o_totalprice", 1).over(wf), 2).alias(
+            "group_min_price"
+        ),
+    )
