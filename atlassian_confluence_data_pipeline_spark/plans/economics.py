@@ -245,3 +245,102 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "rfm_customer_segments",
+    oracle="""
+WITH m AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_d,
+         count(*) AS freq,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS money
+  FROM orders GROUP BY 1
+), mx AS (SELECT max(last_d) AS head_d, count(*) AS n FROM m),
+r AS (
+  SELECT m.o_custkey,
+         date_diff('day', m.last_d, mx.head_d) AS recency_days,
+         m.freq, m.money, mx.n,
+         row_number() OVER (ORDER BY date_diff('day', m.last_d, mx.head_d) DESC,
+                            m.o_custkey) AS r_rank,
+         row_number() OVER (ORDER BY m.freq, m.o_custkey) AS f_rank,
+         row_number() OVER (ORDER BY m.money, m.o_custkey) AS m_rank
+  FROM m CROSS JOIN mx
+)
+SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(freq AS BIGINT) AS frequency, round(money, 2) AS monetary,
+       CAST(ceil(5.0 * r_rank / n) AS INT) AS r_score,
+       CAST(ceil(5.0 * f_rank / n) AS INT) AS f_score,
+       CAST(ceil(5.0 * m_rank / n) AS INT) AS m_score,
+       concat(CAST(CAST(ceil(5.0 * r_rank / n) AS INT) AS VARCHAR),
+              CAST(CAST(ceil(5.0 * f_rank / n) AS INT) AS VARCHAR),
+              CAST(CAST(ceil(5.0 * m_rank / n) AS INT) AS VARCHAR))
+         AS segment
+FROM r
+""",
+    tags=("analytics", "rfm", "segmentation", "prefix"),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing cut: per
+    customer, Recency (days since last order, HIGHER rank = more
+    recent), Frequency, and Monetary (DECIMAL-exact revenue), each
+    converted to a 1-5 score by GLOBAL rank share (ceil(5*rank/n) —
+    a closed form both engines compute identically from integer
+    ranks), concatenated into the familiar '555 = best' segment code.
+
+    Scale shape: one hash aggregate to the customer domain, then THREE
+    distributed global ranks via distributed_prefix_rank (per-range
+    row_number + boundary offsets — |customers| never funnels through
+    one task, unlike the textbook ntile() formulation), and a narrow
+    scoring projection. The head date and n are loop-control scalars."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("o_totalprice").cast(_DEC))
+            .cast("double")
+            .alias("money"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    head = m.agg(F.max("last_d")).first()[0]
+    n = m.count()
+    base = m.select(
+        "o_custkey",
+        F.datediff(F.lit(head), F.col("last_d")).alias("recency_days"),
+        "freq",
+        "money",
+    ).localCheckpoint(eager=True)
+    # recency rank ascends with MORE recent (fewer days): order by
+    # -recency so rank share maps 5 -> most recent, like freq/money
+    ranked = distributed_prefix_rank(
+        base.withColumn("neg_rec", -F.col("recency_days")),
+        ["neg_rec", "o_custkey"],
+        rank_col="r_rank",
+    )
+    ranked = distributed_prefix_rank(
+        ranked, ["freq", "o_custkey"], rank_col="f_rank"
+    )
+    ranked = distributed_prefix_rank(
+        ranked, ["money", "o_custkey"], rank_col="m_rank"
+    )
+
+    def score(rank_col: str):
+        return F.ceil(5.0 * F.col(rank_col) / n).cast("int")
+
+    return ranked.select(
+        "o_custkey",
+        F.col("recency_days").cast("bigint").alias("recency_days"),
+        F.col("freq").cast("bigint").alias("frequency"),
+        F.round("money", 2).alias("monetary"),
+        score("r_rank").alias("r_score"),
+        score("f_rank").alias("f_score"),
+        score("m_rank").alias("m_score"),
+        F.concat(
+            score("r_rank").cast("string"),
+            score("f_rank").cast("string"),
+            score("m_rank").cast("string"),
+        ).alias("segment"),
+    )
