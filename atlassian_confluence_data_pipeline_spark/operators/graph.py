@@ -197,8 +197,18 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    star_edges, star_used = _star_rounds(contracted, max_iter - used)
-    roots = star_edges.select(F.col("a").alias("la"), F.col("b").alias("root"))
+    star_edges, star_used = _star_rounds(contracted, max(1, max_iter - used))
+    # If the star phase ran out of rounds before reaching a star forest,
+    # star_edges can still hold several (a, b) rows per label; a raw join
+    # would then fan labels out into duplicate, mutually-inconsistent
+    # rows. Reduce to ONE root per label (the minimum neighbor — exactly
+    # what one more star round would propagate) so the output is always
+    # one row per node, converged or not.
+    roots = (
+        star_edges.groupBy("a")
+        .agg(F.min("b").alias("root"))
+        .select(F.col("a").alias("la"), "root")
+    )
     out = labels.join(
         roots, labels["component"] == roots["la"], "left"
     ).select(
@@ -234,8 +244,12 @@ def connected_components_star(
     star_edges, rounds = _star_rounds(e0, max_iter)
     if stats is not None:
         stats["rounds"] = rounds
+    # one row per node even if max_iter expired mid-contraction (see
+    # connected_components: un-converged star forests can carry several
+    # edges per node)
+    roots = star_edges.groupBy("a").agg(F.min("b").alias("root"))
     return nodes.join(
-        star_edges.select(F.col("a").alias("node"), F.col("b").alias("root")),
+        roots.select(F.col("a").alias("node"), "root"),
         "node",
         "left",
     ).select(

@@ -46,6 +46,67 @@ def lookup_join(
     return facts.join(F.broadcast(dim) if broadcast_dim else dim, on, how)
 
 
+def _asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+    forward: bool,
+) -> DataFrame:
+    """Shared union-and-carry as-of machinery.
+
+    All right value columns travel as ONE struct carried by a single
+    ``last(ignorenulls=True)``: per-column carries would, when a matched
+    right row holds a NULL in one column, fill that column from a
+    DIFFERENT (earlier/later-ts) right row — a mixed-row result that
+    diverges from ASOF semantics (the nearest row's NULL must survive).
+    The struct itself is non-null on every right row (even when all its
+    fields are null), so the carry always lands on exactly one row.
+    """
+    from pyspark.sql import Window
+
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        F.struct(*[F.col(c) for c in right_value_cols]).alias("__rv"),
+    )
+    rv_type = r.schema["__rv"].dataType
+    l_cols = left.columns
+    l = left.select(
+        *l_cols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(rv_type).alias("__rv"),
+    )
+    merged = r.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols if c != on],
+        on,
+        "__ts",
+        "__tag",
+        "__rv",
+    ).unionByName(l.select(*[c for c in l_cols if c != on], on, "__ts", "__tag", "__rv"))
+    # right rows (tag 0) sort before left rows at equal ts in BOTH
+    # directions => ties are inclusive (right_ts == left_ts matches),
+    # matching ASOF ... ON l.ts >= r.ts (backward) / l.ts <= r.ts (forward)
+    order = [F.desc("__ts"), F.asc("__tag")] if forward else [F.asc("__ts"), F.asc("__tag")]
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = merged.withColumn("__rv", F.last("__rv", ignorenulls=True).over(w))
+    return (
+        merged.filter(F.col("__tag") == 1)
+        .select(
+            *l_cols,
+            *[F.col("__rv")[c].alias(f"asof_{c}") for c in right_value_cols],
+        )
+    )
+
+
 def asof_join_backward(
     left: DataFrame,
     right: DataFrame,
@@ -60,53 +121,19 @@ def asof_join_backward(
     Spark has no native ASOF JOIN; a naive range join explodes to
     O(|left|x|right|) per key. This implementation is the scalable
     union-and-carry-forward form: tag right rows 0 / left rows 1, sort
-    each key's timeline once, and carry the last non-null right value
-    forward with an unbounded-preceding window — one shuffle on the key,
-    O(n log n) per key, no pair blowup.
+    each key's timeline once, and carry the last non-null right-row
+    STRUCT forward with an unbounded-preceding window — one shuffle on
+    the key, O(n log n) per key, no pair blowup, and all value columns
+    come from the SAME matched row (a NULL field in the nearest right
+    row stays NULL rather than being backfilled from an older row).
 
     ``right`` must be unique per (on, right_ts) — pre-aggregate ties
     upstream or the carried value is nondeterministic (same caveat as
     native ASOF implementations).
     """
-    from pyspark.sql import Window
-
-    carried = [f"__r_{c}" for c in right_value_cols]
-    r = right.select(
-        F.col(on),
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__tag"),
-        *[F.col(c).alias(a) for c, a in zip(right_value_cols, carried)],
+    return _asof_join(
+        left, right, on, left_ts, right_ts, right_value_cols, forward=False
     )
-    l_cols = left.columns
-    l = left.select(
-        *l_cols,
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__tag"),
-        *[F.lit(None).cast(t.dataType).alias(a)
-          for t, a in zip(
-              [right.schema[c] for c in right_value_cols], carried
-          )],
-    )
-    merged = r.select(
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols if c != on],
-        on,
-        "__ts",
-        "__tag",
-        *carried,
-    ).unionByName(l.select(*[c for c in l_cols if c != on], on, "__ts", "__tag", *carried))
-    # right rows sort before left rows at equal ts => ties are inclusive
-    # (right_ts == left_ts counts), matching ASOF ... ON l.ts >= r.ts
-    w = (
-        Window.partitionBy(on)
-        .orderBy("__ts", "__tag")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    for a in carried:
-        merged = merged.withColumn(a, F.last(a, ignorenulls=True).over(w))
-    out = merged.filter(F.col("__tag") == 1).drop("__ts", "__tag")
-    for c, a in zip(right_value_cols, carried):
-        out = out.withColumnRenamed(a, f"asof_{c}")
-    return out
 
 
 def asof_join_forward(
@@ -121,52 +148,13 @@ def asof_join_forward(
     right row with ``right_ts >= left_ts`` within the same ``on`` key —
     the next-event direction (click -> next purchase), mirroring
     :func:`asof_join_backward`'s union-and-carry form with the merged
-    timeline walked DESCENDING: sorting each key's rows by ts
-    descending (right rows before left at equal ts, so ties are
-    inclusive) and carrying the last non-null right value makes the
-    carried value the smallest right_ts at-or-after each left row. One
-    shuffle on the key, no range-join pair explosion.
+    timeline walked DESCENDING; all value columns come from the same
+    matched right row (struct carry, see ``_asof_join``).
 
     ``right`` must be unique per (on, right_ts), as with backward."""
-    from pyspark.sql import Window
-
-    carried = [f"__r_{c}" for c in right_value_cols]
-    r = right.select(
-        F.col(on),
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__tag"),
-        *[F.col(c).alias(a) for c, a in zip(right_value_cols, carried)],
+    return _asof_join(
+        left, right, on, left_ts, right_ts, right_value_cols, forward=True
     )
-    l_cols = left.columns
-    l = left.select(
-        *l_cols,
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__tag"),
-        *[F.lit(None).cast(t.dataType).alias(a)
-          for t, a in zip(
-              [right.schema[c] for c in right_value_cols], carried
-          )],
-    )
-    merged = r.select(
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols if c != on],
-        on,
-        "__ts",
-        "__tag",
-        *carried,
-    ).unionByName(l.select(*[c for c in l_cols if c != on], on, "__ts", "__tag", *carried))
-    # descending ts; right rows (tag 0) first at equal ts => right_ts ==
-    # left_ts counts, matching ASOF ... ON l.ts <= r.ts
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.desc("__ts"), F.asc("__tag"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    for a in carried:
-        merged = merged.withColumn(a, F.last(a, ignorenulls=True).over(w))
-    out = merged.filter(F.col("__tag") == 1).drop("__ts", "__tag")
-    for c, a in zip(right_value_cols, carried):
-        out = out.withColumnRenamed(a, f"asof_{c}")
-    return out
 
 
 def cdc_delta(

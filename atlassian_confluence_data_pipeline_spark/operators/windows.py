@@ -30,6 +30,7 @@ def distributed_prefix_rank(
     num_ranges: int = 32,
     bucket_col: str = "__range_bucket",
     bounds: Sequence[float] | None = None,
+    plan_probe: dict | None = None,
 ) -> DataFrame:
     """Distributed global prefix sum / rank — the two-pass replacement
     for an unpartitioned ``Window.orderBy(...)`` (whose WindowExec
@@ -110,6 +111,16 @@ def distributed_prefix_rank(
         )
     for out, col in local_cols.items():
         b = b.withColumn(out, col)
+    if plan_probe is not None:
+        # plan-shape tests pin the incremental window frame here — the
+        # checkpoint below hides it from the caller's physical plan
+        plan_probe["windowed"] = b
+    # Materialize the bucketed/windowed frame ONCE: the totals job below
+    # and the caller's final action both read these rows, and without a
+    # checkpoint the per-bucket window pass would run twice (and
+    # correctness would silently depend on the input plan being
+    # deterministic between the two jobs).
+    b = b.localCheckpoint(eager=True)
 
     totals = (
         b.groupBy(bucket_col)
@@ -264,7 +275,11 @@ def distributed_modular_chain(
         pdf["__pow"] = pows
         return pdf
 
-    scanned = b.groupBy(bucket_col).applyInPandas(_scan, schema=schema)
+    # materialize the grouped scan once — the totals job and the caller's
+    # final action both read it (same discipline as distributed_prefix_rank)
+    scanned = b.groupBy(bucket_col).applyInPandas(
+        _scan, schema=schema
+    ).localCheckpoint(eager=True)
     totals = (
         scanned.groupBy(bucket_col)
         .agg(

@@ -43,6 +43,7 @@ STAGING = "_staging"
 class _Lines(WriterCommitMessage):
     staging_file: str
     n_lines: int
+    partition_id: int = -1
 
 
 class AuditLogStreamWriter(DataSourceStreamWriter):
@@ -53,24 +54,33 @@ class AuditLogStreamWriter(DataSourceStreamWriter):
         self.line_col = options.get("line_col", "line")
 
     def write(self, iterator: Iterator[Row]) -> WriterCommitMessage:
+        from pyspark import TaskContext
+
         staging_dir = os.path.join(self.path, STAGING)
         os.makedirs(staging_dir, exist_ok=True)
         fname = os.path.join(staging_dir, uuid.uuid4().hex)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
         n = 0
         with open(fname, "w") as fh:
             for row in iterator:
                 fh.write((row[self.line_col] or "") + "\n")
                 n += 1
-        return _Lines(staging_file=fname, n_lines=n)
+        return _Lines(staging_file=fname, n_lines=n, partition_id=pid)
 
     def commit(self, messages, batchId: int) -> None:
-        # deterministic batch filename => replays overwrite, not append
+        # deterministic batch filename => replays overwrite, not append.
+        # Concatenate in PARTITION order (one message per partition), not
+        # staging-file order (uuid names are random per attempt), so a
+        # replayed batch republishes byte-identical content — the
+        # docstring's idempotence claim holds for bytes, not just the
+        # line multiset.
         final = os.path.join(self.path, f"batch-{batchId:020d}.log")
         tmp = final + ".tmp"
         with open(tmp, "w") as out:
             for m in sorted(
                 (m for m in messages if m is not None),
-                key=lambda m: m.staging_file,
+                key=lambda m: (m.partition_id, m.staging_file),
             ):
                 with open(m.staging_file) as fh:
                     out.write(fh.read())

@@ -11,10 +11,13 @@ production file sink actually needs:
   (``{path}/_staging/{uuid}/``) and reports the manifest in its
   WriterCommitMessage — a failed/retried task never touches the
   destination;
-- the driver's ``commit`` publishes all staged files with atomic
-  renames and stamps ``_SUCCESS`` last, so readers see either the
-  whole output or none of it (the StateStore pointer-flip discipline,
-  applied to a file sink);
+- the driver's ``commit`` fails on duplicate filenames across
+  partitions (no silent last-write-wins), publishes all staged files
+  with atomic renames, records the published names in ``_MANIFEST``,
+  and stamps ``_SUCCESS`` last, so readers see either the whole output
+  or none of it (the StateStore pointer-flip discipline, applied to a
+  file sink). Overwrite mode retracts only files listed in the prior
+  ``_MANIFEST`` — never unrelated files in the destination;
 - ``abort`` removes all staging output, leaving any previously
   published run untouched.
 
@@ -72,14 +75,34 @@ class HtmlFileWriter(DataSourceWriter):
         return _Manifest(staging_dir=staging, filenames=names)
 
     def commit(self, messages) -> None:
+        # A duplicate filename across rows/partitions would silently
+        # last-write-win in arbitrary message order — fail the commit
+        # instead (nothing is published yet; staging is swept), the same
+        # contract as a Hive table rejecting duplicate partition paths.
+        seen: set = set()
+        dupes: set = set()
+        for m in messages:
+            for name in m.filenames:
+                (dupes if name in seen else seen).add(name)
+        if dupes:
+            shutil.rmtree(os.path.join(self.path, STAGING), ignore_errors=True)
+            sample = sorted(dupes)[:5]
+            raise ValueError(
+                f"confluence_html sink: {len(dupes)} duplicate filename(s) "
+                f"across partitions (e.g. {sample}); make filename_col "
+                "unique upstream"
+            )
         if self.overwrite:
-            for entry in os.listdir(self.path):
-                if entry != STAGING:
-                    target = os.path.join(self.path, entry)
-                    if os.path.isdir(target):
-                        shutil.rmtree(target)
-                    else:
-                        os.remove(target)
+            # only retract files THIS sink published in a prior epoch
+            # (recorded in _MANIFEST) — never unrelated files that happen
+            # to live in the destination directory
+            prior = os.path.join(self.path, "_MANIFEST")
+            if os.path.exists(prior):
+                with open(prior) as fh:
+                    for name in fh.read().splitlines():
+                        target = os.path.join(self.path, name)
+                        if name and os.path.isfile(target):
+                            os.remove(target)
         for m in messages:
             for name in m.filenames:
                 os.replace(
@@ -87,6 +110,18 @@ class HtmlFileWriter(DataSourceWriter):
                     os.path.join(self.path, name),
                 )
         shutil.rmtree(os.path.join(self.path, STAGING), ignore_errors=True)
+        manifest_tmp = os.path.join(self.path, "_MANIFEST.tmp")
+        published = sorted(seen)
+        if not self.overwrite:
+            prior = os.path.join(self.path, "_MANIFEST")
+            if os.path.exists(prior):
+                with open(prior) as fh:
+                    published = sorted(
+                        seen | {n for n in fh.read().splitlines() if n}
+                    )
+        with open(manifest_tmp, "w") as fh:
+            fh.write("\n".join(published))
+        os.replace(manifest_tmp, os.path.join(self.path, "_MANIFEST"))
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
             fh.write("")
 

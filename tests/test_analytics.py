@@ -144,3 +144,36 @@ def test_semantic_dedup_invariants(spark, sf_dir):
         assert any(m["keep"] for m in members), f"cell {cell} kept nothing"
         min_member = min(members, key=lambda m: m["vec_id"])
         assert min_member["keep"], "lowest vec_id of a cell must be kept"
+
+
+def test_asof_null_fields_come_from_the_matched_row(spark):
+    """A NULL value column on the matched right row must stay NULL — not
+    be backfilled from a different-ts right row (struct carry, not
+    per-column carry)."""
+    from atlassian_confluence_data_pipeline_spark.operators.joins import (
+        asof_join_backward,
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 100)], "k int, lts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 50, "old", 5.0), (1, 90, None, 9.0), (1, 120, None, 12.0),
+         (1, 150, "new", 15.0)],
+        "k int, rts int, label string, score double",
+    )
+    back = asof_join_backward(
+        left, right, "k", "lts", "rts", ["label", "score"]
+    ).collect()
+    assert len(back) == 1
+    # nearest at-or-before ts=100 is rts=90 whose label IS null
+    assert back[0]["asof_label"] is None
+    assert back[0]["asof_score"] == 9.0
+    fwd = asof_join_forward(
+        left, right, "k", "lts", "rts", ["label", "score"]
+    ).collect()
+    assert len(fwd) == 1
+    # nearest at-or-after ts=100 is rts=120 whose label IS null
+    assert fwd[0]["asof_label"] is None
+    assert fwd[0]["asof_score"] == 12.0

@@ -114,3 +114,40 @@ def test_streaming_pipeline_audit_lines(spark, sf_dir, tmp_path):
     lines = sum(_published(out).values(), [])
     assert len(lines) == 50
     assert all(" - " in line for line in lines)
+
+
+def test_commit_is_byte_deterministic_across_message_order(tmp_path):
+    """commit() concatenates by PARTITION index, not random staging-file
+    name, so a replayed batch republishes byte-identical content even if
+    the driver receives the commit messages in a different order."""
+    from atlassian_confluence_data_pipeline_spark.sources.audit_sink import (
+        AuditLogStreamWriter,
+        _Lines,
+    )
+
+    out = tmp_path / "audit"
+    out.mkdir()
+    w = AuditLogStreamWriter({"path": str(out)})
+
+    def stage(content, pid, name):
+        staging = out / "_staging"
+        staging.mkdir(exist_ok=True)
+        f = staging / name
+        f.write_text(content)
+        return _Lines(
+            staging_file=str(f),
+            n_lines=content.count("\n"),
+            partition_id=pid,
+        )
+
+    # attempt 1: staging-file names sort OPPOSITE to partition order
+    m0 = stage("p0-l1\np0-l2\n", 0, "zzz")
+    m1 = stage("p1-l1\n", 1, "aaa")
+    w.commit([m1, m0], batchId=7)
+    first = (out / "batch-00000000000000000007.log").read_bytes()
+    # replay: same partitions, different random names and message order
+    m0b = stage("p0-l1\np0-l2\n", 0, "mmm")
+    m1b = stage("p1-l1\n", 1, "qqq")
+    w.commit([m0b, m1b], batchId=7)
+    second = (out / "batch-00000000000000000007.log").read_bytes()
+    assert first == second == b"p0-l1\np0-l2\np1-l1\n"

@@ -77,19 +77,26 @@ def test_triangle_handshake_and_coeff_bounds(spark, sf_dir):
     ).count() == 0
 
 
-def test_pareto_window_frame_is_incremental(spark, sf_dir):
-    """Pin the O(n) frame: the skyline window must be the DESC-ordered
+def test_pareto_window_frame_is_incremental(spark):
+    """Pin the O(n) frame: the skyline's exclusive running max (inside
+    distributed_prefix_rank, which pareto_orders composes) must be the
     UNBOUNDED PRECEDING .. 1 PRECEDING form (incrementally maintained).
-    The ascending UNBOUNDED FOLLOWING formulation is semantically
-    identical but Spark rescans the partition tail per row — O(n^2),
-    measured hung at 600k rows."""
-    phys = (
-        QUERIES["pareto_orders"]
-        .fn(spark, sf_dir)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
+    The UNBOUNDED FOLLOWING formulation is semantically identical but
+    Spark rescans the partition tail per row — O(n^2), measured hung at
+    600k rows. The operator checkpoints its windowed frame (so callers'
+    plans no longer show it); the plan_probe exposes it for this pin."""
+    from atlassian_confluence_data_pipeline_spark.operators.windows import (
+        distributed_prefix_rank,
     )
+
+    df = spark.range(200).select(
+        F.col("id").alias("nday"), (F.col("id") * 2).alias("mx")
+    )
+    probe = {}
+    distributed_prefix_rank(
+        df, ["nday"], exclusive_maxes={"lm": "mx"}, plan_probe=probe
+    )
+    phys = probe["windowed"]._jdf.queryExecution().executedPlan().toString()
     assert "unboundedpreceding$()" in phys
     assert "unboundedfollowing" not in phys.lower()
 

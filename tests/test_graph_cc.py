@@ -88,3 +88,28 @@ def test_two_cliques_with_bridge(spark):
     got = dict(_labels(connected_components(pairs, "a", "b")))
     assert all(v == 0 for v in got.values())  # bridge merges everything
     assert set(got) == set(range(5)) | set(range(10, 14))
+
+
+def test_exhausted_star_budget_still_one_row_per_node(spark):
+    """A deep path graph with max_iter too small to converge: the output
+    may carry partial components, but it must still be exactly ONE row
+    per node (un-converged star forests hold several edges per label —
+    the root join reduces them, never fans out)."""
+    from atlassian_confluence_data_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a bigint, b bigint"
+    )
+    for fn, max_iter in [
+        (connected_components, 9),   # 8 min-label rounds + 1 star round
+        (connected_components, 10),
+        (connected_components_star, 1),
+        (connected_components_star, 2),
+    ]:
+        rows = fn(pairs, "a", "b", max_iter=max_iter).collect()
+        assert len(rows) == n, f"{fn.__name__} max_iter={max_iter}"
+        assert len({r["node"] for r in rows}) == n

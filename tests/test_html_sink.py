@@ -106,3 +106,57 @@ def test_end_to_end_from_documents(spark, sf_dir, tmp_path):
     files = [n for n in os.listdir(out) if n.endswith(".html")]
     assert len(files) == 25
     assert all(open(os.path.join(out, n)).read().startswith("<html>") for n in files)
+
+
+def test_duplicate_filenames_fail_commit(spark, tmp_path):
+    """Two rows producing the same filename must fail the job (no silent
+    last-write-wins across partitions) and publish nothing."""
+    register(spark)
+    out = str(tmp_path / "html")
+    os.makedirs(out)
+    rows = [("same.html", "a"), ("same.html", "b"), ("other.html", "c")]
+    with pytest.raises(Exception, match="duplicate filename"):
+        _df(spark, rows).repartition(3).write.format("confluence_html").mode(
+            "append"
+        ).save(out)
+    assert [n for n in os.listdir(out) if n.endswith(".html")] == []
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_overwrite_spares_foreign_files(spark, tmp_path):
+    """Overwrite retracts only files the sink itself published (recorded
+    in _MANIFEST) — a user's unrelated file in the same directory
+    survives."""
+    register(spark)
+    out = str(tmp_path / "html")
+    os.makedirs(out)
+    with open(os.path.join(out, "README.txt"), "w") as fh:
+        fh.write("not ours")
+    _df(spark, [("old.html", "<p>old</p>")]).write.format(
+        "confluence_html"
+    ).mode("append").save(out)
+    _df(spark, [("new.html", "<p>new</p>")]).write.format(
+        "confluence_html"
+    ).mode("overwrite").save(out)
+    names = {n for n in os.listdir(out) if not n.startswith("_")}
+    assert names == {"new.html", "README.txt"}
+    assert open(os.path.join(out, "README.txt")).read() == "not ours"
+
+
+def test_append_manifest_accumulates(spark, tmp_path):
+    """Append runs extend _MANIFEST, so a later overwrite retracts every
+    sink-published epoch, not just the last one."""
+    register(spark)
+    out = str(tmp_path / "html")
+    os.makedirs(out)
+    _df(spark, [("a.html", "1")]).write.format("confluence_html").mode(
+        "append"
+    ).save(out)
+    _df(spark, [("b.html", "2")]).write.format("confluence_html").mode(
+        "append"
+    ).save(out)
+    _df(spark, [("c.html", "3")]).write.format("confluence_html").mode(
+        "overwrite"
+    ).save(out)
+    names = {n for n in os.listdir(out) if n.endswith(".html")}
+    assert names == {"c.html"}
