@@ -159,27 +159,39 @@ def distributed_prefix_rank(
         rank_off[row[bucket_col]] = run_cnt
         run_cnt += row["__cnt"]
 
-    def _vlit(v) -> Column:
-        # Decimal literals carry per-value precision; unify so the map's
-        # value type is consistent (exactness preserved — 38,6 covers
-        # every DECIMAL discipline in the engine)
+    def _vlit(v, dt: str | None) -> Column:
+        # Decimal literals carry per-value precision; unify to the
+        # windowed column's OWN decimal type so the map's value type is
+        # consistent AND no scale digits are lost (a fixed (38,6) here
+        # once truncated a caller's 12-scale log-space terms)
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            return F.lit(str(v)).cast("decimal(38,6)")
+            return F.lit(str(v)).cast(dt or "decimal(38,6)")
         return F.lit(v)
 
-    def _lookup(m: dict[int, int | float], default_zero: bool = True) -> Column:
+    def _lookup(
+        m: dict[int, int | float],
+        dt: str | None,
+        default_zero: bool = True,
+    ) -> Column:
         if not m or (default_zero and all(v == 0 for v in m.values())):
             return F.lit(0) if default_zero else F.lit(None)
         lmap = F.create_map(
-            *[x for k, v in m.items() for x in (F.lit(k), _vlit(v))]
+            *[x for k, v in m.items() for x in (F.lit(k), _vlit(v, dt))]
         )
         hit = lmap[F.col(bucket_col)]
         return F.coalesce(hit, F.lit(0)) if default_zero else hit
 
+    def _dtype(out: str) -> str:
+        import pyspark.sql.types as T
+
+        dt = b.schema[out].dataType
+        return dt.simpleString() if isinstance(dt, T.DecimalType) else None
+
     out_cols = [
-        (F.col(out) + _lookup(offsets[out])).alias(out) for out in sums
+        (F.col(out) + _lookup(offsets[out], _dtype(out))).alias(out)
+        for out in sums
     ]
     for out in exclusive_maxes:
         # greatest() ignores nulls (returns null only when BOTH the
@@ -188,12 +200,13 @@ def distributed_prefix_rank(
         # semantics across the bucket boundary
         out_cols.append(
             F.greatest(
-                F.col(out), _lookup(max_off[out], default_zero=False)
+                F.col(out),
+                _lookup(max_off[out], _dtype(out), default_zero=False),
             ).alias(out)
         )
     if rank_col is not None:
         out_cols.append(
-            (F.col(rank_col) + _lookup(rank_off)).alias(rank_col)
+            (F.col(rank_col) + _lookup(rank_off, None)).alias(rank_col)
         )
     keep = [c for c in b.columns if c != bucket_col and c not in local_cols]
     return b.select(*keep, *out_cols)

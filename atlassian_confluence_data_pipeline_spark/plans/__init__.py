@@ -9,6 +9,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     analytics,
     analytics2,
     analytics3,
+    analytics4,
     attribution,
     behavior,
     clustering,
@@ -17,9 +18,11 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     curation2,
     curation3,
     curation4,
+    curation5,
     economics,
     embeddings2,
     eventops,
+    governance,
     graphops,
     hierarchy,
     layout,
