@@ -19,6 +19,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     curation3,
     curation4,
     curation5,
+    diagnostics,
     economics,
     embeddings2,
     eventops,

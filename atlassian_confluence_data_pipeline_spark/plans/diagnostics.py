@@ -1,0 +1,334 @@
+"""Distribution & time-series diagnostics wave (22): autocorrelation,
+Benford first-digit audit, inter-arrival histograms, burstiness (Fano
+factor), and the vocabulary coverage curve.
+
+These are the EDA/monitoring diagnostics an operator runs over a
+100 TB corpus before trusting it: serial dependence of the revenue
+series (ACF), fabricated-amount detection (Benford), customer cadence
+(inter-arrival), event-stream overdispersion (Fano), and how much of
+the token mass a candidate vocabulary captures (coverage curve).
+
+Exactness discipline: every series first collapses to an aggregated
+domain with DECIMAL/integer moments (associative, order-independent),
+then a single closed-form float expression runs on identical scalar
+inputs in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from atlassian_confluence_data_pipeline_spark.catalog import load_table
+from atlassian_confluence_data_pipeline_spark.operators.windows import (
+    distributed_prefix_rank,
+)
+from atlassian_confluence_data_pipeline_spark.plans.registry import query
+
+_DEC = "decimal(18,6)"
+_MAX_LAG = 14
+
+
+@query(
+    "acf_daily_revenue",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+  FROM orders GROUP BY 1
+), g AS (
+  SELECT count(*) AS n,
+         CAST(sum(rev) AS DOUBLE) AS s,
+         CAST(sum(rev * rev) AS DOUBLE) AS q
+  FROM daily
+), lagged AS (
+  SELECT k.k AS lag,
+         count(*) AS n_k,
+         CAST(sum(a.rev * b.rev) AS DOUBLE) AS sp,
+         CAST(sum(a.rev) AS DOUBLE) AS sa,
+         CAST(sum(b.rev) AS DOUBLE) AS sb
+  FROM daily a
+  JOIN (SELECT unnest(generate_series(1, {_MAX_LAG})) AS k) k ON true
+  JOIN daily b ON b.day = a.day + to_days(CAST(k.k AS INT))
+  GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag,
+       CAST(n_k AS BIGINT) AS n_pairs,
+       round((sp - (s / n) * (sa + sb) + n_k * (s / n) * (s / n))
+             / (q - 2 * (s / n) * s + n * (s / n) * (s / n)), 6) AS acf
+FROM lagged CROSS JOIN g
+""",
+    tags=("timeseries", "diagnostics", "statistics"),
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily revenue series at lags 1..14 — the
+    seasonality/trend diagnostic read before fitting any forecast
+    (forecast_revenue_change, seasonal_residual_outliers). Standard ACF
+    estimator: lag-k cross moments over the paired days, normalized by
+    the full-series centered sum of squares.
+
+    Scale shape: the fact table collapses to one DECIMAL-exact revenue
+    per day (hash aggregate); the lag pairing is an EQUI-join on
+    day+k after exploding k=1..14 (14x a calendar-bounded series — no
+    inequality join); global and per-lag moments are exact DECIMAL, and
+    the ACF ratio is one identical closed form per lag."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    g = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").cast("double").alias("s"),
+        F.sum(F.col("rev") * F.col("rev")).cast("double").alias("q"),
+    )
+    a = daily.select(
+        "day", F.col("rev").alias("rev_a")
+    ).withColumn("lag", F.explode(F.array(*[F.lit(k) for k in range(1, _MAX_LAG + 1)])))
+    b = daily.select(F.col("day").alias("day_b"), F.col("rev").alias("rev_b"))
+    lagged = (
+        a.join(b, F.col("day_b") == F.date_add(F.col("day"), F.col("lag")))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_k"),
+            F.sum(F.col("rev_a") * F.col("rev_b")).cast("double").alias("sp"),
+            F.sum("rev_a").cast("double").alias("sa"),
+            F.sum("rev_b").cast("double").alias("sb"),
+        )
+    )
+    m = F.col("s") / F.col("n")
+    return (
+        lagged.crossJoin(F.broadcast(g))
+        .select(
+            F.col("lag").cast("bigint").alias("lag"),
+            F.col("n_k").cast("bigint").alias("n_pairs"),
+            F.round(
+                (F.col("sp") - m * (F.col("sa") + F.col("sb")) + F.col("n_k") * m * m)
+                / (F.col("q") - 2 * m * F.col("s") + F.col("n") * m * m),
+                6,
+            ).alias("acf"),
+        )
+    )
+
+
+@query(
+    "benford_price_audit",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+), c AS (
+  SELECT digit, count(*) AS n FROM d GROUP BY 1
+), t AS (SELECT sum(n) AS total FROM c)
+SELECT CAST(digit AS INT) AS digit,
+       CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / total, 6) AS observed_share,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+       round(pow(n - total * log10(1.0 + 1.0 / digit), 2)
+             / (total * log10(1.0 + 1.0 / digit)), 4) AS chi2_term
+FROM c CROSS JOIN t
+""",
+    tags=("governance", "diagnostics", "quality"),
+)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: compare each leading
+    digit's observed share against log10(1 + 1/d) and report the
+    chi-square contribution — the classic fabricated-amounts detector
+    an auditor runs over financial columns.
+
+    The leading digit comes from the DECIMAL STRING of exact integer
+    cents (round(price*100) — never floor(log10(x)), whose 1-ULP wobble
+    at powers of ten flips digits between engines). One hash aggregate
+    to <= 9 rows; every float is a closed form on exact integers."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    d = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            F.col("digit").cast("int").alias("digit"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "observed_share"
+            ),
+            F.round(p, 6).alias("benford_share"),
+            F.round(
+                F.pow(F.col("n") - F.col("total") * p, 2) / (F.col("total") * p),
+                4,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+@query(
+    "order_interarrival_stats",
+    oracle="""
+WITH g AS (
+  SELECT date_diff('day',
+           lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT CAST(gap_days // 7 AS BIGINT) AS gap_weeks,
+       count(*) AS n_gaps,
+       round(CAST(count(*) AS DOUBLE)
+             / (SELECT count(*) FROM g WHERE gap_days IS NOT NULL), 6)
+         AS share,
+       round(CAST(sum(gap_days) AS DOUBLE) / count(*), 4) AS avg_gap_days
+FROM g
+WHERE gap_days IS NOT NULL
+GROUP BY 1
+""",
+    tags=("analytics", "window", "diagnostics"),
+)
+def order_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival histogram of customer order cadence: the gap in
+    days between each customer's consecutive orders, bucketed into
+    weeks — purchase-rhythm input for churn horizons (the
+    CHURN_HORIZON_DAYS constant in kaplan_meier_churn is read off this
+    table's tail).
+
+    Scale shape: the lag window is PARTITIONED by customer (every key
+    hashes to its own task; per-customer order counts are tiny), then
+    one hash aggregate to the bounded week-bucket domain. Integer gaps
+    and exact ratios."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "gap_days"
+        )
+    ).filter(F.col("gap_days").isNotNull())
+    total = g.count()
+    return (
+        g.groupBy(F.floor(F.col("gap_days") / 7).cast("bigint").alias("gap_weeks"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.count(F.lit(1)).cast("double") / total, 6).alias("share"),
+            F.round(F.sum("gap_days").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_gap_days"
+            ),
+        )
+    )
+
+
+@query(
+    "burstiness_event_types",
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS mean_daily,
+       round((count(*) * CAST(sum(c * c) AS DOUBLE)
+              - CAST(sum(c) AS DOUBLE) * sum(c))
+             / (CAST(count(*) AS DOUBLE) * sum(c)), 6) AS fano_factor
+FROM d
+GROUP BY 1
+""",
+    tags=("events", "diagnostics", "statistics"),
+)
+def burstiness_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor = daily-count variance / mean) per event
+    type over observed days: ~1 means Poisson-like arrivals, >> 1 means
+    bursts — the dispersion diagnostic that decides whether a rate
+    alert needs a variance-aware threshold (volume_anomaly_trailing).
+
+    Scale shape: one hash aggregate to (type, day), one to type;
+    moments are exact integer sums, the Fano ratio
+    (n*Σc² - (Σc)²) / (n*Σc) is a single identical closed form."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    n = F.count(F.lit(1))
+    return d.groupBy("event_type").agg(
+        n.cast("bigint").alias("n_days"),
+        F.round(F.sum("c").cast("double") / n, 6).alias("mean_daily"),
+        F.round(
+            (n * F.sum(F.col("c") * F.col("c")).cast("double")
+             - F.sum("c").cast("double") * F.sum("c"))
+            / (n.cast("double") * F.sum("c")),
+            6,
+        ).alias("fano_factor"),
+    )
+
+
+#: rank checkpoints for the coverage curve (powers of two — resolves
+#: both tiny fixture vocabularies and production million-type ones)
+_COVERAGE_RANKS = tuple(2 ** i for i in range(0, 21))
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=f"""
+WITH c AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents)
+  GROUP BY 1
+), r AS (
+  SELECT word, freq,
+         row_number() OVER (ORDER BY freq DESC, word) AS rank,
+         sum(freq) OVER (ORDER BY freq DESC, word
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(freq) OVER () AS total
+  FROM c
+)
+SELECT CAST(rank AS BIGINT) AS vocab_size,
+       word AS boundary_word,
+       CAST(freq AS BIGINT) AS boundary_freq,
+       round(CAST(cum AS DOUBLE) / total, 6) AS token_coverage
+FROM r
+WHERE rank IN ({", ".join(str(r) for r in _COVERAGE_RANKS)})
+""",
+    tags=("curation", "vocab", "prefix"),
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all corpus tokens a
+    top-k frequency vocabulary captures, sampled at power-of-two k —
+    the curve that picks a tokenizer's vocab size (vocab_oov_rates
+    evaluates ONE fixed vocabulary; this sweeps the frontier).
+
+    Scale shape: token counts are one explode + hash aggregate on the
+    word domain; the global frequency ranking and cumulative mass run
+    through distributed_prefix_rank (rank + prefix sum in the same
+    range-bucketed pass — no single-partition window over the
+    vocabulary, which grows with the corpus); the checkpoint filter
+    collapses output to <= 21 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    c = (
+        docs.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("neg_freq", -F.col("freq"))
+        .localCheckpoint(eager=True)
+    )
+    total = c.agg(F.sum("freq")).first()[0]
+    ranked = distributed_prefix_rank(
+        c, ["neg_freq", "word"], sums={"cum": "freq"}, rank_col="rank"
+    )
+    return (
+        ranked.filter(F.col("rank").isin(*_COVERAGE_RANKS))
+        .select(
+            F.col("rank").cast("bigint").alias("vocab_size"),
+            F.col("word").alias("boundary_word"),
+            F.col("freq").cast("bigint").alias("boundary_freq"),
+            F.round(F.col("cum").cast("double") / total, 6).alias(
+                "token_coverage"
+            ),
+        )
+    )

@@ -54,6 +54,8 @@ INTENTIONAL_BNLJ = {
     "freshness_lag_report",  # 1-row stream-head scalar broadcast onto 5 groups
     "int8_topk_recall",  # 10-row broadcast query side under the != self
     # condition (cosine_topk pattern), twice (exact + quantized rankings)
+    "acf_daily_revenue",  # 1-row global-moment frame crossed onto 14 lag rows
+    "benford_price_audit",  # 1-row total-count scalar crossed onto <= 9 digits
 }
 
 #: queries whose plans legitimately carry many HOF folds (k parallel
