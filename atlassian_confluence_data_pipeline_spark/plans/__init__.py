@@ -44,6 +44,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     similarity,
     sketchq,
     surface2,
+    systems,
     textops,
     timeseries,
     tpch_like,

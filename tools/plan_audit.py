@@ -56,6 +56,8 @@ INTENTIONAL_BNLJ = {
     # condition (cosine_topk pattern), twice (exact + quantized rankings)
     "acf_daily_revenue",  # 1-row global-moment frame crossed onto 14 lag rows
     "benford_price_audit",  # 1-row total-count scalar crossed onto <= 9 digits
+    "session_funnel_patterns",  # 1-row total scalar crossed onto the
+    # <= 5-row category rollup
 }
 
 #: queries whose plans legitimately carry many HOF folds (k parallel
@@ -82,6 +84,9 @@ BOUNDED_GLOBAL_WINDOW_OK: dict[str, str] = {
     " and the <=200-row fused frame",
     "weighted_sample_wor": "rank inside the K-row TakeOrdered sample",
     "zipf_slope": "rank inside the top-100 TakeOrdered vocabulary cut",
+    "daily_revenue_locf": "LOCF carry over the calendar-day spine"
+    " (~2.4k rows for the 7-year fixture — bounded by time span, not"
+    " corpus size; revenue is pre-aggregated to the day domain)",
 }
 
 UNPARTITIONED_WINDOW_RE = None  # compiled lazily below
