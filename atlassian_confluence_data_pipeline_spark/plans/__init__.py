@@ -22,6 +22,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     diagnostics,
     economics,
     embeddings2,
+    evals,
     eventops,
     governance,
     graphops,

@@ -58,6 +58,8 @@ INTENTIONAL_BNLJ = {
     "benford_price_audit",  # 1-row total-count scalar crossed onto <= 9 digits
     "session_funnel_patterns",  # 1-row total scalar crossed onto the
     # <= 5-row category rollup
+    "ivf_recall_audit",  # 10-row broadcast query frame under the
+    # query_id != neighbor_id condition (the cosine_topk brute-force side)
 }
 
 #: queries whose plans legitimately carry many HOF folds (k parallel
@@ -66,6 +68,8 @@ MANY_FOLD_OK = {
     "minhash_lsh_pairs",  # k-slot signature fold + band folds
     "embedding_lsh_pairs",  # 64 running dots in one struct fold
     "ivf_ann_topk",  # cosine (dot + 2 norms) at 3 join sites + centroid mean
+    "ivf_recall_audit",  # the ivf_ann_topk folds PLUS the brute-force
+    # exact ranking's cosine folds (two complete rankings in one plan)
 }
 
 FOLD_THRESHOLD = 8
