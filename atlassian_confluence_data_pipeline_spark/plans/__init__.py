@@ -13,6 +13,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     attribution,
     behavior,
     clustering,
+    compliance,
     connector,
     curation,
     curation2,
