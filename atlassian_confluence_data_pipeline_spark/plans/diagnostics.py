@@ -332,3 +332,223 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust trend: Theil-Sen slope + Mann-Kendall test (wave 26)
+# ---------------------------------------------------------------------------
+
+@query(
+    "robust_trend_daily_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+           AS dnum,
+         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+  FROM orders GROUP BY 1
+), pairs AS (
+  SELECT a.dnum AS da, b.dnum AS db,
+         CAST(b.rev - a.rev AS DOUBLE) / (b.dnum - a.dnum) AS slope,
+         CASE WHEN b.rev > a.rev THEN 1
+              WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b ON b.dnum > a.dnum
+), r AS (
+  SELECT slope,
+         row_number() OVER (ORDER BY slope, da, db) AS rk,
+         count(*) OVER () AS np
+  FROM pairs
+), med AS (
+  SELECT avg(slope) AS ts_slope FROM r
+  WHERE rk IN ((np + 1) // 2, (np + 2) // 2)
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily
+), mk AS (
+  SELECT CAST(sum(sgn) AS BIGINT) AS s, count(*) AS n_pairs FROM pairs
+)
+SELECT g.n_days,
+       CAST(mk.n_pairs AS BIGINT) AS n_pairs,
+       round(med.ts_slope, 6) AS theil_sen_slope,
+       mk.s AS mk_s,
+       round((mk.s - CASE WHEN mk.s > 0 THEN 1
+                          WHEN mk.s < 0 THEN -1 ELSE 0 END)
+             / sqrt(g.n_days * (g.n_days - 1.0) * (2.0 * g.n_days + 5.0)
+                    / 18.0), 6) AS mk_z
+FROM g CROSS JOIN mk CROSS JOIN med
+""",
+    tags=("timeseries", "robust", "statistics", "bounded-pairs"),
+)
+def robust_trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend of the daily revenue series: Theil-Sen slope (the
+    median of all pairwise slopes — up to 29% contamination-proof where
+    OLS breaks on one outlier day) plus the Mann-Kendall S statistic
+    and its normal-approximation z — the nonparametric
+    'is there a monotone trend?' test run before believing any
+    forecast.
+
+    Scale shape: the fact table first collapses to the CALENDAR-BOUNDED
+    day series (~2.4k rows — bounded by time span, not corpus), so the
+    all-pairs slope frame is ~2.9M rows from a broadcast self-join of a
+    tiny frame (intentional BNLJ, both sides calendar-bounded); the
+    median slope is an exact order statistic via distributed_prefix_rank
+    (rank k over the pair frame — no single-partition sort); S and the
+    closed-form z are exact-integer arithmetic. Ties in revenue (exact
+    DECIMAL) map to sgn=0, the standard MK treatment; the no-ties
+    variance formula is used and documented."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias("dnum")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    n_days = daily.count()
+    a = daily.select(F.col("dnum").alias("da"), F.col("rev").alias("ra"))
+    b = daily.select(F.col("dnum").alias("db"), F.col("rev").alias("rb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("db") > F.col("da"))
+        .select(
+            "da",
+            "db",
+            (
+                (F.col("rb") - F.col("ra")).cast("double")
+                / (F.col("db") - F.col("da"))
+            ).alias("slope"),
+            F.when(F.col("rb") > F.col("ra"), F.lit(1))
+            .when(F.col("rb") < F.col("ra"), F.lit(-1))
+            .otherwise(F.lit(0))
+            .alias("sgn"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_pairs = pairs.count()
+    k1, k2 = (n_pairs + 1) // 2, (n_pairs + 2) // 2
+    ranked = distributed_prefix_rank(pairs, ["slope", "da", "db"], rank_col="rk")
+    med = ranked.filter(F.col("rk").isin(k1, k2)).agg(
+        F.avg("slope").alias("ts_slope")
+    )
+    mk = pairs.agg(F.sum("sgn").cast("bigint").alias("s"))
+    var = n_days * (n_days - 1.0) * (2.0 * n_days + 5.0) / 18.0
+    corr = F.when(F.col("s") > 0, F.lit(1)).when(F.col("s") < 0, F.lit(-1)).otherwise(F.lit(0))
+    return (
+        mk.crossJoin(F.broadcast(med))
+        .select(
+            F.lit(n_days).cast("bigint").alias("n_days"),
+            F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+            F.round("ts_slope", 6).alias("theil_sen_slope"),
+            F.col("s").alias("mk_s"),
+            F.round((F.col("s") - corr) / float(var) ** 0.5, 6).alias("mk_z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-graph modularity (wave 26)
+# ---------------------------------------------------------------------------
+
+def _modularity_oracle() -> str:
+    from atlassian_confluence_data_pipeline_spark.plans import multimodal  # noqa: F401
+    from atlassian_confluence_data_pipeline_spark.plans.registry import QUERIES
+
+    pairs_sql = QUERIES["near_dup_pairs_lsh"].oracle
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n
+),
+comp AS (SELECT n AS node, min(m) AS cluster FROM reach GROUP BY 1),
+mm AS (SELECT count(*) AS m FROM pairs),
+cin AS (
+  SELECT c.cluster, count(*) AS e_in
+  FROM pairs p JOIN comp c ON p.doc_a = c.node
+  GROUP BY 1
+),
+deg AS (
+  SELECT c.cluster, count(*) AS deg_sum
+  FROM edges e JOIN comp c ON e.s = c.node
+  GROUP BY 1
+),
+nn AS (SELECT cluster, count(*) AS n_nodes FROM comp GROUP BY 1)
+SELECT nn.cluster AS cluster_rep,
+       CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+       CAST(cin.e_in AS BIGINT) AS e_in,
+       CAST(deg.deg_sum AS BIGINT) AS deg_sum,
+       round(CAST(cin.e_in AS DOUBLE) / mm.m
+             - pow(CAST(deg.deg_sum AS DOUBLE) / (2.0 * mm.m), 2), 6)
+         AS modularity_term
+FROM nn JOIN cin USING (cluster) JOIN deg USING (cluster) CROSS JOIN mm
+"""
+
+
+@query(
+    "dedup_cluster_modularity",
+    oracle=_modularity_oracle(),
+    tags=("curation", "graph", "diagnostics"),
+)
+def dedup_cluster_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity terms of the near-dup graph under its
+    connected-component clustering: per cluster, the within-cluster
+    edge share minus the squared degree share — the graph-quality
+    diagnostic that says whether dedup clusters are dense communities
+    (terms near e_in/m) or sprawling chains (terms dragged down by
+    degree mass). Components make every edge intra-cluster, so e_in
+    sums to m and the total Q isolates the degree-concentration
+    penalty.
+
+    Scale shape: consumes the SESSION-SHARED near_dup_pairs_lsh pair
+    table (built once per session, plans/_cache.py) and the adaptive
+    connected components; the three per-cluster aggregates are hash
+    joins/aggregates on node/cluster keys; m is one loop-control
+    scalar."""
+    from atlassian_confluence_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        shared_pair_table,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.multimodal import (
+        near_dup_pairs_lsh,
+    )
+
+    pairs = shared_pair_table(
+        spark, sf_dir, "near_dup_pairs_lsh", near_dup_pairs_lsh
+    ).select(F.col("doc_a"), F.col("doc_b")).localCheckpoint(eager=True)
+    m = pairs.count()
+    comp = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node"), F.col("component").alias("cluster")
+    ).localCheckpoint(eager=True)
+    edges = pairs.select(F.col("doc_a").alias("s")).unionByName(
+        pairs.select(F.col("doc_b").alias("s"))
+    )
+    cin = (
+        pairs.join(comp, pairs.doc_a == comp.node)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    deg = (
+        edges.join(comp, edges.s == comp.node)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("deg_sum"))
+    )
+    nn = comp.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        nn.join(cin, "cluster")
+        .join(deg, "cluster")
+        .select(
+            F.col("cluster").alias("cluster_rep"),
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("e_in").cast("bigint").alias("e_in"),
+            F.col("deg_sum").cast("bigint").alias("deg_sum"),
+            F.round(
+                F.col("e_in").cast("double") / m
+                - F.pow(F.col("deg_sum").cast("double") / (2.0 * m), 2),
+                6,
+            ).alias("modularity_term"),
+        )
+    )
