@@ -332,3 +332,79 @@ def top_k_per_group(
     (W1) generalized to k > 1."""
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def kth_smallest(
+    df: DataFrame,
+    value_col: str,
+    ks: Sequence[int],
+    num_ranges: int = 32,
+) -> dict[int, float]:
+    """Exact kth-smallest VALUES (1-based ranks ``ks``) of a numeric
+    column — distributed selection without ranking the whole frame:
+
+    1. range-bucket by approxQuantile bounds (balanced buckets, the
+       distributed_prefix_rank discipline);
+    2. ONE count-per-bucket aggregate (<= num_ranges rows to the
+       driver) turns each k into (target bucket, local rank);
+    3. ONLY the buckets that contain a requested rank are sorted —
+       a per-bucket PARTITIONED window over ~n/num_ranges rows each —
+       and the hit rows come back.
+
+    The kth smallest VALUE is well-defined under ties regardless of
+    tie order, so no tiebreak column is needed. Selection work is
+    O(n) scan + O(|hit buckets| * n/num_ranges log(...)) sort, vs the
+    full-frame window a rank-then-filter pays. Returns {k: value}.
+    Driver traffic is bucket counts + |ks| rows — loop-control scale.
+    """
+    ks = sorted(set(int(k) for k in ks))
+    if not ks:
+        return {}
+    n_bounds = max(1, num_ranges) - 1
+    bounds = (
+        df.stat.approxQuantile(
+            value_col, [i / num_ranges for i in range(1, num_ranges)], 0.001
+        )
+        if n_bounds > 0
+        else []
+    )
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.size(
+            F.filter(barr, lambda b: b < F.col(value_col).cast("double"))
+        )
+    else:
+        bucket = F.lit(0)
+    b = df.select(F.col(value_col), bucket.alias("__kb"))
+    counts = {
+        r["__kb"]: r["c"]
+        for r in b.groupBy("__kb").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    total = sum(counts.values())
+    targets: dict[int, tuple[int, int]] = {}
+    for k in ks:
+        if not 1 <= k <= total:
+            raise ValueError(f"rank {k} outside 1..{total}")
+        run = 0
+        for bk in sorted(counts):
+            if k <= run + counts[bk]:
+                targets[k] = (bk, k - run)
+                break
+            run += counts[bk]
+    hit_buckets = {bk for bk, _ in targets.values()}
+    w = Window.partitionBy("__kb").orderBy(value_col)
+    locals_wanted = [
+        (F.col("__kb") == bk) & (F.col("__lr") == lr)
+        for bk, lr in targets.values()
+    ]
+    cond = locals_wanted[0]
+    for c in locals_wanted[1:]:
+        cond = cond | c
+    hits = (
+        b.filter(F.col("__kb").isin(*hit_buckets))
+        .withColumn("__lr", F.row_number().over(w))
+        .filter(cond)
+        .collect()
+    )
+    by_key = {(r["__kb"], r["__lr"]): r[value_col] for r in hits}
+    return {k: by_key[t] for k, t in targets.items()}

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from atlassian_confluence_data_pipeline_spark.catalog import load_table
 from atlassian_confluence_data_pipeline_spark.operators.windows import (
     distributed_prefix_rank,
+    kth_smallest,
 )
 from atlassian_confluence_data_pipeline_spark.plans.registry import query
 
@@ -389,8 +390,9 @@ def robust_trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     day series (~2.4k rows — bounded by time span, not corpus), so the
     all-pairs slope frame is ~2.9M rows from a broadcast self-join of a
     tiny frame (intentional BNLJ, both sides calendar-bounded); the
-    median slope is an exact order statistic via distributed_prefix_rank
-    (rank k over the pair frame — no single-partition sort); S and the
+    median slope is an exact order statistic via kth_smallest
+    DISTRIBUTED SELECTION (bucket counts route the middle ranks to
+    ~1/32 of the pairs; only those buckets sort); S and the
     closed-form z are exact-integer arithmetic. Ties in revenue (exact
     DECIMAL) map to sgn=0, the standard MK treatment; the no-ties
     variance formula is used and documented."""
@@ -423,19 +425,19 @@ def robust_trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_pairs = pairs.count()
     k1, k2 = (n_pairs + 1) // 2, (n_pairs + 2) // 2
-    ranked = distributed_prefix_rank(pairs, ["slope", "da", "db"], rank_col="rk")
-    med = ranked.filter(F.col("rk").isin(k1, k2)).agg(
-        F.avg("slope").alias("ts_slope")
-    )
+    # exact median via distributed SELECTION (kth_smallest): only the
+    # bucket(s) containing the middle ranks are ever sorted — ~1/32 of
+    # the pair frame — instead of ranking all ~n^2/2 pairs
+    sel = kth_smallest(pairs, "slope", [k1, k2])
+    ts_slope = (sel[k1] + sel[k2]) / 2.0
     mk = pairs.agg(F.sum("sgn").cast("bigint").alias("s"))
     var = n_days * (n_days - 1.0) * (2.0 * n_days + 5.0) / 18.0
     corr = F.when(F.col("s") > 0, F.lit(1)).when(F.col("s") < 0, F.lit(-1)).otherwise(F.lit(0))
     return (
-        mk.crossJoin(F.broadcast(med))
-        .select(
+        mk.select(
             F.lit(n_days).cast("bigint").alias("n_days"),
             F.lit(n_pairs).cast("bigint").alias("n_pairs"),
-            F.round("ts_slope", 6).alias("theil_sen_slope"),
+            F.round(F.lit(ts_slope), 6).alias("theil_sen_slope"),
             F.col("s").alias("mk_s"),
             F.round((F.col("s") - corr) / float(var) ** 0.5, 6).alias("mk_z"),
         )

@@ -158,3 +158,29 @@ def test_plan_audit_window_detector_on_plan_text():
     assert not _has_unpartitioned_window(partitioned)
     assert _has_unpartitioned_window(unpartitioned)
     assert _has_unpartitioned_window(partitioned + "\n" + unpartitioned)
+
+
+def test_kth_smallest_matches_sorted_reference(spark):
+    """Distributed selection returns exactly the kth order statistics a
+    full sort would, including under duplicates and negative values."""
+    import random
+
+    from atlassian_confluence_data_pipeline_spark.operators.windows import (
+        kth_smallest,
+    )
+
+    rng = random.Random(7)
+    vals = [rng.randint(-50, 50) * 1.5 for _ in range(997)] + [3.0] * 25
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    ref = sorted(vals)
+    ks = [1, 2, 511, 512, len(vals) - 1, len(vals)]
+    got = kth_smallest(df, "v", ks)
+    for k in ks:
+        assert got[k] == ref[k - 1], k
+    # out-of-range ranks are an explicit error
+    import pytest
+
+    with pytest.raises(ValueError):
+        kth_smallest(df, "v", [0])
+    with pytest.raises(ValueError):
+        kth_smallest(df, "v", [len(vals) + 1])
