@@ -44,6 +44,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     scalar,
     search,
     similarity,
+    simjoin,
     sketchq,
     surface2,
     systems,

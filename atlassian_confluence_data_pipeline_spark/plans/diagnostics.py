@@ -554,3 +554,123 @@ def dedup_cluster_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("modularity_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Categorical mutual information (wave 27)
+# ---------------------------------------------------------------------------
+
+def _mi_sql(table: str, x: str, y: str, label: str) -> str:
+    return f"""
+SELECT '{label}' AS pair_name,
+       CAST(n AS BIGINT) AS n,
+       CAST(nx AS INT) AS card_x,
+       CAST(ny AS INT) AS card_y,
+       round(CAST(sum(mi_term) AS DOUBLE), 6) AS mutual_info,
+       round(CAST(sum(mi_term) AS DOUBLE)
+             / sqrt(hx * hy), 6) AS normalized_mi
+FROM (
+  SELECT j.cxy, mx.cx, my.cy, g.n, g.nx, g.ny, g.hx, g.hy,
+         CAST(round(CAST(j.cxy AS DOUBLE) / g.n
+               * ln(CAST(j.cxy AS DOUBLE) * g.n
+                    / (CAST(mx.cx AS DOUBLE) * my.cy)), 12)
+              AS DECIMAL(28,14)) AS mi_term
+  FROM (SELECT {x} AS xv, {y} AS yv, count(*) AS cxy
+        FROM {table} GROUP BY 1, 2) j
+  JOIN (SELECT {x} AS xv, count(*) AS cx FROM {table} GROUP BY 1) mx
+    USING (xv)
+  JOIN (SELECT {y} AS yv, count(*) AS cy FROM {table} GROUP BY 1) my
+    USING (yv)
+  CROSS JOIN (
+    SELECT count(*) AS n,
+           count(DISTINCT {x}) AS nx,
+           count(DISTINCT {y}) AS ny,
+           CAST((SELECT sum(CAST(round(-(CAST(cx AS DOUBLE) / tt)
+                    * ln(CAST(cx AS DOUBLE) / tt), 12) AS DECIMAL(28,14)))
+                 FROM (SELECT count(*) AS cx, (SELECT count(*) FROM {table}) AS tt
+                       FROM {table} GROUP BY {x})) AS DOUBLE) AS hx,
+           CAST((SELECT sum(CAST(round(-(CAST(cy AS DOUBLE) / tt)
+                    * ln(CAST(cy AS DOUBLE) / tt), 12) AS DECIMAL(28,14)))
+                 FROM (SELECT count(*) AS cy, (SELECT count(*) FROM {table}) AS tt
+                       FROM {table} GROUP BY {y})) AS DOUBLE) AS hy
+    FROM {table}
+  ) g
+)
+GROUP BY n, nx, ny, hx, hy
+"""
+
+
+@query(
+    "categorical_mutual_information",
+    oracle=(
+        _mi_sql("lineitem", "l_returnflag", "l_linestatus", "returnflag_linestatus")
+        + "\nUNION ALL\n"
+        + _mi_sql("orders", "o_orderstatus", "o_orderpriority", "orderstatus_priority")
+    ),
+    tags=("diagnostics", "statistics", "information"),
+)
+def categorical_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (and entropy-normalized MI) between
+    categorical column pairs — the dependence screen that says whether
+    two low-cardinality columns carry redundant signal (the
+    categorical sibling of numeric_correlation_matrix). MI =
+    sum p_xy ln(p_xy / (p_x p_y)) over the joint-count table.
+
+    Exactness: joint/marginal counts are exact integers; each ln term
+    is rounded to 12 decimals and summed in DECIMAL(28,14) so the
+    CELL-ORDER of the sum cannot move the hash (double addition is not
+    associative; decimal is); the final normalization is one closed
+    form. Scale shape: one hash aggregate per joint/marginal (tiny
+    domains), broadcast marginal joins."""
+
+    def one(table: str, x: str, y: str, label: str) -> DataFrame:
+        t = load_table(spark, sf_dir, table)
+        n = t.count()
+        j = t.groupBy(F.col(x).alias("xv"), F.col(y).alias("yv")).agg(
+            F.count(F.lit(1)).alias("cxy")
+        )
+        mx = t.groupBy(F.col(x).alias("xv")).agg(F.count(F.lit(1)).alias("cx"))
+        my = t.groupBy(F.col(y).alias("yv")).agg(F.count(F.lit(1)).alias("cy"))
+
+        def entropy(marg: DataFrame, c: str) -> float:
+            e = marg.select(
+                F.round(
+                    -(F.col(c).cast("double") / n)
+                    * F.log(F.col(c).cast("double") / n),
+                    12,
+                )
+                .cast("decimal(28,14)")
+                .alias("t")
+            ).agg(F.sum("t").cast("double")).first()[0]
+            return float(e)
+
+        hx, hy = entropy(mx, "cx"), entropy(my, "cy")
+        term = F.round(
+            (F.col("cxy").cast("double") / n)
+            * F.log(
+                F.col("cxy").cast("double") * n
+                / (F.col("cx").cast("double") * F.col("cy"))
+            ),
+            12,
+        ).cast("decimal(28,14)")
+        mi = (
+            j.join(F.broadcast(mx), "xv")
+            .join(F.broadcast(my), "yv")
+            .agg(F.sum(term).cast("double").alias("mi"))
+        )
+        return mi.select(
+            F.lit(label).alias("pair_name"),
+            F.lit(n).cast("bigint").alias("n"),
+            F.lit(mx.count()).cast("int").alias("card_x"),
+            F.lit(my.count()).cast("int").alias("card_y"),
+            F.round("mi", 6).alias("mutual_info"),
+            F.round(F.col("mi") / float((hx * hy) ** 0.5), 6).alias(
+                "normalized_mi"
+            ),
+        )
+
+    return one(
+        "lineitem", "l_returnflag", "l_linestatus", "returnflag_linestatus"
+    ).unionByName(
+        one("orders", "o_orderstatus", "o_orderpriority", "orderstatus_priority")
+    )
