@@ -405,25 +405,37 @@ def robust_trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_days = daily.count()
-    a = daily.select(F.col("dnum").alias("da"), F.col("rev").alias("ra"))
+    # spread the PROBE side before the broadcast join: the day series
+    # arrives in one partition, and a BNLJ streams probe partitions —
+    # 32 probe splits parallelize the 2.9M-pair evaluation itself
+    a = daily.select(
+        F.col("dnum").alias("da"), F.col("rev").alias("ra")
+    ).repartition(32)
     b = daily.select(F.col("dnum").alias("db"), F.col("rev").alias("rb"))
     pairs = (
         a.join(F.broadcast(b), F.col("db") > F.col("da"))
         .select(
             "da",
             "db",
+            # nullif guards the da == db diagonal: without a checkpoint
+            # between join and consumers, Catalyst may push consumer
+            # predicates into the BNLJ condition and evaluate this
+            # expression BEFORE the db > da conjunct filters the
+            # diagonal — a raw division then throws under ANSI mode
             (
                 (F.col("rb") - F.col("ra")).cast("double")
-                / (F.col("db") - F.col("da"))
+                / F.nullif(F.col("db") - F.col("da"), F.lit(0))
             ).alias("slope"),
             F.when(F.col("rb") > F.col("ra"), F.lit(1))
             .when(F.col("rb") < F.col("ra"), F.lit(-1))
             .otherwise(F.lit(0))
             .alias("sgn"),
         )
+        # materialize once for the selection + S scans
         .localCheckpoint(eager=True)
     )
-    n_pairs = pairs.count()
+    # db > da over n days is exactly n(n-1)/2 — no counting scan
+    n_pairs = n_days * (n_days - 1) // 2
     k1, k2 = (n_pairs + 1) // 2, (n_pairs + 2) // 2
     # exact median via distributed SELECTION (kth_smallest): only the
     # bucket(s) containing the middle ranks are ever sorted — ~1/32 of
