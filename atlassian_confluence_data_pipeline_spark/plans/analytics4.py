@@ -331,3 +331,90 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("tw").cast("double"), 2).alias("total_weight"),
         )
     )
+
+
+@query(
+    "nelson_aalen_hazard",
+    oracle=f"""
+WITH life AS (
+  SELECT o_custkey,
+         date_diff('day', min(o_orderdate), max(o_orderdate)) AS duration,
+         max(o_orderdate) AS last_d
+  FROM orders GROUP BY 1
+), head AS (SELECT max(last_d) AS head_d FROM life),
+lab AS (
+  SELECT duration,
+         CASE WHEN date_diff('day', last_d, head.head_d)
+                   > {CHURN_HORIZON_DAYS} THEN 1 ELSE 0 END AS event
+  FROM life CROSS JOIN head
+), byd AS (
+  SELECT duration,
+         CAST(sum(event) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_leaving
+  FROM lab GROUP BY 1
+), risk AS (
+  SELECT duration, n_events,
+         CAST((SELECT sum(n_leaving) FROM byd) -
+           coalesce(sum(n_leaving) OVER (ORDER BY duration
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_at_risk
+  FROM byd
+)
+SELECT CAST(duration AS BIGINT) AS duration_days, n_at_risk, n_events,
+       round(CAST(sum(CAST(round(CAST(n_events AS DOUBLE) / n_at_risk, 9)
+                           AS DECIMAL(28,12)))
+             OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING)
+             AS DOUBLE), 6) AS cumulative_hazard
+FROM risk
+""",
+    tags=("analytics", "survival", "prefix"),
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard H(t) = sum over event times <= t
+    of d_t / n_t — the additive sibling of kaplan_meier_churn's
+    product-limit S(t) (H ~ -ln S for small increments; preferred when
+    comparing hazard slopes between cohorts). Same right-censored
+    customer-lifetime cohort, same distributed machinery: at-risk
+    counts from one prefix pass, the hazard sum from a second, each
+    d/n increment rounded to 9 decimals and summed in DECIMAL(28,12)
+    so partition order cannot move the hash."""
+    o = load_table(spark, sf_dir, "orders")
+    life = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("duration"),
+        F.max("o_orderdate").alias("last_d"),
+    ).localCheckpoint(eager=True)
+    head_d = life.agg(F.max("last_d")).first()[0]
+    byd = (
+        life.select(
+            "duration",
+            F.when(
+                F.datediff(F.lit(head_d), F.col("last_d")) > CHURN_HORIZON_DAYS,
+                F.lit(1),
+            ).otherwise(F.lit(0)).alias("event"),
+        )
+        .groupBy("duration")
+        .agg(
+            F.sum("event").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_leaving"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    total = byd.agg(F.sum("n_leaving")).first()[0]
+    cum = distributed_prefix_rank(byd, ["duration"], sums={"cum_leave": "n_leaving"})
+    risk = cum.select(
+        "duration",
+        "n_events",
+        (F.lit(total) - (F.col("cum_leave") - F.col("n_leaving"))).alias("n_at_risk"),
+    ).localCheckpoint(eager=True)
+    inc = F.round(
+        F.col("n_events").cast("double") / F.col("n_at_risk"), 9
+    ).cast("decimal(28,12)")
+    acc = distributed_prefix_rank(
+        risk.withColumn("inc", inc), ["duration"], sums={"cum_h": "inc"}
+    )
+    return acc.select(
+        F.col("duration").cast("bigint").alias("duration_days"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        "n_events",
+        F.round(F.col("cum_h").cast("double"), 6).alias("cumulative_hazard"),
+    )

@@ -210,3 +210,30 @@ def test_lexical_diversity_bounds(spark, sf_dir):
         assert 0.0 < r["ttr"] <= 1.0
         assert 0.0 <= r["hapax_share"] <= 1.0
         assert r["avg_word_len"] > 0
+
+
+def test_nelson_aalen_consistent_with_kaplan_meier(spark, sf_dir):
+    """H(t) is non-decreasing and -ln S(t) >= H(t) (term-wise
+    -ln(1-x) >= x), with equality only when no events occurred."""
+    import math
+
+    na = {
+        r["duration_days"]: r
+        for r in _rows(spark, sf_dir, "nelson_aalen_hazard")
+    }
+    km = {
+        r["duration_days"]: r
+        for r in _rows(spark, sf_dir, "kaplan_meier_churn")
+    }
+    assert set(na) == set(km)
+    prev = -1.0
+    for d in sorted(na):
+        r = na[d]
+        assert r["cumulative_hazard"] >= prev - 1e-9, "H must be non-decreasing"
+        prev = r["cumulative_hazard"]
+        assert (r["n_at_risk"], r["n_events"]) == (
+            km[d]["n_at_risk"], km[d]["n_events"]
+        )
+        s = km[d]["survival"]
+        if s > 0:
+            assert -math.log(s) >= r["cumulative_hazard"] - 1e-6
