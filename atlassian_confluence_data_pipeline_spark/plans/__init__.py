@@ -6,6 +6,7 @@ oracle SQL — the contract consumed by ``__spark_entry__.py``.
 """
 
 from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
+    alignment,
     analytics,
     analytics2,
     analytics3,
@@ -28,6 +29,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     governance,
     graphops,
     hierarchy,
+    hypothesis,
     layout,
     ledger,
     lookups,
