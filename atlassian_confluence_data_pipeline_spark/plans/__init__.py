@@ -41,6 +41,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     quality,
     quantization,
     relational,
+    resampling,
     reshape,
     retail,
     scalar,

@@ -63,6 +63,9 @@ INTENTIONAL_BNLJ = {
     "robust_trend_daily_revenue",  # pairwise-slope self-join of the
     # CALENDAR-BOUNDED day series (~2.4k rows broadcast under db > da;
     # Theil-Sen/Mann-Kendall are all-pairs by definition)
+    "hodges_lehmann_daily_revenue",  # Walsh-average self-join of the
+    # calendar-bounded day series under db >= da (the robust_trend
+    # pattern; pseudomedian is all-pairs by definition)
 }
 
 #: queries whose plans legitimately carry many HOF folds (k parallel
