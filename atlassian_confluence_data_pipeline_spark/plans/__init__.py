@@ -26,6 +26,7 @@ from atlassian_confluence_data_pipeline_spark.plans import (  # noqa: F401
     embeddings2,
     evals,
     eventops,
+    features,
     governance,
     graphops,
     hierarchy,
