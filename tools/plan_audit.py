@@ -76,6 +76,9 @@ MANY_FOLD_OK = {
     "ivf_ann_topk",  # cosine (dot + 2 norms) at 3 join sites + centroid mean
     "ivf_recall_audit",  # the ivf_ann_topk folds PLUS the brute-force
     # exact ranking's cosine folds (two complete rankings in one plan)
+    "centroid_classifier_confusion",  # 10 centroid-distance folds (one
+    # per label codebook entry) in the broadcast-codebook explode
+    "centroid_silhouette_by_label",  # same 10-fold distance frame
 }
 
 FOLD_THRESHOLD = 8
