@@ -60,6 +60,8 @@ INTENTIONAL_BNLJ = {
     # <= 5-row category rollup
     "ivf_recall_audit",  # 10-row broadcast query frame under the
     # query_id != neighbor_id condition (the cosine_topk brute-force side)
+    "ndcg_label_retrieval",  # the same 10-row broadcast probe frame
+    # under != (cosine_topk pattern), metric arithmetic on k rows/query
     "robust_trend_daily_revenue",  # pairwise-slope self-join of the
     # CALENDAR-BOUNDED day series (~2.4k rows broadcast under db > da;
     # Theil-Sen/Mann-Kendall are all-pairs by definition)
