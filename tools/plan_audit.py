@@ -68,6 +68,9 @@ INTENTIONAL_BNLJ = {
     "hodges_lehmann_daily_revenue",  # Walsh-average self-join of the
     # calendar-bounded day series under db >= da (the robust_trend
     # pattern; pseudomedian is all-pairs by definition)
+    "burrows_delta_sources",  # |sources| x 30-marker-word grid built by
+    # crossing the source totals with the TakeOrdered marker list —
+    # both sides bounded (the zero-count cells must exist for z-scores)
 }
 
 #: queries whose plans legitimately carry many HOF folds (k parallel
