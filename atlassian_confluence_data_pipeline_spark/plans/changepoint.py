@@ -1,0 +1,122 @@
+"""Changepoint wave (50): binary-segmentation split of the daily
+revenue series.
+
+The first step of every changepoint algorithm (binary segmentation /
+CUSUM): scan all n-1 possible split points, score each by the scaled
+between-segment variance k(n-k)/n * (mean_left - mean_right)^2, and
+return the argmax — "when did the business change", answered exactly
+from one prefix pass (every candidate split's statistic is closed-form
+arithmetic on the cumulative sums; no per-split scan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from atlassian_confluence_data_pipeline_spark.catalog import load_table
+from atlassian_confluence_data_pipeline_spark.operators.windows import (
+    distributed_prefix_rank,
+)
+from atlassian_confluence_data_pipeline_spark.plans.registry import query
+
+
+@query(
+    "revenue_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+           AS dnum,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(cents AS DECIMAL(38,0))) AS BIGINT) AS t
+  FROM daily
+), cum AS (
+  SELECT dnum,
+         CAST(row_number() OVER (ORDER BY dnum) AS BIGINT) AS k,
+         CAST(sum(cents) OVER (ORDER BY dnum ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS s
+  FROM daily
+), scored AS (
+  SELECT dnum, k,
+         CAST(s AS DOUBLE) / k AS mean_left,
+         CAST(tot.t - s AS DOUBLE) / (tot.n - k) AS mean_right,
+         CAST(k AS DOUBLE) * (tot.n - k) / tot.n
+           * (CAST(s AS DOUBLE) / k
+              - CAST(tot.t - s AS DOUBLE) / (tot.n - k))
+           * (CAST(s AS DOUBLE) / k
+              - CAST(tot.t - s AS DOUBLE) / (tot.n - k)) AS score
+  FROM cum CROSS JOIN tot WHERE k < tot.n
+)
+SELECT scored.dnum AS split_after_dnum,
+       scored.k AS n_days_left,
+       round(scored.mean_left / 100, 2) AS mean_left,
+       round(scored.mean_right / 100, 2) AS mean_right,
+       round(scored.score / 10000, 2) AS score
+FROM scored
+ORDER BY scored.score DESC, scored.dnum
+LIMIT 1
+""",
+    tags=("changepoint", "timeseries", "prefix"),
+)
+def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most likely changepoint of the daily revenue series by binary
+    segmentation: every candidate split's statistic
+    k(n-k)/n (mean_l - mean_r)^2 comes from the cumulative sums alone,
+    so scanning ALL n-1 splits costs one prefix pass + a TakeOrdered
+    argmax — the "did demand shift, and when" monitoring primitive
+    (recurse on the halves to find further breaks).
+
+    Scale shape: day-domain aggregate (exact integer cents), ONE
+    distributed prefix pass carrying rank and cumulative revenue,
+    closed-form score projection, TakeOrderedAndProject(1). No global
+    sort, no per-candidate rescans."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias(
+                "dnum"
+            )
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("t"),
+    ).first()
+    n, t = tot["n"], tot["t"]
+    cum = distributed_prefix_rank(
+        daily, ["dnum"], sums={"s": "cents"}, rank_col="k"
+    ).withColumn("k", F.col("k").cast("bigint"))
+    mean_l = F.col("s").cast("double") / F.col("k")
+    mean_r = (F.lit(t) - F.col("s")).cast("double") / (
+        F.lit(n) - F.col("k")
+    )
+    score = (
+        F.col("k").cast("double")
+        * (F.lit(n) - F.col("k"))
+        / F.lit(n)
+        * (mean_l - mean_r)
+        * (mean_l - mean_r)
+    )
+    return (
+        cum.filter(F.col("k") < n)
+        .select(
+            F.col("dnum").cast("bigint").alias("split_after_dnum"),
+            F.col("k").alias("n_days_left"),
+            F.round(mean_l / 100, 2).alias("mean_left"),
+            F.round(mean_r / 100, 2).alias("mean_right"),
+            F.round(score / 10000, 2).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "split_after_dnum")
+        .limit(1)
+    )
