@@ -54,7 +54,7 @@ SELECT scored.dnum AS split_after_dnum,
        scored.k AS n_days_left,
        round(scored.mean_left / 100, 2) AS mean_left,
        round(scored.mean_right / 100, 2) AS mean_right,
-       round(scored.score / 10000, 2) AS score
+       round(sqrt(scored.score) / 100, 4) AS score_root
 FROM scored
 ORDER BY scored.score DESC, scored.dnum
 LIMIT 1
@@ -108,15 +108,21 @@ def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (mean_l - mean_r)
         * (mean_l - mean_r)
     )
-    return (
-        cum.filter(F.col("k") < n)
-        .select(
-            F.col("dnum").cast("bigint").alias("split_after_dnum"),
-            F.col("k").alias("n_days_left"),
-            F.round(mean_l / 100, 2).alias("mean_left"),
-            F.round(mean_r / 100, 2).alias("mean_right"),
-            F.round(score / 10000, 2).alias("score"),
-        )
-        .orderBy(F.col("score").desc(), "split_after_dnum")
-        .limit(1)
+    scored = cum.filter(F.col("k") < n).select(
+        "dnum", "k", score.alias("score")
     )
+    best = scored.orderBy(F.col("score").desc(), "dnum").limit(1)
+    # recompute the display columns from (dnum, k, s-free) on the winner
+    # row: join back to cum for s is unnecessary — mean_l/mean_r derive
+    # from score's own inputs, so re-select them off cum instead
+    win = cum.join(best.select("dnum"), "dnum").select(
+        F.col("dnum").cast("bigint").alias("split_after_dnum"),
+        F.col("k").alias("n_days_left"),
+        F.round(mean_l / 100, 2).alias("mean_left"),
+        F.round(mean_r / 100, 2).alias("mean_right"),
+        # report sqrt(score) in revenue units: the raw score's
+        # magnitude (~1e13 cents^2) is beyond where cross-engine
+        # round() stays exact
+        F.round(F.sqrt(score) / 100, 4).alias("score_root"),
+    )
+    return win

@@ -143,11 +143,11 @@ WITH daily AS (
 SELECT seas.dow,
        CAST(count(*) AS BIGINT) AS n_days,
        round(seas.seasonal_c / 100, 4) AS seasonal,
-       round(CAST(sum(CAST(round(
+       round(sqrt(CAST(sum(CAST(round(
            (detr.resid0 - seas.seasonal_c)
            * (detr.resid0 - seas.seasonal_c), 6)
-         AS DECIMAL(38,12))) AS DOUBLE) / count(*) / 10000, 4)
-         AS residual_var
+         AS DECIMAL(38,12))) AS DOUBLE) / count(*)) / 100, 4)
+         AS residual_std
 FROM detr JOIN seas USING (dow)
 GROUP BY 1, 3
 """,
@@ -159,7 +159,9 @@ def weekly_decomposition_revenue(
     """Classical trend/seasonal/residual decomposition of daily revenue
     at the weekly period: trend = centered 7-day moving average,
     seasonal = day-of-week mean of the detrended series, residual
-    variance per weekday — the readout that separates "weekends are
+    STD per weekday (reported as a standard deviation in revenue
+    units — variances at corpus scale exceed the magnitude where
+    cross-engine round() stays exact) — the readout that separates "weekends are
     slow" (seasonal) from "demand is drifting" (trend) from noise.
 
     Scale shape: the corpus collapses to the calendar-bounded day
@@ -220,17 +222,19 @@ def weekly_decomposition_revenue(
     return jd.groupBy("dow", "seasonal_c").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.round(
-            F.sum(F.round(dev * dev, 6).cast("decimal(38,12)"))
-            .cast("double")
-            / F.count(F.lit(1))
-            / 10000,
+            F.sqrt(
+                F.sum(F.round(dev * dev, 6).cast("decimal(38,12)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            )
+            / 100,
             4,
-        ).alias("residual_var"),
+        ).alias("residual_std"),
     ).select(
         F.col("dow").cast("bigint").alias("dow"),
         "n_days",
         F.round(F.col("seasonal_c") / 100, 4).alias("seasonal"),
-        "residual_var",
+        "residual_std",
     )
 
 

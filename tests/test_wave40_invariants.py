@@ -31,7 +31,7 @@ def test_weekly_decomposition_seasonal_sums_to_zero(spark, sf_dir):
     # complete centered window decompose — slots may be missing there
     assert 1 <= len(rows) <= 7
     for r in rows:
-        assert r["residual_var"] >= 0
+        assert r["residual_std"] >= 0
         assert r["n_days"] > 0
     if len(rows) == 7 and min(r["n_days"] for r in rows) >= 30:
         total_days = sum(r["n_days"] for r in rows)

@@ -52,8 +52,9 @@ def test_changepoint_is_the_global_argmax(spark, sf_dir):
     assert r["n_days_left"] == best[2]
     assert abs(r["mean_left"] - best[3] / 100) < 0.02
     assert abs(r["mean_right"] - best[4] / 100) < 0.02
-    assert abs(r["score"] - best[0] / 10000) < max(
-        0.02, 1e-6 * best[0] / 10000
-    )
+    import math
+
+    want_root = math.sqrt(best[0]) / 100
+    assert abs(r["score_root"] - want_root) < max(0.01, 1e-6 * want_root)
     # means differ across the split (else no changepoint exists at all)
-    assert r["score"] > 0
+    assert r["score_root"] > 0
