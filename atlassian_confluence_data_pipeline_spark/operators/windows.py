@@ -360,6 +360,11 @@ def kth_smallest(
     ks = sorted(set(int(k) for k in ks))
     if not ks:
         return {}
+    # Ranks are defined over the NON-NULL domain: a NULL value would land
+    # in bucket 0 (the filter predicate is null -> size 0) and sort first
+    # there, silently shifting every requested rank. approxQuantile already
+    # ignores NULLs, so the counts must too.
+    df = df.filter(F.col(value_col).isNotNull())
     n_bounds = max(1, num_ranges) - 1
     bounds = (
         df.stat.approxQuantile(

@@ -45,6 +45,12 @@ from pyspark.sql.types import Row, StructType
 
 STAGING = "_staging"
 
+#: Names the sink itself manages inside the destination directory. A row
+#: carrying one of these would clobber (or be clobbered by) the sink's own
+#: metadata — or, for STAGING, make the publish os.replace fail mid-commit —
+#: so write() rejects them up front alongside path separators.
+RESERVED_NAMES = frozenset({"_MANIFEST", "_MANIFEST.tmp", "_SUCCESS", STAGING})
+
 
 @dataclass
 class _Manifest(WriterCommitMessage):
@@ -67,7 +73,7 @@ class HtmlFileWriter(DataSourceWriter):
         names = []
         for row in iterator:
             name = row[self.filename_col]
-            if os.sep in name or name.startswith("."):
+            if os.sep in name or name.startswith(".") or name in RESERVED_NAMES:
                 raise ValueError(f"unsafe filename {name!r} (sanitize upstream)")
             with open(os.path.join(staging, name), "w") as fh:
                 fh.write(row[self.content_col] or "")
@@ -79,6 +85,10 @@ class HtmlFileWriter(DataSourceWriter):
         # last-write-win in arbitrary message order — fail the commit
         # instead (nothing is published yet; staging is swept), the same
         # contract as a Hive table rejecting duplicate partition paths.
+        # Speculative/failed tasks can surface as None commit messages —
+        # drop them (same guard as AuditLogStreamWriter.commit) so one
+        # doesn't fail the job after every real task succeeded.
+        messages = [m for m in messages if m is not None]
         seen: set = set()
         dupes: set = set()
         for m in messages:
@@ -95,7 +105,13 @@ class HtmlFileWriter(DataSourceWriter):
         if self.overwrite:
             # only retract files THIS sink published in a prior epoch
             # (recorded in _MANIFEST) — never unrelated files that happen
-            # to live in the destination directory
+            # to live in the destination directory. Drop the prior run's
+            # _SUCCESS marker BEFORE retraction begins so a concurrent
+            # reader never observes _SUCCESS next to a half-retracted
+            # directory; commit re-stamps it last.
+            success = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(success):
+                os.remove(success)
             prior = os.path.join(self.path, "_MANIFEST")
             if os.path.exists(prior):
                 with open(prior) as fh:

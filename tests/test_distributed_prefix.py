@@ -184,3 +184,17 @@ def test_kth_smallest_matches_sorted_reference(spark):
         kth_smallest(df, "v", [0])
     with pytest.raises(ValueError):
         kth_smallest(df, "v", [len(vals) + 1])
+
+
+def test_kth_smallest_ignores_nulls(spark):
+    """NULLs must not occupy ranks: the kth smallest is defined over the
+    non-null domain (a NULL would otherwise land in bucket 0 and shift
+    every requested rank)."""
+    from atlassian_confluence_data_pipeline_spark.operators.windows import (
+        kth_smallest,
+    )
+
+    vals = [5.0, None, 1.0, None, 3.0, 2.0, None, 4.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = kth_smallest(df, "v", [1, 3, 5])
+    assert got == {1: 1.0, 3: 3.0, 5: 5.0}

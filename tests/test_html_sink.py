@@ -160,3 +160,78 @@ def test_append_manifest_accumulates(spark, tmp_path):
     ).save(out)
     names = {n for n in os.listdir(out) if n.endswith(".html")}
     assert names == {"c.html"}
+
+
+def test_reserved_metadata_names_rejected(spark, tmp_path):
+    """A row named after the sink's own metadata files (_MANIFEST,
+    _SUCCESS, _staging) must fail the job — publishing it would corrupt
+    overwrite-retraction bookkeeping or break the staging rename."""
+    register(spark)
+    for bad in ["_MANIFEST", "_SUCCESS", "_staging", "_MANIFEST.tmp"]:
+        out = str(tmp_path / f"html_{bad.strip('._')}")
+        os.makedirs(out)
+        with pytest.raises(Exception, match="unsafe filename"):
+            _df(spark, [("ok.html", "x"), (bad, "evil")]).write.format(
+                "confluence_html"
+            ).mode("append").save(out)
+        assert [n for n in os.listdir(out) if n.endswith(".html")] == []
+
+
+def test_commit_ignores_none_messages(tmp_path):
+    """Speculative/failed tasks can surface as None commit messages; the
+    driver commit must skip them instead of raising after every real
+    task succeeded (same guard as the audit-log sink)."""
+    from atlassian_confluence_data_pipeline_spark.sources.html_sink import (
+        HtmlFileWriter,
+        _Manifest,
+    )
+
+    out = str(tmp_path / "html")
+    staging = os.path.join(out, "_staging", "t0")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "a.html"), "w") as fh:
+        fh.write("body")
+    w = HtmlFileWriter({"path": out}, overwrite=False)
+    w.commit([None, _Manifest(staging_dir=staging, filenames=["a.html"]), None])
+    assert open(os.path.join(out, "a.html")).read() == "body"
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_overwrite_drops_success_before_retraction(tmp_path, monkeypatch):
+    """During overwrite retraction the prior _SUCCESS marker must come
+    down BEFORE any published file is removed (a concurrent reader must
+    never see _SUCCESS next to a half-retracted directory), and be
+    re-stamped last."""
+    import atlassian_confluence_data_pipeline_spark.sources.html_sink as hs
+
+    out = str(tmp_path / "html")
+    os.makedirs(out)
+    with open(os.path.join(out, "old.html"), "w") as fh:
+        fh.write("old")
+    with open(os.path.join(out, "_MANIFEST"), "w") as fh:
+        fh.write("old.html")
+    with open(os.path.join(out, "_SUCCESS"), "w") as fh:
+        fh.write("")
+    staging = os.path.join(out, "_staging", "t0")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "new.html"), "w") as fh:
+        fh.write("new")
+
+    real_remove = os.remove
+    order = []
+
+    def spy_remove(path):
+        order.append(os.path.basename(path))
+        if os.path.basename(path) == "old.html":
+            assert not os.path.exists(os.path.join(out, "_SUCCESS")), (
+                "_SUCCESS still visible while retracting prior files"
+            )
+        real_remove(path)
+
+    monkeypatch.setattr(hs.os, "remove", spy_remove)
+    w = hs.HtmlFileWriter({"path": out}, overwrite=True)
+    w.commit([hs._Manifest(staging_dir=staging, filenames=["new.html"])])
+    assert order.index("_SUCCESS") < order.index("old.html")
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert open(os.path.join(out, "new.html")).read() == "new"
+    assert not os.path.exists(os.path.join(out, "old.html"))
