@@ -26,10 +26,6 @@ from atlassian_confluence_data_pipeline_spark.catalog import load_table
 from atlassian_confluence_data_pipeline_spark.operators.graph import (
     connected_components,
 )
-from atlassian_confluence_data_pipeline_spark.operators.lsh import (
-    simhash_near_pairs,
-    with_srp_fingerprint,
-)
 from atlassian_confluence_data_pipeline_spark.operators.similarity import (
     dot,
     l2_norm,
@@ -128,14 +124,16 @@ def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense interior, much smaller than the full graph); border
     assignment is one join + min-aggregate. No stage ever touches
     all-pairs."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    fps = (
-        with_srp_fingerprint(emb.select("vec_id", "embedding"), "embedding")
-        .select("vec_id", "simhash")
-        .localCheckpoint(eager=False)
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        srp_candidates,
     )
-    cand = simhash_near_pairs(
-        fps, "vec_id", max_hamming=DBSCAN_MAX_HAMMING, chunks=DBSCAN_CHUNKS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the fingerprint + banding stage is session-shared with the other
+    # embedding-LSH consumers (round-5 advice item 1); the honest full
+    # chain shape stays audited under embedding_lsh_pairs, the owner
+    cand = srp_candidates(
+        spark, sf_dir, max_hamming=DBSCAN_MAX_HAMMING, chunks=DBSCAN_CHUNKS
     )
     wn = emb.select(
         "vec_id",

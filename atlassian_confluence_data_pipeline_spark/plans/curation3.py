@@ -41,7 +41,6 @@ from atlassian_confluence_data_pipeline_spark.operators.lsh import (
     SRP_PERMS,
     lsh_band_keys,
     shingle_hashes_from_word_hashes,
-    simhash_near_pairs,
     with_srp_fingerprint,
 )
 from atlassian_confluence_data_pipeline_spark.plans.multimodal import (
@@ -464,14 +463,15 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_norm,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    fps = (
-        with_srp_fingerprint(emb.select("vec_id", "embedding"), "embedding")
-        .select("vec_id", "simhash")
-        .localCheckpoint(eager=False)
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        srp_candidates,
     )
-    cand = simhash_near_pairs(
-        fps, "vec_id", max_hamming=KNN_MAX_HAMMING, chunks=KNN_CHUNKS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # session-shared fingerprint + banding stage (round-5 advice item 1);
+    # the honest chain shape stays audited under embedding_lsh_pairs
+    cand = srp_candidates(
+        spark, sf_dir, max_hamming=KNN_MAX_HAMMING, chunks=KNN_CHUNKS
     )
     sym = cand.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")

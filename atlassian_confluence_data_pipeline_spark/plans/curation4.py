@@ -45,8 +45,6 @@ from atlassian_confluence_data_pipeline_spark.operators.lsh import (
     BAND_BASE,
     MINHASH_PERMS,
     shingle_hashes_from_word_hashes,
-    simhash_near_pairs,
-    with_srp_fingerprint,
 )
 from atlassian_confluence_data_pipeline_spark.operators.similarity import (
     dot,
@@ -759,14 +757,15 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks are rank<=k filters directly over keyed windows
     (WindowGroupLimit heaps, never a global sort); the final
     positive-x-negative join fans out at most {N} rows per anchor."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    fps = (
-        with_srp_fingerprint(emb.select("vec_id", "embedding"), "embedding")
-        .select("vec_id", "simhash")
-        .localCheckpoint(eager=False)
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        srp_candidates,
     )
-    cand = simhash_near_pairs(
-        fps, "vec_id", max_hamming=HN_MAX_HAMMING, chunks=HN_CHUNKS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # session-shared fingerprint + banding stage (round-5 advice item 1);
+    # the honest chain shape stays audited under embedding_lsh_pairs
+    cand = srp_candidates(
+        spark, sf_dir, max_hamming=HN_MAX_HAMMING, chunks=HN_CHUNKS
     )
     sym = cand.select(
         F.col("id_a").alias("anchor"), F.col("id_b").alias("other")
