@@ -212,6 +212,79 @@ def distributed_prefix_rank(
     return b.select(*keep, *out_cols)
 
 
+def grouped_distributed_rank(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[str],
+    rank_col: str,
+    num_ranges: int = 32,
+    bucket_col: str = "__range_bucket",
+) -> DataFrame:
+    """Per-group global row number WITHOUT a per-group single-reducer
+    window — the grouped sibling of ``distributed_prefix_rank`` for
+    low-cardinality group keys (lang, label: the sorted-neighborhood
+    blocking domains), where ``Window.partitionBy(group)`` would funnel
+    each whole group through one task at corpus scale:
+
+    1. range-bucket every row by GLOBAL quantiles of the leading
+       (numeric, non-null) order key — the bucket function is monotone
+       and value-deterministic, so within every group
+       (bucket, order_by) order == order_by order;
+    2. row_number PARTITIONED by (group, bucket) — each task sees
+       ~1/num_ranges of a group;
+    3. reduce to per-(group, bucket) counts (a tiny aggregate,
+       |groups| x num_ranges rows), turn them into exclusive prefix
+       offsets with a window over that tiny frame, and broadcast-join
+       the offsets back.
+
+    Nothing is collected to the driver; the broadcast side is bounded
+    by group-cardinality x num_ranges. ``order_by`` must be a total
+    order (add a unique tie-breaker) and the leading key non-null.
+    The input is localCheckpoint-ed (the counts job and the caller's
+    action both read the bucketed rows), so callers can fan both sides
+    of a self-join off the returned frame for free."""
+    first = order_by[0]
+    n_bounds = max(1, num_ranges) - 1
+    bounds = (
+        df.stat.approxQuantile(
+            first, [i / num_ranges for i in range(1, num_ranges)], 0.001
+        )
+        if n_bounds > 0
+        else []
+    )
+    if bounds:
+        barr = F.array(*[F.lit(float(x)) for x in bounds])
+        bucket = F.size(
+            F.filter(barr, lambda v: v < F.col(first).cast("double"))
+        )
+    else:
+        bucket = F.lit(0)
+    b = df.withColumn(bucket_col, bucket).withColumn(
+        "__rn_local",
+        F.row_number().over(
+            Window.partitionBy(*group_cols, bucket_col).orderBy(*order_by)
+        ),
+    ).localCheckpoint(eager=True)
+    counts = b.groupBy(*group_cols, bucket_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    woff = (
+        Window.partitionBy(*group_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *group_cols,
+        bucket_col,
+        F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off"),
+    )
+    joined = b.join(F.broadcast(offsets), [*group_cols, bucket_col])
+    return joined.select(
+        *df.columns,
+        (F.col("__rn_local") + F.col("__off")).cast("bigint").alias(rank_col),
+    )
+
+
 def distributed_modular_chain(
     df: DataFrame,
     order_by: Sequence[str],

@@ -343,3 +343,48 @@ class TestFourthWavePlanShapes:
             or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan
         )
+
+
+def test_grouped_distributed_rank_matches_plain_window(spark):
+    from pyspark.sql import Window
+
+    from atlassian_confluence_data_pipeline_spark.operators.windows import (
+        grouped_distributed_rank,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 7).cast("string").alias("g"),
+        # non-unique leading key (ties span range buckets), id tie-break
+        (F.col("id") % 211).cast("bigint").alias("k"),
+        F.col("id").alias("id"),
+    )
+    got = {
+        (r["g"], r["id"]): r["rk"]
+        for r in grouped_distributed_rank(
+            df, ["g"], ["k", "id"], "rk", num_ranges=8
+        ).collect()
+    }
+    want = {
+        (r["g"], r["id"]): r["rk"]
+        for r in df.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("g").orderBy("k", "id")),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_grouped_distributed_rank_single_bucket(spark):
+    from atlassian_confluence_data_pipeline_spark.operators.windows import (
+        grouped_distributed_rank,
+    )
+
+    df = spark.range(0, 10).select(
+        F.lit("g").alias("g"), F.col("id").alias("k")
+    )
+    rows = grouped_distributed_rank(
+        df, ["g"], ["k"], "rk", num_ranges=1
+    ).collect()
+    assert sorted((r["k"], r["rk"]) for r in rows) == [
+        (i, i + 1) for i in range(10)
+    ]
