@@ -56,7 +56,16 @@ OFFSETS = {
 }
 
 
-def build_replica(spark, base: str, out: str, factor: int) -> None:
+#: skew mode: half of all events land on this one user, half of all
+#: orders on this one customer — the "hot space_key / hot user" shape a
+#: 100 TB corpus actually has (uniform replication never exercises it)
+HOT_USER = 42
+HOT_CUST = 1
+
+
+def build_replica(
+    spark, base: str, out: str, factor: int, skew: bool = False
+) -> None:
     os.makedirs(out, exist_ok=True)
     for name in TABLES:
         src = load_table(spark, base, name)
@@ -81,6 +90,20 @@ def build_replica(spark, base: str, out: str, factor: int) -> None:
         out_df = copies[0]
         for c in copies[1:]:
             out_df = out_df.unionByName(c)
+        if skew and name == "events":
+            out_df = out_df.withColumn(
+                "user_id",
+                F.when(F.col("event_id") % 2 == 0, F.lit(HOT_USER)).otherwise(
+                    F.col("user_id")
+                ),
+            )
+        if skew and name == "orders":
+            out_df = out_df.withColumn(
+                "o_custkey",
+                F.when(F.col("o_orderkey") % 2 == 0, F.lit(HOT_CUST)).otherwise(
+                    F.col("o_custkey")
+                ),
+            )
         out_df.write.mode("overwrite").parquet(dest)
 
 
@@ -95,14 +118,21 @@ def main() -> None:
     ap.add_argument("--factors", type=int, nargs="+", default=[4])
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--queries", nargs="+", default=HEADLINE)
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="hot-key replicas: 50%% of events on one user, 50%% of "
+        "orders on one customer (dirs suffixed _skew)",
+    )
     args = ap.parse_args()
 
     spark = get_session("scaling", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     dirs = {1: args.base}
+    suffix = "_skew" if args.skew else ""
     for f in args.factors:
-        out = str(REPO / ".scratch" / f"scale_x{f}")
-        print(f"building x{f} replica ...", file=sys.stderr)
-        build_replica(spark, args.base, out, f)
+        out = str(REPO / ".scratch" / f"scale_x{f}{suffix}")
+        print(f"building x{f}{suffix} replica ...", file=sys.stderr)
+        build_replica(spark, args.base, out, f, skew=args.skew)
         dirs[f] = out
 
     factors = sorted(dirs)
