@@ -394,6 +394,182 @@ def foreach_batch_span_dedup(
     return docs.writeStream.foreachBatch(dedup_batch)
 
 
+def foreach_batch_curation(
+    docs,
+    ledger_store,
+    seen_store,
+    index_store,
+    pairs_out_dir: str,
+    gate_min_words: int = 5,
+    jaccard: float = 0.5,
+):  # noqa: ANN001 - DataStreamWriter return hint kept lazy like peers
+    """The composed END-TO-END streaming curation job (round-5 item 4):
+    quality gate -> cross-batch exact dedup -> cross-batch near-dup
+    rejection -> accepted-ledger MERGE, one continuous foreachBatch.
+    Each micro-batch of (doc_id, text):
+
+    1. GATE: keeps docs with >= gate_min_words whitespace words (the
+       batch gate predicate, deterministic);
+    2. EXACT DEDUP: sha2(text)-fingerprints, keeps the lowest doc_id
+       per fingerprint within the batch, then anti-joins the PERSISTED
+       fingerprint index so any text seen in an earlier batch drops;
+    3. NEAR-DUP: MinHash-bands the survivors (identical constants to
+       the batch operators), probes the persisted band index, verifies
+       candidates with exact Jaccard (pairs appended to
+       ``pairs_out_dir``). A doc is rejected when it near-dups ANY
+       earlier-seen doc or a lower-doc_id doc in its own batch.
+       Rejected docs still enter the band/fingerprint indexes (they
+       were seen), which is what makes acceptance batching-invariant:
+       chains like 1~3, 3~5 reject both 3 and 5 no matter how the
+       stream is chopped;
+    4. LEDGER MERGE: accepted docs upsert into the StateStore ledger
+       with fully content-derived fields (version = word count,
+       title = fingerprint, constant last_modified) — so the ledger is
+       BYTE-IDENTICAL to running the same data as one batch, and a
+       replayed micro-batch (restart recovery) is a no-op.
+
+    Equivalence contract: keep-first priority is (earlier batch, then
+    lower doc_id); it equals the single-batch run whenever arrival
+    order is doc_id order — the CDC case, and what the recovery test
+    pins (kill mid-stream, restart, ledger == batch ledger).
+
+    Scale notes: every stage is an equi-join on a derived key
+    (fingerprint / band_key); all store writes are distinct/MERGE
+    idempotent so replays cannot grow state; pair emission is
+    at-least-once (dedup-on-read), the same contract as
+    foreach_batch_minhash_dedup."""
+    from pyspark.sql import functions as F
+
+    from atlassian_confluence_data_pipeline_spark.functions.text import (
+        rolling_hash,
+    )
+    from atlassian_confluence_data_pipeline_spark.operators.lsh import (
+        lsh_band_keys,
+        minhash_signature,
+        shingle_hashes_from_word_hashes,
+        verify_candidates_jaccard,
+    )
+
+    def curate_batch(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        words = F.split(F.trim(F.col("text")), r"\s+")
+        gated = (
+            batch_df.select(
+                "doc_id",
+                "text",
+                F.size(words).cast("int").alias("n_words"),
+                F.sha2(F.col("text"), 256).alias("fp"),
+            )
+            .filter(F.col("n_words") >= gate_min_words)
+            .localCheckpoint(eager=True)
+        )
+        # exact dedup: batch-local keep-min-doc_id per fingerprint, then
+        # drop fingerprints seen in any earlier batch
+        firsts = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        batch_unique = gated.join(firsts, ["fp", "doc_id"])
+        if seen_store.current_snapshot() is None:
+            prior_seen = spark.createDataFrame([], "doc_id bigint, fp string")
+        else:
+            prior_seen = seen_store.read(spark)
+        fresh = batch_unique.join(
+            prior_seen.select("fp"), "fp", "left_anti"
+        ).localCheckpoint(eager=True)
+        # near-dup: band the fresh docs, probe the persisted index
+        hs_tbl = fresh.select(
+            "doc_id",
+            F.transform(words, rolling_hash).alias("wh"),
+        ).select(
+            "doc_id", shingle_hashes_from_word_hashes(F.col("wh")).alias("hs")
+        ).filter(F.size("hs") > 0)
+        banded = hs_tbl.select(
+            "doc_id",
+            "hs",
+            minhash_signature(F.col("hs"), k=32, pre_hashed=True).alias(
+                "__sig"
+            ),
+        ).select(
+            "doc_id",
+            "hs",
+            F.explode(F.array(*lsh_band_keys(F.col("__sig"), 16, 2))).alias(
+                "band_key"
+            ),
+        )
+        if index_store.current_snapshot() is None:
+            prior_idx = spark.createDataFrame(
+                [], "doc_id bigint, hs array<bigint>, band_key bigint"
+            )
+        else:
+            prior_idx = index_store.read(spark)
+        universe = prior_idx.unionByName(banded).localCheckpoint(eager=True)
+        cand = (
+            banded.select(F.col("doc_id").alias("id_x"), "band_key")
+            .join(
+                universe.select(F.col("doc_id").alias("id_y"), "band_key"),
+                "band_key",
+            )
+            .filter(F.col("id_x") != F.col("id_y"))
+            .select(
+                F.least("id_x", "id_y").alias("id_a"),
+                F.greatest("id_x", "id_y").alias("id_b"),
+            )
+            .distinct()
+        )
+        shingles = universe.select("doc_id", "hs").distinct()
+        verified = (
+            verify_candidates_jaccard(
+                cand, shingles, "doc_id", "hs", threshold=jaccard
+            )
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+            .localCheckpoint(eager=True)
+        )
+        verified.write.mode("append").parquet(pairs_out_dir)
+        # rejection: a fresh doc near-dupping an earlier-seen doc (either
+        # pair side) or a lower-id doc in its own batch (always id_b)
+        fresh_ids = fresh.select("doc_id")
+        prior_ids = prior_idx.select("doc_id").distinct()
+        rej_vs_prior = (
+            verified.join(
+                prior_ids.withColumnRenamed("doc_id", "id_a"), "id_a"
+            ).select(F.col("id_b").alias("doc_id"))
+        ).unionByName(
+            verified.join(
+                prior_ids.withColumnRenamed("doc_id", "id_b"), "id_b"
+            ).select(F.col("id_a").alias("doc_id"))
+        )
+        rej_in_batch = (
+            verified.join(
+                fresh_ids.withColumnRenamed("doc_id", "id_a"), "id_a"
+            )
+            .join(fresh_ids.withColumnRenamed("doc_id", "id_b"), "id_b")
+            .select(F.col("id_b").alias("doc_id"))
+        )
+        rejected = rej_vs_prior.unionByName(rej_in_batch).distinct()
+        accepted = fresh.join(rejected, "doc_id", "left_anti")
+        # ledger MERGE: content-derived fields only -> byte-identical
+        # across chop points and replays
+        ledger_store.upsert(
+            spark,
+            accepted.select(
+                F.col("doc_id").cast("string").alias("id"),
+                F.col("fp").alias("title"),
+                F.lit("curation").alias("space_key"),
+                F.col("n_words").alias("version"),
+                F.lit("1970-01-01T00:00:00").alias("last_modified"),
+                F.create_map()
+                .cast("map<string,string>")
+                .alias("output_paths"),
+            ),
+        )
+        seen_store.write(
+            prior_seen.unionByName(fresh.select("doc_id", "fp"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        index_store.write(universe.distinct().localCheckpoint(eager=True))
+
+    return docs.writeStream.foreachBatch(curate_batch)
+
+
 def foreach_batch_hll_distinct(
     events,
     register_store,

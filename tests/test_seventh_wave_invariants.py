@@ -114,6 +114,14 @@ def test_mmr_radii_non_increasing_and_distinct(spark, sf_dir):
     radii = [r["min_dist"] for r in rows[1:]]
     assert all(a >= b - 1e-12 for a, b in zip(radii, radii[1:]))
     assert all(r > 0 for r in radii)
+    # tournament pre-filter: seed + pool + one pass per certified miss —
+    # strictly fewer corpus jobs than the old K-round shape (8)
+    from atlassian_confluence_data_pipeline_spark.plans.curation4 import (
+        MMR_STATS,
+    )
+
+    assert MMR_STATS["cluster_jobs"] == 2 + MMR_STATS["recollects"]
+    assert MMR_STATS["cluster_jobs"] < MMR_K
 
 
 def test_hard_negatives_cross_label_and_positives_same_label(spark, sf_dir):
