@@ -43,6 +43,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _record_rounds(op: str, rounds: int) -> None:
+    # driver-iteration telemetry for tools/plan_audit.py (item 5b)
+    from atlassian_confluence_data_pipeline_spark import iterstats
+
+    iterstats.record(op, rounds)
+
+
 def _symmetric_edges(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
     return (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -180,6 +187,7 @@ def connected_components(
         if stats is not None:
             stats["rounds"] = used
             stats["escalated"] = False
+        _record_rounds("connected_components", used)
         return labels
     # deep graph: contract every partial component to its current label
     # and finish on the (much smaller) label graph with star rounds
@@ -217,6 +225,7 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = used + star_used
         stats["escalated"] = True
+    _record_rounds("connected_components", used + star_used)
     return out
 
 
@@ -244,6 +253,7 @@ def connected_components_star(
     star_edges, rounds = _star_rounds(e0, max_iter)
     if stats is not None:
         stats["rounds"] = rounds
+    _record_rounds("connected_components_star", rounds)
     # one row per node even if max_iter expired mid-contraction (see
     # connected_components: un-converged star forests can carry several
     # edges per node)

@@ -66,4 +66,7 @@ def expand_hierarchy(
             visited = visited.unionByName(nxt.select("node_id")).localCheckpoint(
                 eager=True
             )
+    from atlassian_confluence_data_pipeline_spark import iterstats
+
+    iterstats.record("expand_hierarchy", len(levels) - 1)
     return reduce(lambda a, b: a.unionByName(b), levels)

@@ -942,6 +942,9 @@ def kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "centroid_id", F.col("mean_vec").alias("centroid")
                 )
             )
+    from atlassian_confluence_data_pipeline_spark import iterstats
+
+    iterstats.record("kmeans_iterations", KMEANS_ITERS)
     refined = _deterministic_mean_vectors(assigned, "centroid_id")
     return refined.select(
         "centroid_id",

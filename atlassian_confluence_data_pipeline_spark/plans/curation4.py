@@ -739,6 +739,9 @@ def mmr_diverse_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel.append((vec, nrm))
         for c in pool.values():  # same bits as the JVM least-fold
             c[2] = min(c[2], 1 - _pydot(c[0], vec) / (c[1] * nrm))
+    from atlassian_confluence_data_pipeline_spark import iterstats
+
+    iterstats.record("mmr_diverse_select", MMR_STATS["cluster_jobs"])
     out = spark.createDataFrame(
         picked, "rank int, vec_id bigint, min_dist double"
     )

@@ -14,6 +14,23 @@ Flags raised:
   optimized plan than the query legitimately contains — the
   projection-CSE / filter-on-alias traps (PLANS.md round-2 note).
   Threshold is generous (8); the trap produces 16-66 copies.
+- **Giant literal expressions** (round-5 item 5a): any single optimized-
+  plan line over MAX_PLAN_LINE chars — the inlined-literal-array pattern
+  (Bloom bitmaps etc.). The sanctioned 4096-element bitmaps produce
+  ~60k-char lines; the gate fires at ~2x that, before an unbounded
+  collect-and-inline could ship a corpus into the plan.
+- **Driver iteration counts** (item 5b): looping operators record their
+  cluster-round counts in `atlassian_confluence_data_pipeline_spark.iterstats`;
+  any query whose build drives an operator past ITERATION_BOUND rounds
+  is flagged (loops must be configured constants or O(log n), never
+  data-tracking).
+- **Checkpoint counts** (item 5c): DISTINCT `Scan ExistingRDD` frames in
+  the physical plan (localCheckpoint materializations feeding the final
+  job) above CHECKPOINT_SCAN_BOUND — each is a full materialization of
+  an intermediate; a plan accumulating many distinct ones is
+  over-materializing. Re-scanning ONE checkpointed frame many times
+  (unrolled iterations over a bounded matrix) is reuse, not waste, so
+  scans of the same frame count once.
 
 Exit code 1 if anything is flagged, so CI can gate on it.
 """
@@ -124,28 +141,62 @@ def _has_unpartitioned_window(phys: str) -> bool:
     return bool(UNPARTITIONED_WINDOW_RE.search(phys))
 
 
+#: item 5a — longest tolerated optimized-plan line. The sanctioned
+#: 4096-bit Bloom bitmap literals produce ~60k-char lines; anything
+#: past 2x that means an unbounded collect was inlined into the plan.
+MAX_PLAN_LINE = 120_000
+
+#: item 5c — DISTINCT `Scan ExistingRDD` (localCheckpoint) frames
+#: tolerated in one physical plan. The heaviest legitimate chains
+#: (shared LSH stages + graph contraction) sit well below this.
+CHECKPOINT_SCAN_BOUND = 12
+
+_CKPT_RE = None
+
+
+def _distinct_checkpoints(phys: str) -> int:
+    global _CKPT_RE
+    import re
+
+    if _CKPT_RE is None:
+        _CKPT_RE = re.compile(r"Scan ExistingRDD\[[^\]]*\]")
+    # self-join re-references of ONE checkpoint get fresh attribute ids;
+    # strip the #id suffixes so those dedupe to the frame's column shape
+    return len({re.sub(r"#\d+", "", m) for m in _CKPT_RE.findall(phys)})
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     args = ap.parse_args()
+    from atlassian_confluence_data_pipeline_spark import iterstats
+
     spark = get_session("plan-audit", cpus=8)
     flagged: list[str] = []
-    print("| query | cartesian | BNLJ | py-udf | aggregate( count | 1p-window |")
-    print("|---|---|---|---|---|---|")
+    print(
+        "| query | cartesian | BNLJ | py-udf | aggregate( count |"
+        " 1p-window | maxline | iters | ckpts |"
+    )
+    print("|---|---|---|---|---|---|---|---|---|")
     for name in sorted(QUERIES):
+        iterstats.reset()
         try:
             df = QUERIES[name].fn(spark, args.sf)
             opt = df._jdf.queryExecution().optimizedPlan().toString()
             phys = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # pragma: no cover - audit robustness
             flagged.append(f"{name}: plan build failed: {e}")
-            print(f"| {name} | ERROR | | | | |")
+            print(f"| {name} | ERROR | | | | | | | |")
             continue
         cartesian = "CartesianProduct" in phys or "Cross" in opt.split("\n")[0]
         bnlj = "BroadcastNestedLoopJoin" in phys
         pyudf = "BatchEvalPython" in phys
         folds = opt.count("aggregate(")
         gwin = _has_unpartitioned_window(phys)
+        maxline = max((len(ln) for ln in opt.splitlines()), default=0)
+        iters = iterstats.snapshot()
+        worst_iter = max(iters.values(), default=0)
+        ckpts = _distinct_checkpoints(phys)
         row_flags = []
         if cartesian:
             row_flags.append("cartesian product")
@@ -161,12 +212,30 @@ def main() -> int:
                 " (use distributed_prefix_rank, or allowlist with the"
                 " bound if the domain is constant)"
             )
+        if maxline > MAX_PLAN_LINE:
+            row_flags.append(
+                f"{maxline}-char plan line (inlined literal past the"
+                f" {MAX_PLAN_LINE} gate — collect-and-inline of"
+                " unbounded data?)"
+            )
+        if worst_iter > iterstats.ITERATION_BOUND:
+            worst_op = max(iters, key=iters.get)
+            row_flags.append(
+                f"driver loop {worst_op} ran {worst_iter} rounds"
+                f" (> {iterstats.ITERATION_BOUND})"
+            )
+        if ckpts > CHECKPOINT_SCAN_BOUND:
+            row_flags.append(
+                f"{ckpts} distinct checkpointed frames in one plan"
+                f" (> {CHECKPOINT_SCAN_BOUND})"
+            )
         for fl in row_flags:
             flagged.append(f"{name}: {fl}")
         print(
             f"| {name} | {'X' if cartesian else ''} |"
             f" {'X' if bnlj else ''} | {'X' if pyudf else ''} | {folds} |"
-            f" {'X' if gwin else ''} |"
+            f" {'X' if gwin else ''} | {maxline // 1000}k |"
+            f" {worst_iter or ''} | {ckpts or ''} |"
         )
     print()
     if flagged:
