@@ -68,3 +68,60 @@ def test_mixture_flattens_toward_uniform_as_tau_grows(spark, sf_dir):
     # temperature > 1 flattens shares toward uniform: tv non-increasing
     assert all(a >= b - 1e-9 for a, b in zip(tvs, tvs[1:]))
     assert all(r["tv"] >= 0.0 and r["chi2"] >= 0.0 for r in rows)
+
+
+def test_psi_total_is_sum_of_contribs(spark, sf_dir):
+    rows = QUERIES["psi_order_priority"].fn(spark, sf_dir).collect()
+    states = [r for r in rows if r["priority"] != "_PSI_"]
+    total = [r for r in rows if r["priority"] == "_PSI_"][0]
+    assert abs(sum(r["psi_contrib"] for r in states) - total["psi_contrib"]) < 1e-3
+    assert all(r["psi_contrib"] >= 0.0 for r in states)  # PSI terms are non-negative
+    assert abs(sum(r["p_early"] for r in states) - 1.0) < 1e-3
+
+
+def test_kendall_tau_bounds(spark, sf_dir):
+    r = QUERIES["kendall_tau_qty_discount"].fn(spark, sf_dir).first()
+    assert -1.0 <= r["tau_b"] <= 1.0
+    assert r["concordant"] >= 0 and r["discordant"] >= 0
+    # concordant+discordant can't exceed all x-distinct pairs
+    assert r["concordant"] + r["discordant"] <= r["n"] * (r["n"] - 1) // 2
+
+
+def test_bootstrap_replicates_spread_around_mean(spark, sf_dir):
+    import statistics
+
+    from atlassian_confluence_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["poisson_bootstrap_order_means"].fn(spark, sf_dir).collect()
+    assert len(rows) == 32
+    true_mean = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.avg("o_totalprice"))
+        .first()[0]
+    )
+    boot = [r["boot_mean"] for r in rows]
+    # resample means bracket the point estimate and vary across reps
+    assert min(boot) < true_mean < max(boot)
+    assert statistics.pstdev(boot) > 0
+    # weights are Poisson(1): effective n within 20% of the corpus size
+    n = load_table(spark, sf_dir, "orders").count()
+    assert all(abs(r["n_eff"] - n) < 0.2 * n for r in rows)
+
+
+def test_lorenz_deciles_monotone(spark, sf_dir):
+    rows = sorted(
+        QUERIES["lorenz_curve_deciles"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    shares = [r["revenue_share"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(shares, shares[1:]))  # sorted by revenue
+    assert abs(sum(shares) - 1.0) < 1e-3
+
+
+def test_dow_profile_complete(spark, sf_dir):
+    rows = QUERIES["dow_revenue_profile"].fn(spark, sf_dir).collect()
+    assert sorted(r["dow"] for r in rows) == list(range(7))
+    assert abs(sum(r["order_share"] for r in rows) - 1.0) < 1e-3
+    assert all(r["chi2_contrib"] >= 0.0 for r in rows)
