@@ -1,0 +1,150 @@
+"""Per-document corpus-context curation signals (round-6 wave 3):
+n-gram commonness (anti-diversity / memorization pressure) and novelty
+versus earlier documents (ingest-order freshness).
+
+Both ride the portable shingle-hash family (per-word rolling hashes
+polynomially combined — operators/lsh.py), so the DuckDB oracles
+reproduce every hash bit-for-bit.
+
+Reference parity note: no analog in `/root/reference`; driver-mandate
+§2.11 extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from atlassian_confluence_data_pipeline_spark.catalog import load_table
+from atlassian_confluence_data_pipeline_spark.functions.text import (
+    ROLLING_MOD,
+    rolling_hash,
+)
+from atlassian_confluence_data_pipeline_spark.operators.lsh import (
+    BAND_BASE,
+    shingle_hashes_from_word_hashes,
+)
+from atlassian_confluence_data_pipeline_spark.plans.multimodal import _rh_sql
+from atlassian_confluence_data_pipeline_spark.plans.registry import query
+from atlassian_confluence_data_pipeline_spark.plans.textops import _words
+
+#: DuckDB rendering of the 3-word shingle-hash set (mirrors
+#: operators/lsh.py shingle_hashes_from_word_hashes — the idiom already
+#: hash-proven by the minhash oracles)
+_SH_CTES = f"""w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), wht AS (
+  SELECT doc_id, list_transform(w, t -> {_rh_sql('t')}) AS wh FROM w
+), t AS (
+  SELECT doc_id, list_distinct(list_transform(
+      range(1, greatest(len(wh) - 1, 1)),
+      i -> ((wh[i] * {BAND_BASE} + wh[i+1]) % {ROLLING_MOD}
+            * {BAND_BASE} + wh[i+2]) % {ROLLING_MOD})) AS hs
+  FROM wht
+)"""
+
+
+def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs) — the distinct 3-shingle hash set per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", _words(F.col("text")).alias("w"))
+        .select("doc_id", F.transform(F.col("w"), rolling_hash).alias("wh"))
+        .select(
+            "doc_id", shingle_hashes_from_word_hashes(F.col("wh")).alias("hs")
+        )
+    )
+
+
+@query(
+    "doc_ngram_commonness",
+    oracle=f"""
+WITH {_SH_CTES},
+e AS (SELECT doc_id, unnest(hs) AS h FROM t),
+df AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY 1)
+SELECT e.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_common,
+       round(CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS commonness
+FROM e JOIN df USING (h)
+GROUP BY 1
+""",
+    tags=("curation", "text", "diversity", "ngram"),
+)
+def doc_ngram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram commonness: the fraction of a document's
+    distinct 3-word shingles that also occur in at least one OTHER
+    document — high commonness marks boilerplate/template text (the
+    anti-diversity pressure a mixture wants capped), low commonness
+    marks unique content. The per-doc rollup of shingle_df_spectrum's
+    corpus view.
+
+    Scale shape: explode distinct shingle hashes (bigints, never
+    strings), one hash aggregate to document frequencies, one equi-join
+    back, one per-doc aggregate. Documents too short to shingle have no
+    rows (no 0/0 division) — identical in the oracle."""
+    sh = _shingle_table(spark, sf_dir)
+    e = sh.select("doc_id", F.explode("hs").alias("h")).localCheckpoint(
+        eager=True
+    )
+    df = e.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    common = F.when(F.col("df") >= 2, 1).otherwise(0)
+    return (
+        e.join(df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(common).cast("bigint").alias("n_common"),
+            F.round(
+                F.sum(common).cast("double") / F.count(F.lit(1)), 6
+            ).alias("commonness"),
+        )
+    )
+
+
+@query(
+    "doc_novelty_vs_earlier",
+    oracle=f"""
+WITH {_SH_CTES},
+e AS (SELECT doc_id, unnest(hs) AS h FROM t),
+first AS (SELECT h, min(doc_id) AS first_doc FROM e GROUP BY 1)
+SELECT e.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN first.first_doc = e.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN first.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novelty
+FROM e JOIN first USING (h)
+GROUP BY 1
+""",
+    tags=("curation", "text", "novelty", "ngram"),
+)
+def doc_novelty_vs_earlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty against everything ingested BEFORE it
+    (doc_id order = arrival order): the fraction of a document's
+    distinct 3-shingles whose FIRST corpus occurrence is this document.
+    The how-fast-is-new-data-saturating curve — when late documents'
+    novelty collapses, further ingestion of that source stops paying.
+
+    Scale shape: the same exploded hash table as doc_ngram_commonness;
+    first occurrence is one min-aggregate (no window, no self-join),
+    then one equi-join back and a per-doc rollup."""
+    sh = _shingle_table(spark, sf_dir)
+    e = sh.select("doc_id", F.explode("hs").alias("h")).localCheckpoint(
+        eager=True
+    )
+    first = e.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        e.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(
+                F.sum(novel).cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty"),
+        )
+    )

@@ -37,6 +37,73 @@ _Q = 1 << 20
 _Q2 = float(_Q) * float(_Q)
 
 
+#: shared covariance CTE prefix: exact integer moments -> the 64x64
+#: double matrix `cmat.m` (nested list ordered by (j, k))
+_COV_CTES = f"""q AS (
+  SELECT list_transform(embedding::DOUBLE[],
+           x -> CAST(floor(x * {float(_Q)!r}) AS BIGINT)) AS q
+  FROM embeddings
+), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM q),
+jx AS (SELECT unnest(range(1, {_DIM + 1})) AS j),
+kx AS (SELECT unnest(range(1, {_DIM + 1})) AS k),
+s1 AS (
+  SELECT j, CAST(sum(CAST(q[j] AS DECIMAL(38,0))) AS DOUBLE) AS s
+  FROM q, jx GROUP BY j
+),
+s2 AS (
+  SELECT j, k, CAST(sum(CAST(q[j] * q[k] AS DECIMAL(38,0))) AS DOUBLE) AS s
+  FROM q, jx, kx GROUP BY j, k
+),
+c AS (
+  SELECT s2.j, s2.k,
+         ((s2.s - s1a.s * s1b.s / nn.n) / nn.n) / {_Q2!r} AS c
+  FROM s2 JOIN s1 s1a ON s1a.j = s2.j JOIN s1 s1b ON s1b.j = s2.k
+  CROSS JOIN nn
+),
+crow AS (SELECT j, list(c ORDER BY k) AS row FROM c GROUP BY j),
+cmat AS (SELECT list(row ORDER BY j) AS m FROM crow)"""
+
+
+def _cov_matrix(spark: SparkSession, sf_dir: str) -> list:
+    """The exact covariance matrix as driver-side float64 — one
+    pair-exploded DECIMAL moment pass, bounded (64 + 64^2) collect,
+    doubles built with the oracle CTEs' exact expression shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * float(_Q)).cast("bigint"),
+    )
+    qdf = emb.select(q.alias("q")).localCheckpoint(eager=True)
+    n = qdf.count()
+    s1_rows = (
+        qdf.select(F.posexplode("q").alias("dim", "qv"))
+        .groupBy("dim")
+        .agg(F.sum(F.col("qv").cast("decimal(38,0)")).alias("s"))
+        .collect()
+    )
+    s2_rows = (
+        qdf.select(F.posexplode("q").alias("j", "qj"), F.col("q"))
+        .select(
+            "j",
+            F.posexplode(
+                F.transform(F.col("q"), lambda x: x * F.col("qj"))
+            ).alias("k", "prod"),
+        )
+        .groupBy("j", "k")
+        .agg(F.sum(F.col("prod").cast("decimal(38,0)")).alias("s"))
+        .collect()
+    )
+    s1 = [0.0] * _DIM
+    for r in s1_rows:
+        s1[r["dim"]] = float(r["s"])
+    c = [[0.0] * _DIM for _ in range(_DIM)]
+    nf = float(n)
+    for r in s2_rows:
+        j, k = r["j"], r["k"]
+        c[j][k] = ((float(r["s"]) - s1[j] * s1[k] / nf) / nf) / _Q2
+    return c
+
+
 def _fold(terms: str) -> str:
     """DuckDB left fold matching a Python ``s = 0.0; s += t`` loop."""
     return (
@@ -68,29 +135,7 @@ def _pca_oracle() -> str:
     )
     trace = _fold(f"list_transform(range(1, {_DIM + 1}), j -> m[j][j])")
     return f"""
-WITH q AS (
-  SELECT list_transform(embedding::DOUBLE[],
-           x -> CAST(floor(x * {float(_Q)!r}) AS BIGINT)) AS q
-  FROM embeddings
-), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM q),
-jx AS (SELECT unnest(range(1, {_DIM + 1})) AS j),
-kx AS (SELECT unnest(range(1, {_DIM + 1})) AS k),
-s1 AS (
-  SELECT j, CAST(sum(CAST(q[j] AS DECIMAL(38,0))) AS DOUBLE) AS s
-  FROM q, jx GROUP BY j
-),
-s2 AS (
-  SELECT j, k, CAST(sum(CAST(q[j] * q[k] AS DECIMAL(38,0))) AS DOUBLE) AS s
-  FROM q, jx, kx GROUP BY j, k
-),
-c AS (
-  SELECT s2.j, s2.k,
-         ((s2.s - s1a.s * s1b.s / nn.n) / nn.n) / {_Q2!r} AS c
-  FROM s2 JOIN s1 s1a ON s1a.j = s2.j JOIN s1 s1b ON s1b.j = s2.k
-  CROSS JOIN nn
-),
-crow AS (SELECT j, list(c ORDER BY k) AS row FROM c GROUP BY j),
-cmat AS (SELECT list(row ORDER BY j) AS m FROM crow),
+WITH {_COV_CTES},
 v0 AS (SELECT list_transform(range(1, {_DIM + 1}), i -> 0.125) AS v),
 {chain},
 cvx AS (SELECT list_transform(range(1, {_DIM + 1}), j -> {matvec}) AS cv
@@ -128,43 +173,7 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds at all beyond the moment pass. Covariance de-scales by the
     power-of-two quantizer square, so no step introduces rounding
     before the final display round."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * float(_Q)).cast("bigint"),
-    )
-    qdf = emb.select(q.alias("q")).localCheckpoint(eager=True)
-    n = qdf.count()
-    s1_rows = (
-        qdf.select(F.posexplode("q").alias("dim", "qv"))
-        .groupBy("dim")
-        .agg(F.sum(F.col("qv").cast("decimal(38,0)")).alias("s"))
-        .collect()
-    )
-    # pair-exploded second moments: explode dim j, then multiply the
-    # carried vector by q[j] and explode again — n x DIM^2 rows through
-    # one partial-aggregated hash aggregate
-    s2_rows = (
-        qdf.select(F.posexplode("q").alias("j", "qj"), F.col("q"))
-        .select(
-            "j",
-            F.posexplode(
-                F.transform(F.col("q"), lambda x: x * F.col("qj"))
-            ).alias("k", "prod"),
-        )
-        .groupBy("j", "k")
-        .agg(F.sum(F.col("prod").cast("decimal(38,0)")).alias("s"))
-        .collect()
-    )
-    s1 = [0.0] * _DIM
-    for r in s1_rows:
-        s1[r["dim"]] = float(r["s"])
-    c = [[0.0] * _DIM for _ in range(_DIM)]
-    nf = float(n)
-    for r in s2_rows:
-        j, k = r["j"], r["k"]
-        # the oracle's exact expression shape: (s2 - s1j*s1k/n)/n / Q^2
-        c[j][k] = ((float(r["s"]) - s1[j] * s1[k] / nf) / nf) / _Q2
+    c = _cov_matrix(spark, sf_dir)
 
     from atlassian_confluence_data_pipeline_spark import iterstats
 
@@ -203,4 +212,58 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("loading", 6).alias("loading"),
         F.round("eigenvalue", 6).alias("eigenvalue"),
         F.round("explained_share", 6).alias("explained_share"),
+    )
+
+
+def _pr_oracle() -> str:
+    trace = _fold(f"list_transform(range(1, {_DIM + 1}), j -> m[j][j])")
+    sumsq = _fold(
+        "flatten(list_transform(m, row -> list_transform(row, x -> x * x)))"
+    )
+    return f"""
+WITH {_COV_CTES},
+trx AS (SELECT {trace} AS tr FROM cmat),
+ssx AS (SELECT {sumsq} AS ss FROM cmat)
+SELECT CAST({_DIM} AS INT) AS n_dims,
+       round(tr, 6) AS trace,
+       round(tr * tr / ss, 4) AS participation_ratio,
+       round(tr * tr / ss / {_DIM}, 6) AS isotropy
+FROM trx, ssx
+"""
+
+
+@query(
+    "embedding_participation_ratio",
+    oracle=_pr_oracle(),
+    tags=("vector", "spectral", "isotropy"),
+)
+def embedding_participation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Participation ratio of the embedding covariance —
+    trace(C)^2 / sum(C^2) = (sum lambda)^2 / sum(lambda^2), the
+    effective number of variance-carrying dimensions computed WITHOUT
+    any eigendecomposition (Frobenius norm == sum of squared
+    eigenvalues). PR ~ {D} means isotropic embeddings; PR near 1 means
+    the encoder collapsed to a line — the corpus-level isotropy gate
+    run next to pca_top_component's per-axis view.
+
+    Scale shape: the same single pair-exploded DECIMAL moment pass as
+    the PCA (shared _cov_matrix helper); trace and Frobenius sums fold
+    left-to-right over the bounded 64x64 matrix in both engines."""
+    c = _cov_matrix(spark, sf_dir)
+    tr = 0.0
+    for j in range(_DIM):
+        tr += c[j][j]
+    ss = 0.0
+    for j in range(_DIM):  # row-major, same order as the oracle flatten
+        for k in range(_DIM):
+            ss += c[j][k] * c[j][k]
+    out = spark.createDataFrame(
+        [(_DIM, tr, tr * tr / ss, tr * tr / ss / _DIM)],
+        "n_dims int, trace double, participation_ratio double, isotropy double",
+    )
+    return out.select(
+        "n_dims",
+        F.round("trace", 6).alias("trace"),
+        F.round("participation_ratio", 4).alias("participation_ratio"),
+        F.round("isotropy", 6).alias("isotropy"),
     )

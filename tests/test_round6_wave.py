@@ -125,3 +125,32 @@ def test_dow_profile_complete(spark, sf_dir):
     assert sorted(r["dow"] for r in rows) == list(range(7))
     assert abs(sum(r["order_share"] for r in rows) - 1.0) < 1e-3
     assert all(r["chi2_contrib"] >= 0.0 for r in rows)
+
+
+def test_participation_ratio_bounds(spark, sf_dir):
+    r = QUERIES["embedding_participation_ratio"].fn(spark, sf_dir).first()
+    assert 1.0 <= r["participation_ratio"] <= 64.0
+    assert 0.0 < r["isotropy"] <= 1.0
+    assert r["trace"] > 0.0
+
+
+def test_commonness_and_novelty_are_complementary_signals(spark, sf_dir):
+    com = {
+        r["doc_id"]: r
+        for r in QUERIES["doc_ngram_commonness"].fn(spark, sf_dir).collect()
+    }
+    nov = {
+        r["doc_id"]: r
+        for r in QUERIES["doc_novelty_vs_earlier"].fn(spark, sf_dir).collect()
+    }
+    assert set(com) == set(nov)
+    for d, r in com.items():
+        assert 0.0 <= r["commonness"] <= 1.0
+        assert r["n_common"] <= r["n_shingles"]
+        assert 0.0 <= nov[d]["novelty"] <= 1.0
+    # the earliest document's shingles are all first occurrences
+    first_doc = min(nov)
+    assert nov[first_doc]["novelty"] == 1.0
+    # a shingle unseen elsewhere is novel AND uncommon: novelty >= 1 - commonness
+    for d in nov:
+        assert nov[d]["n_novel"] + com[d]["n_common"] >= com[d]["n_shingles"] - 1e-9
