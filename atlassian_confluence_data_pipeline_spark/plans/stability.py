@@ -456,3 +456,80 @@ def dow_revenue_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(dev * dev / F.lit(exp), 6).alias("chi2_contrib"),
     )
+
+
+#: Hill estimator: tail sample size (top-K revenue customers)
+HILL_K = 100
+
+
+@query(
+    "hill_tail_customer_revenue",
+    oracle=f"""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), top AS (
+  SELECT cents, row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk
+  FROM rev QUALIFY rk <= {HILL_K + 1}
+), xmin AS (SELECT cents AS cmin FROM top WHERE rk = {HILL_K + 1}),
+terms AS (
+  SELECT round(ln(CAST(t.cents AS DOUBLE)) - ln(CAST(x.cmin AS DOUBLE)), 9)
+           AS term
+  FROM top t, xmin x WHERE t.rk <= {HILL_K}
+), s AS (
+  SELECT CAST(sum(CAST(term AS DECIMAL(28,12))) AS DOUBLE) AS slog FROM terms
+)
+SELECT CAST({HILL_K} AS BIGINT) AS k, x.cmin AS xmin_cents,
+       round(s.slog / {HILL_K}, 6) AS mean_log_excess,
+       round({HILL_K} / s.slog, 6) AS hill_alpha
+FROM s, xmin x
+""",
+    tags=("statistics", "heavytail", "distribution"),
+)
+def hill_tail_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the customer-revenue tail index over the top
+    {K} customers: alpha-hat = K / sum(ln(x_i / x_min)) — the
+    heavy-tail diagnostic behind the Gini/Lorenz views (alpha < 2 means
+    infinite-variance whales: mean-based capacity planning lies). The
+    per-word sibling is zipf_slope; this one reads the revenue
+    distribution.
+
+    Scale shape: per-customer exact-cents aggregate, ONE
+    TakeOrdered({K}+1) cut (per-partition heaps + driver merge, no
+    global sort, no unpartitioned window), then {K} bounded log terms
+    9-rounded and DECIMAL-summed on the driver with the oracle's exact
+    accumulation."""
+    import decimal
+
+    import math as _math
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    top = (
+        rev.orderBy(F.col("cents").desc(), "o_custkey")
+        .limit(HILL_K + 1)
+        .collect()
+    )
+    cmin = int(top[HILL_K]["cents"])
+    total = decimal.Decimal(0)
+    for r in top[:HILL_K]:
+        total += decimal.Decimal(
+            str(round(_math.log(float(r["cents"])) - _math.log(float(cmin)), 9))
+        )
+    slog = float(total)
+    out = spark.createDataFrame(
+        [(HILL_K, cmin, slog / HILL_K, HILL_K / slog)],
+        "k bigint, xmin_cents bigint, mean_log_excess double, hill_alpha double",
+    )
+    return out.select(
+        "k",
+        "xmin_cents",
+        F.round("mean_log_excess", 6).alias("mean_log_excess"),
+        F.round("hill_alpha", 6).alias("hill_alpha"),
+    )

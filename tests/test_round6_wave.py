@@ -154,3 +154,11 @@ def test_commonness_and_novelty_are_complementary_signals(spark, sf_dir):
     # a shingle unseen elsewhere is novel AND uncommon: novelty >= 1 - commonness
     for d in nov:
         assert nov[d]["n_novel"] + com[d]["n_common"] >= com[d]["n_shingles"] - 1e-9
+
+
+def test_hill_alpha_positive_heavy_tail(spark, sf_dir):
+    r = QUERIES["hill_tail_customer_revenue"].fn(spark, sf_dir).first()
+    assert r["k"] == 100
+    assert r["xmin_cents"] > 0
+    assert r["hill_alpha"] > 0.0
+    assert abs(r["mean_log_excess"] * r["hill_alpha"] - 1.0) < 1e-3
