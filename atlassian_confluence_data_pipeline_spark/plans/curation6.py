@@ -44,16 +44,29 @@ _SH_CTES = f"""w AS (
 )"""
 
 
-def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, hs) — the distinct 3-shingle hash set per document."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", _words(F.col("text")).alias("w"))
-        .select("doc_id", F.transform(F.col("w"), rolling_hash).alias("wh"))
-        .select(
-            "doc_id", shingle_hashes_from_word_hashes(F.col("wh")).alias("hs")
-        )
+def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h) — one row per distinct 3-shingle hash per document,
+    session-memoized (both corpus-context queries start from it; the
+    checkpoint is narrow bigint pairs)."""
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        shared_pair_table,
     )
+
+    def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return (
+            docs.select("doc_id", _words(F.col("text")).alias("w"))
+            .select(
+                "doc_id", F.transform(F.col("w"), rolling_hash).alias("wh")
+            )
+            .select(
+                "doc_id",
+                shingle_hashes_from_word_hashes(F.col("wh")).alias("hs"),
+            )
+            .select("doc_id", F.explode("hs").alias("h"))
+        )
+
+    return shared_pair_table(spark, sf_dir, "doc_shingle_hashes", _build)
 
 
 @query(
@@ -85,10 +98,7 @@ def doc_ngram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings), one hash aggregate to document frequencies, one equi-join
     back, one per-doc aggregate. Documents too short to shingle have no
     rows (no 0/0 division) — identical in the oracle."""
-    sh = _shingle_table(spark, sf_dir)
-    e = sh.select("doc_id", F.explode("hs").alias("h")).localCheckpoint(
-        eager=True
-    )
+    e = _exploded_shingles(spark, sf_dir)
     df = e.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     common = F.when(F.col("df") >= 2, 1).otherwise(0)
     return (
@@ -131,10 +141,7 @@ def doc_novelty_vs_earlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the same exploded hash table as doc_ngram_commonness;
     first occurrence is one min-aggregate (no window, no self-join),
     then one equi-join back and a per-doc rollup."""
-    sh = _shingle_table(spark, sf_dir)
-    e = sh.select("doc_id", F.explode("hs").alias("h")).localCheckpoint(
-        eager=True
-    )
+    e = _exploded_shingles(spark, sf_dir)
     first = e.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     return (
