@@ -142,3 +142,50 @@ class StateStore:
         merged = merged.localCheckpoint(eager=True)
         self.write(merged)
         return merged
+
+
+class AppendIndexStore:
+    """Append-only, batch-partitioned index for streaming jobs whose
+    state only GROWS (band indexes, fingerprint sets) — the O(batch)
+    complement to StateStore's O(state) snapshot rewrite.
+
+    Layout::
+
+        {path}/batch={batch_id}/   <- one parquet dir per micro-batch
+
+    ``write_batch`` overwrites ONLY its own batch partition, so a
+    replayed micro-batch (restart recovery) rewrites the identical
+    rows instead of growing the index — idempotent by layout, no
+    read-modify-write, no snapshot churn. ``read`` unions every batch
+    partition (Spark partition discovery; the synthetic ``batch``
+    column is dropped). A streaming index that is instead REVISED
+    per key belongs in StateStore's MERGE path, not here."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _batch_dirs(self) -> list[str]:
+        return sorted(
+            os.path.join(self.path, d)
+            for d in os.listdir(self.path)
+            if d.startswith("batch=")
+        )
+
+    def has_data(self) -> bool:
+        return bool(self._batch_dirs())
+
+    def read(self, spark: SparkSession, schema: str) -> DataFrame:
+        """Union of all batch partitions; empty frame of ``schema``
+        when nothing has been written yet. Partitions are listed
+        explicitly and the schema supplied (no glob discovery, no
+        inference — both flake on freshly-written directories)."""
+        dirs = self._batch_dirs()
+        if not dirs:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*dirs)
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(
+            os.path.join(self.path, f"batch={int(batch_id)}")
+        )

@@ -428,16 +428,22 @@ def foreach_batch_curation(
        BYTE-IDENTICAL to running the same data as one batch, and a
        replayed micro-batch (restart recovery) is a no-op.
 
+    State I/O is O(batch), not O(state): the fingerprint and band
+    indexes are AppendIndexStore batch partitions (each micro-batch
+    overwrites only its own partition — replay-idempotent by layout),
+    never snapshot rewrites of the whole index; only the ledger MERGE
+    compacts, which is its job.
+
     Equivalence contract: keep-first priority is (earlier batch, then
     lower doc_id); it equals the single-batch run whenever arrival
     order is doc_id order — the CDC case, and what the recovery test
     pins (kill mid-stream, restart, ledger == batch ledger).
 
     Scale notes: every stage is an equi-join on a derived key
-    (fingerprint / band_key); all store writes are distinct/MERGE
-    idempotent so replays cannot grow state; pair emission is
-    at-least-once (dedup-on-read), the same contract as
-    foreach_batch_minhash_dedup."""
+    (fingerprint / band_key); index writes are per-batch partitions and
+    the ledger MERGE collapses replays, so no store grows on recovery;
+    pair emission is at-least-once (dedup-on-read), the same contract
+    as foreach_batch_minhash_dedup."""
     from pyspark.sql import functions as F
 
     from atlassian_confluence_data_pipeline_spark.functions.text import (
@@ -467,15 +473,17 @@ def foreach_batch_curation(
         # drop fingerprints seen in any earlier batch
         firsts = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
         batch_unique = gated.join(firsts, ["fp", "doc_id"])
-        if seen_store.current_snapshot() is None:
-            prior_seen = spark.createDataFrame([], "doc_id bigint, fp string")
-        else:
-            prior_seen = seen_store.read(spark)
+        prior_seen = seen_store.read(spark, "doc_id bigint, fp string")
         fresh = batch_unique.join(
             prior_seen.select("fp"), "fp", "left_anti"
         ).localCheckpoint(eager=True)
-        # near-dup: band the fresh docs, probe the persisted index
-        hs_tbl = fresh.select(
+        # near-dup: band the BATCH-unique docs (not just the fresh ones)
+        # so the store partitions written below are pure functions of the
+        # batch contents — a replayed batch reproduces them identically
+        # no matter what state exists, which is what makes recovery safe
+        # at ANY crash point (an exact-dup twin has identical bands to
+        # its original, so acceptance decisions are unchanged)
+        hs_tbl = batch_unique.select(
             "doc_id",
             F.transform(words, rolling_hash).alias("wh"),
         ).select(
@@ -494,12 +502,9 @@ def foreach_batch_curation(
                 "band_key"
             ),
         )
-        if index_store.current_snapshot() is None:
-            prior_idx = spark.createDataFrame(
-                [], "doc_id bigint, hs array<bigint>, band_key bigint"
-            )
-        else:
-            prior_idx = index_store.read(spark)
+        prior_idx = index_store.read(
+            spark, "doc_id bigint, hs array<bigint>, band_key bigint"
+        )
         universe = prior_idx.unionByName(banded).localCheckpoint(eager=True)
         cand = (
             banded.select(F.col("doc_id").alias("id_x"), "band_key")
@@ -536,9 +541,10 @@ def foreach_batch_curation(
                 prior_ids.withColumnRenamed("doc_id", "id_b"), "id_b"
             ).select(F.col("id_a").alias("doc_id"))
         )
+        batch_ids = batch_unique.select("doc_id")
         rej_in_batch = (
             verified.join(
-                fresh_ids.withColumnRenamed("doc_id", "id_a"), "id_a"
+                batch_ids.withColumnRenamed("doc_id", "id_a"), "id_a"
             )
             .join(fresh_ids.withColumnRenamed("doc_id", "id_b"), "id_b")
             .select(F.col("id_b").alias("doc_id"))
@@ -560,12 +566,11 @@ def foreach_batch_curation(
                 .alias("output_paths"),
             ),
         )
-        seen_store.write(
-            prior_seen.unionByName(fresh.select("doc_id", "fp"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        index_store.write(universe.distinct().localCheckpoint(eager=True))
+        # O(batch) state writes AFTER the idempotent ledger MERGE: each
+        # partition is a pure function of the batch, so a replay (any
+        # crash point) overwrites it with identical rows
+        seen_store.write_batch(batch_unique.select("doc_id", "fp"), batch_id)
+        index_store.write_batch(banded, batch_id)
 
     return docs.writeStream.foreachBatch(curate_batch)
 

@@ -6,7 +6,10 @@ from __future__ import annotations
 
 import uuid
 
-from atlassian_confluence_data_pipeline_spark.operators.state import StateStore
+from atlassian_confluence_data_pipeline_spark.operators.state import (
+    AppendIndexStore,
+    StateStore,
+)
 from atlassian_confluence_data_pipeline_spark.streaming.jobs import (
     foreach_batch_curation,
 )
@@ -37,8 +40,8 @@ def _run_stream(spark, tmp_path, tag, files, checkpoint=None):
                 .coalesce(1).write.parquet(str(dest))
     stores = (
         StateStore(str(tmp_path / f"ledger_{tag}")),
-        StateStore(str(tmp_path / f"seen_{tag}")),
-        StateStore(str(tmp_path / f"index_{tag}")),
+        AppendIndexStore(str(tmp_path / f"seen_{tag}")),
+        AppendIndexStore(str(tmp_path / f"index_{tag}")),
     )
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
@@ -113,11 +116,13 @@ def test_streaming_curation_replay_is_noop(spark, tmp_path):
     ck = str(tmp_path / "ck1")
     files = [(i + 1, b) for i, b in enumerate(BATCHES)]
     stores = _run_stream(spark, tmp_path, "r", files, checkpoint=ck)
+    SEEN = "doc_id bigint, fp string"
+    IDX = "doc_id bigint, hs array<bigint>, band_key bigint"
     before = _ledger_rows(spark, stores[0])
-    seen_before = stores[1].read(spark).count()
-    idx_before = stores[2].read(spark).count()
+    seen_before = stores[1].read(spark, SEEN).count()
+    idx_before = stores[2].read(spark, IDX).count()
     # fresh checkpoint -> all three files reprocessed against warm stores
     _run_stream(spark, tmp_path, "r", files, checkpoint=str(tmp_path / "ck2"))
     assert _ledger_rows(spark, stores[0]) == before
-    assert stores[1].read(spark).count() == seen_before
-    assert stores[2].read(spark).count() == idx_before
+    assert stores[1].read(spark, SEEN).count() == seen_before
+    assert stores[2].read(spark, IDX).count() == idx_before
