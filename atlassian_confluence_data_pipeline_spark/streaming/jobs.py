@@ -211,16 +211,17 @@ def foreach_batch_minhash_dedup(
        against every document ever seen, not just the current batch;
        candidates are verified with exact Jaccard and appended to
        ``pairs_out_dir``;
-    3. merges its own band keys into the index snapshot (StateStore —
-       atomic pointer flip, time-travelable, vacuumable).
+    3. writes its own band keys as ONE AppendIndexStore batch
+       partition — O(batch) state I/O per trigger, never an O(index)
+       snapshot rewrite.
 
     Scale notes: the index carries (doc_id, band_key, hs) — one row per
     band per document, the same near-linear footprint as the batch band
     table; the probe is an equi-join on band_key (never all-pairs). The
-    index write is idempotent (distinct on doc_id+band_key), so a
-    replayed batch cannot grow it; pair emission is at-least-once
-    (dedup-on-read by (id_a, id_b), the same contract as the
-    reference's retry-tolerant output writes)."""
+    partition is a pure function of the batch, so a replayed batch
+    overwrites it with identical rows (idempotent at any crash point);
+    pair emission is at-least-once (dedup-on-read by (id_a, id_b), the
+    same contract as the reference's retry-tolerant output writes)."""
     from pyspark.sql import functions as F
 
     from atlassian_confluence_data_pipeline_spark.functions.text import (
@@ -258,12 +259,9 @@ def foreach_batch_minhash_dedup(
                 "band_key"
             ),
         )
-        if index_store.current_snapshot() is None:
-            prior = spark.createDataFrame(
-                [], "doc_id bigint, hs array<bigint>, band_key bigint"
-            )
-        else:
-            prior = index_store.read(spark)
+        prior = index_store.read(
+            spark, "doc_id bigint, hs array<bigint>, band_key bigint"
+        )
         universe = prior.unionByName(banded)
         cand = (
             banded.select(F.col("doc_id").alias("id_x"), "band_key")
@@ -283,7 +281,7 @@ def foreach_batch_minhash_dedup(
             cand, shingles, "doc_id", "hs", threshold=jaccard
         ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         verified.write.mode("append").parquet(pairs_out_dir)
-        index_store.write(universe.distinct().localCheckpoint(eager=True))
+        index_store.write_batch(banded, batch_id)
 
     return docs.writeStream.foreachBatch(dedup_batch)
 
@@ -305,14 +303,16 @@ def foreach_batch_span_dedup(
        then anti-joins the PERSISTED span-hash index so spans seen in
        ANY earlier batch are dropped entirely;
     3. writes the reconstructed documents (doc_id, n_spans, n_kept,
-       clean_text) to ``out_dir`` and merges the batch's span hashes
-       into the index snapshot (StateStore — atomic pointer flip).
+       clean_text) to ``out_dir`` and the batch's span hashes as ONE
+       AppendIndexStore batch partition — O(batch) state I/O per
+       trigger, never an O(index) snapshot rewrite.
 
-    Scale notes: index footprint is one bigint row per DISTINCT span
-    ever seen (sub-linear in corpus for boilerplate-heavy streams);
-    the probe is an equi-join on the hash; the index write is
-    idempotent (distinct), so a replayed batch cannot grow it; doc
-    emission is at-least-once keyed by doc_id (dedup-on-read)."""
+    Scale notes: the probe is an equi-join on the hash; the batch
+    partition holds the batch's DISTINCT span hashes (a pure function
+    of the batch, so replays overwrite identical rows at any crash
+    point; cross-batch repeats of a hash cost index rows but not
+    correctness — the anti-join semantics are set-based); doc emission
+    is at-least-once keyed by doc_id (dedup-on-read)."""
     from pyspark.sql import functions as F
 
     from atlassian_confluence_data_pipeline_spark.functions.text import (
@@ -360,10 +360,7 @@ def foreach_batch_span_dedup(
             )
             .select("doc_id", "pos", "span", "h")
         )
-        if index_store.current_snapshot() is None:
-            prior = spark.createDataFrame([], "h bigint")
-        else:
-            prior = index_store.read(spark)
+        prior = index_store.read(spark, "h bigint")
         kept = batch_kept.join(prior, "h", "left_anti")
         rebuilt = kept.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n_kept"),
@@ -385,11 +382,7 @@ def foreach_batch_span_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
         out.write.mode("append").parquet(out_dir)
-        index_store.write(
-            prior.unionByName(spans.select("h"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        index_store.write_batch(spans.select("h").distinct(), batch_id)
 
     return docs.writeStream.foreachBatch(dedup_batch)
 

