@@ -18,19 +18,34 @@ from __future__ import annotations
 #: small constants) while far below data-tracking runaway.
 ITERATION_BOUND = 64
 
-_LAST: dict[str, int] = {}
+import threading
+
+
+class _ThreadLocalCounts(threading.local):
+    """Per-thread counter dict: concurrent query builds (a threaded
+    bench, a parallel audit) each see their own reset()/record()
+    sequence instead of interleaving into one shared dict (round-6
+    advice: module-global telemetry cross-contaminates the counts the
+    audit gates on). The audit's reset -> build -> snapshot protocol is
+    single-threaded per query, which is exactly the unit of isolation."""
+
+    def __init__(self) -> None:
+        self.last: dict[str, int] = {}
+
+
+_TLS = _ThreadLocalCounts()
 
 
 def record(op: str, rounds: int) -> None:
     """Record the driver-round count of ``op``'s latest invocation.
     Multiple invocations within one query keep the max (the audit cares
     about the worst loop, not the last)."""
-    _LAST[op] = max(int(rounds), _LAST.get(op, 0))
+    _TLS.last[op] = max(int(rounds), _TLS.last.get(op, 0))
 
 
 def snapshot() -> dict[str, int]:
-    return dict(_LAST)
+    return dict(_TLS.last)
 
 
 def reset() -> None:
-    _LAST.clear()
+    _TLS.last.clear()

@@ -151,41 +151,172 @@ class AppendIndexStore:
 
     Layout::
 
-        {path}/batch={batch_id}/   <- one parquet dir per micro-batch
+        {path}/batch={batch_id}/     <- one parquet dir per micro-batch
+        {path}/compacted-{nonce}/    <- folded older batches (optional)
+        {path}/_COMPACTED            <- JSON {"dir", "max_batch"} pointer
 
     ``write_batch`` overwrites ONLY its own batch partition, so a
     replayed micro-batch (restart recovery) rewrites the identical
     rows instead of growing the index — idempotent by layout, no
-    read-modify-write, no snapshot churn. ``read`` unions every batch
-    partition (Spark partition discovery; the synthetic ``batch``
-    column is dropped). A streaming index that is instead REVISED
-    per key belongs in StateStore's MERGE path, not here."""
+    read-modify-write, no snapshot churn. The write lands in a hidden
+    ``.tmp-`` directory first and is RENAMED into ``batch=N`` — atomic
+    visibility on any filesystem, independent of the Hadoop committer
+    algorithm (v2 leaves visible partial files mid-write; round-6
+    advice). ``read`` unions the compacted partition with every batch
+    partition NEWER than the compaction watermark.
+
+    ``compact`` bounds the long-stream small-file explosion (round-6
+    top item): it folds all but the newest ``keep_recent`` batch dirs
+    (plus any prior compacted partition) into ONE consolidated
+    partition and atomically advances the ``_COMPACTED`` pointer.
+    Replay-idempotence is preserved structurally: a replayed batch at
+    or below the watermark re-creates its ``batch=N`` dir, but ``read``
+    ignores partitions <= watermark, so the replay is a no-op — the
+    consolidated partition is a pure function of the folded batches. A
+    streaming index that is instead REVISED per key belongs in
+    StateStore's MERGE path, not here."""
+
+    COMPACT_POINTER = "_COMPACTED"
 
     def __init__(self, path: str):
         self.path = path
         os.makedirs(path, exist_ok=True)
 
-    def _batch_dirs(self) -> list[str]:
+    # -- layout helpers ------------------------------------------------
+
+    def _compaction(self) -> dict | None:
+        """Current compaction manifest, or None. Tolerant load: a
+        missing/corrupt pointer means 'never compacted'."""
+        try:
+            with open(os.path.join(self.path, self.COMPACT_POINTER)) as fh:
+                man = json.load(fh)
+            if isinstance(man, dict) and "dir" in man and "max_batch" in man:
+                return man
+        except (FileNotFoundError, json.JSONDecodeError, OSError):
+            pass
+        return None
+
+    def _batch_ids(self) -> list[int]:
         return sorted(
-            os.path.join(self.path, d)
+            int(d.split("=", 1)[1])
             for d in os.listdir(self.path)
             if d.startswith("batch=")
         )
 
+    def _batch_dirs(self, min_exclusive: int = -1) -> list[str]:
+        return [
+            os.path.join(self.path, f"batch={i}")
+            for i in self._batch_ids()
+            if i > min_exclusive
+        ]
+
+    def _live_dirs(self) -> list[str]:
+        """The directories a reader unions: the compacted partition (if
+        any) plus batch dirs ABOVE the watermark — replayed rewrites of
+        already-folded batches are invisible by construction."""
+        man = self._compaction()
+        dirs: list[str] = []
+        watermark = -1
+        if man is not None:
+            dirs.append(os.path.join(self.path, man["dir"]))
+            watermark = int(man["max_batch"])
+        dirs.extend(self._batch_dirs(min_exclusive=watermark))
+        return dirs
+
     def has_data(self) -> bool:
-        return bool(self._batch_dirs())
+        return bool(self._live_dirs())
 
     def read(self, spark: SparkSession, schema: str) -> DataFrame:
-        """Union of all batch partitions; empty frame of ``schema``
-        when nothing has been written yet. Partitions are listed
-        explicitly and the schema supplied (no glob discovery, no
-        inference — both flake on freshly-written directories)."""
-        dirs = self._batch_dirs()
+        """Union of the compacted partition and all post-watermark batch
+        partitions; empty frame of ``schema`` when nothing has been
+        written yet. Partitions are listed explicitly and the schema
+        supplied (no glob discovery, no inference — both flake on
+        freshly-written directories)."""
+        dirs = self._live_dirs()
         if not dirs:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*dirs)
 
+    # -- writes --------------------------------------------------------
+
+    def _swap_in(self, tmp: str, target: str) -> None:
+        """Atomically make ``tmp`` visible as ``target``: rename any
+        existing target aside first (rename-onto-nonempty-dir fails on
+        POSIX), then rename tmp in, then drop the old copy. Readers see
+        either the complete old dir or the complete new one; hidden
+        ``.old-``/``.tmp-`` names are never unioned."""
+        import shutil
+
+        old = None
+        if os.path.exists(target):
+            old = os.path.join(
+                self.path, f".old-{os.path.basename(target)}-{time.time_ns()}"
+            )
+            os.rename(target, old)
+        os.rename(tmp, target)
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
+
+    def _reap_stale(self) -> None:
+        """Best-effort cleanup of hidden work dirs left by crashes."""
+        import shutil
+
+        for d in os.listdir(self.path):
+            if d.startswith((".tmp-", ".old-")):
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
-        df.write.mode("overwrite").parquet(
-            os.path.join(self.path, f"batch={int(batch_id)}")
-        )
+        tmp = os.path.join(self.path, f".tmp-batch-{int(batch_id)}-{time.time_ns()}")
+        df.write.mode("overwrite").parquet(tmp)
+        self._swap_in(tmp, os.path.join(self.path, f"batch={int(batch_id)}"))
+
+    def compact(
+        self, spark: SparkSession, schema: str, keep_recent: int = 8
+    ) -> int | None:
+        """Fold every batch partition except the newest ``keep_recent``
+        (plus the prior compacted partition) into one consolidated
+        partition; returns the new watermark, or None when there was
+        nothing to fold. Safe to call on every trigger — it is a no-op
+        until enough batches accumulate, and a crash at ANY point
+        leaves a readable store: the pointer flip (os.replace) is the
+        only commit, folded inputs are deleted only after it, and
+        leftover folded dirs below the watermark are ignored by
+        ``read``."""
+        man = self._compaction()
+        watermark = -1 if man is None else int(man["max_batch"])
+        ids = [i for i in self._batch_ids() if i > watermark]
+        fold = ids[:-keep_recent] if keep_recent > 0 else ids
+        if not fold:
+            return None
+        srcs = [os.path.join(self.path, f"batch={i}") for i in fold]
+        if man is not None:
+            srcs.append(os.path.join(self.path, man["dir"]))
+        new_max = max(fold)
+        new_dir = f"compacted-{time.time_ns()}"
+        tmp = os.path.join(self.path, f".tmp-{new_dir}")
+        spark.read.schema(schema).parquet(*srcs).coalesce(
+            max(1, spark.sparkContext.defaultParallelism // 4)
+        ).write.mode("overwrite").parquet(tmp)
+        self._swap_in(tmp, os.path.join(self.path, new_dir))
+        self._commit_pointer(new_dir, new_max)
+        self._post_commit_cleanup(srcs)
+        return new_max
+
+    def _commit_pointer(self, new_dir: str, new_max: int) -> None:
+        """THE commit point: an os.replace of the manifest. Before it,
+        readers still union the old pointer + intact batch dirs; after
+        it, the consolidated partition is authoritative. Separate method
+        so tests can crash a compaction on either side of the commit."""
+        fd, ptr_tmp = tempfile.mkstemp(dir=self.path, prefix=".ptr-")
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"dir": new_dir, "max_batch": new_max}, fh)
+        os.replace(ptr_tmp, os.path.join(self.path, self.COMPACT_POINTER))
+
+    def _post_commit_cleanup(self, srcs: list[str]) -> None:
+        """Drop the folded inputs. Crash-tolerant: every leftover is
+        ignored by read (batch dirs <= watermark, hidden work dirs)."""
+        import shutil
+
+        for s in srcs:
+            shutil.rmtree(s, ignore_errors=True)
+        self._reap_stale()

@@ -174,6 +174,15 @@ def transition_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     bt = hh.agg(F.sum("t").cast("bigint").alias("bt")).first()["bt"]
+    if bt is None:
+        # zero transitions: the oracle's 'FROM hh, tot GROUP BY bt'
+        # cross joins against an EMPTY hh and emits no rows at all —
+        # skip both the per-state rows and the '_RATE_' row instead of
+        # emitting a null-entropy rate row (round-6 advice)
+        return spark.createDataFrame(
+            [], "prev_type string, n_out bigint, entropy_bits double,"
+            " weight double"
+        )
     per_state = hh.select(
         "prev_type",
         F.col("t").alias("n_out"),

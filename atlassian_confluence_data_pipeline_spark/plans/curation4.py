@@ -32,6 +32,7 @@ driver-mandated §2.11 extensions, built Spark-first.
 from __future__ import annotations
 
 import math
+import threading as _threading
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -628,8 +629,35 @@ MMR_TOURNAMENT_M = 64
 
 #: observability for the plan audit's driver-iteration gate: cluster
 #: jobs the last mmr_diverse_select run issued (seed + initial pool +
-#: any certified-miss recollects) — bounded by 2 + MMR_K
-MMR_STATS: dict = {"cluster_jobs": 0, "recollects": 0}
+#: any certified-miss recollects) — bounded by 2 + MMR_K. Backed by
+#: thread-local storage so concurrent query builds (threaded bench,
+#: parallel audit) never interleave each other's counters (round-6
+#: advice) — each thread reads the stats of ITS OWN last run.
+
+
+class _MmrStats(_threading.local):
+    def __init__(self) -> None:
+        self.data = {"cluster_jobs": 0, "recollects": 0}
+
+
+_MMR_TLS = _MmrStats()
+
+
+class _MmrStatsView:
+    """dict-like facade over the per-thread counters (keeps the public
+    ``MMR_STATS["cluster_jobs"]`` API used by tests and docs)."""
+
+    def __getitem__(self, key: str) -> int:
+        return _MMR_TLS.data[key]
+
+    def __setitem__(self, key: str, value: int) -> None:
+        _MMR_TLS.data[key] = value
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return repr(_MMR_TLS.data)
+
+
+MMR_STATS = _MmrStatsView()
 
 
 @query(

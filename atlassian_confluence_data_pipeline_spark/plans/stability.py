@@ -516,6 +516,15 @@ def hill_tail_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(HILL_K + 1)
         .collect()
     )
+    out_schema = (
+        "k bigint, xmin_cents bigint, mean_log_excess double,"
+        " hill_alpha double"
+    )
+    if len(top) <= HILL_K:
+        # fewer than K+1 customers: the oracle's xmin CTE (rk = K+1) is
+        # empty, so its cross join yields ZERO rows — match it instead
+        # of raising IndexError (round-6 advice)
+        return spark.createDataFrame([], out_schema)
     cmin = int(top[HILL_K]["cents"])
     total = decimal.Decimal(0)
     for r in top[:HILL_K]:
@@ -524,8 +533,7 @@ def hill_tail_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     slog = float(total)
     out = spark.createDataFrame(
-        [(HILL_K, cmin, slog / HILL_K, HILL_K / slog)],
-        "k bigint, xmin_cents bigint, mean_log_excess double, hill_alpha double",
+        [(HILL_K, cmin, slog / HILL_K, HILL_K / slog)], out_schema
     )
     return out.select(
         "k",

@@ -201,6 +201,7 @@ def foreach_batch_minhash_dedup(
     index_store,
     pairs_out_dir: str,
     jaccard: float = 0.5,
+    compact_every: int | None = None,
 ):  # noqa: ANN001 - DataStreamWriter return hint kept lazy like peers
     """Cross-batch streaming near-duplicate detection: the online form
     of minhash_lsh_pairs. Each micro-batch of documents
@@ -282,6 +283,15 @@ def foreach_batch_minhash_dedup(
         ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         verified.write.mode("append").parquet(pairs_out_dir)
         index_store.write_batch(banded, batch_id)
+        # bounded small-file footprint on long streams: fold old batch
+        # partitions into one consolidated partition every N triggers
+        # (replay-safe — see AppendIndexStore.compact)
+        if compact_every and (int(batch_id) + 1) % compact_every == 0:
+            index_store.compact(
+                spark,
+                "doc_id bigint, hs array<bigint>, band_key bigint",
+                keep_recent=compact_every,
+            )
 
     return docs.writeStream.foreachBatch(dedup_batch)
 
@@ -291,6 +301,7 @@ def foreach_batch_span_dedup(
     index_store,
     out_dir: str,
     span_words: int = 10,
+    compact_every: int | None = None,
 ):  # noqa: ANN001 - DataStreamWriter return hint kept lazy like peers
     """Cross-batch streaming SPAN dedup — the online form of
     span_dedup_docs (C4-style boilerplate stripping). Each micro-batch
@@ -383,6 +394,8 @@ def foreach_batch_span_dedup(
         )
         out.write.mode("append").parquet(out_dir)
         index_store.write_batch(spans.select("h").distinct(), batch_id)
+        if compact_every and (int(batch_id) + 1) % compact_every == 0:
+            index_store.compact(spark, "h bigint", keep_recent=compact_every)
 
     return docs.writeStream.foreachBatch(dedup_batch)
 
@@ -395,6 +408,7 @@ def foreach_batch_curation(
     pairs_out_dir: str,
     gate_min_words: int = 5,
     jaccard: float = 0.5,
+    compact_every: int | None = None,
 ):  # noqa: ANN001 - DataStreamWriter return hint kept lazy like peers
     """The composed END-TO-END streaming curation job (round-5 item 4):
     quality gate -> cross-batch exact dedup -> cross-batch near-dup
@@ -564,6 +578,15 @@ def foreach_batch_curation(
         # crash point) overwrites it with identical rows
         seen_store.write_batch(batch_unique.select("doc_id", "fp"), batch_id)
         index_store.write_batch(banded, batch_id)
+        if compact_every and (int(batch_id) + 1) % compact_every == 0:
+            seen_store.compact(
+                spark, "doc_id bigint, fp string", keep_recent=compact_every
+            )
+            index_store.compact(
+                spark,
+                "doc_id bigint, hs array<bigint>, band_key bigint",
+                keep_recent=compact_every,
+            )
 
     return docs.writeStream.foreachBatch(curate_batch)
 

@@ -245,3 +245,53 @@ def test_end_to_end_read_and_filters(spark):
     # pushed range semantics match engine-side evaluation
     v = df.filter((F.col("version") >= 3) & (F.col("version") < 5))
     assert v.count() == sum(1 for i in range(300) if 3 <= i % 7 + 1 < 5)
+
+
+def test_http_429_429_200_exact_delay_sequence_with_jitter():
+    """Round-6 item 8: the reference's EXACT delay schedule under a
+    scripted 429 -> 429 -> 200 server, jitter included. The reference
+    (confluence_client.py:188-199) sleeps retry_delay*5 immediately on
+    a 429, then its normal backoff ``retry_delay * 2^(n-1) +
+    random()*0.5`` (:117-122) before the retry attempt — so two
+    consecutive 429s produce [10, 2+j1*0.5, 10, 4+j2*0.5] with
+    retry_delay=2 and jitter draws j in [0, 1)."""
+    srv = _ScriptedServer(n_pages=3, fail_first=2, fail_status=429)
+    sleeps: list[float] = []
+    draws = iter([0.25, 0.75])
+    try:
+        payload = http_fetch_json(
+            srv.url + "/pages?start=0&limit=3",
+            sleep=sleeps.append,
+            rand=lambda: next(draws),
+        )
+    finally:
+        srv.close()
+    assert len(payload["results"]) == 3
+    assert sleeps == [10.0, 2.0 + 0.25 * 0.5, 10.0, 4.0 + 0.75 * 0.5]
+    # jitter bounds: every backoff sleep sits inside the reference's
+    # [base, base + 0.5) envelope
+    for base, got in ((2.0, sleeps[1]), (4.0, sleeps[3])):
+        assert base <= got < base + 0.5
+
+
+def test_http_429_exhausts_retries_then_raises():
+    """max_retries consecutive 429s burn the full ladder — one 5x
+    rate-limit sleep per 429, one jittered backoff per retry attempt —
+    and the final 429 raises (the reference re-raises after the loop,
+    confluence_client.py:224-234)."""
+    import urllib.error
+
+    srv = _ScriptedServer(n_pages=3, fail_first=99, fail_status=429)
+    sleeps: list[float] = []
+    try:
+        with pytest.raises(urllib.error.HTTPError):
+            http_fetch_json(
+                srv.url + "/pages?start=0&limit=3",
+                sleep=sleeps.append,
+                rand=lambda: 0.0,
+            )
+    finally:
+        srv.close()
+    # 3 retries: [rate-limit, backoff] x3, then attempt 4's 429 raises
+    # (retry_count == max_retries -> no further rate-limit sleep)
+    assert sleeps == [10.0, 2.0, 10.0, 4.0, 10.0, 8.0]

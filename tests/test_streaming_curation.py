@@ -28,7 +28,7 @@ BATCHES = [
 ]
 
 
-def _run_stream(spark, tmp_path, tag, files, checkpoint=None):
+def _run_stream(spark, tmp_path, tag, files, checkpoint=None, compact_every=None):
     """Run the curation job availableNow over the files currently in
     the drop dir; returns the three stores."""
     drop = tmp_path / f"drop_{tag}"
@@ -51,7 +51,7 @@ def _run_stream(spark, tmp_path, tag, files, checkpoint=None):
     q = (
         foreach_batch_curation(
             stream, *stores, str(tmp_path / f"pairs_{tag}"),
-            gate_min_words=5, jaccard=0.6,
+            gate_min_words=5, jaccard=0.6, compact_every=compact_every,
         )
         .option(
             "checkpointLocation",
@@ -124,5 +124,45 @@ def test_streaming_curation_replay_is_noop(spark, tmp_path):
     # fresh checkpoint -> all three files reprocessed against warm stores
     _run_stream(spark, tmp_path, "r", files, checkpoint=str(tmp_path / "ck2"))
     assert _ledger_rows(spark, stores[0]) == before
+    assert stores[1].read(spark, SEEN).count() == seen_before
+    assert stores[2].read(spark, IDX).count() == idx_before
+
+
+def test_streaming_curation_with_compaction_equals_batch(spark, tmp_path):
+    """compact_every=1 (fold after every trigger, keep_recent=1): the
+    ledger stays byte-identical to the uncompacted batch reference, the
+    index partition count stays bounded, and a full replay against the
+    compacted stores is still a no-op (replays of folded batches are
+    invisible by watermark)."""
+    import os
+
+    ck = str(tmp_path / "ck_c1")
+    files = [(i + 1, b) for i, b in enumerate(BATCHES)]
+    # kill/restart between every batch, compacting as we go
+    for upto in range(1, len(files) + 1):
+        stores = _run_stream(
+            spark, tmp_path, "c", files[:upto], checkpoint=ck, compact_every=1
+        )
+    compacted_ledger = _ledger_rows(spark, stores[0])
+
+    batch_stores = _run_stream(spark, tmp_path, "cb", [(1, [r for b in BATCHES for r in b])])
+    assert compacted_ledger == _ledger_rows(spark, batch_stores[0])
+
+    # bounded partitions: at most keep_recent batch dirs + 1 compacted
+    for st in (stores[1], stores[2]):
+        batch_dirs = [d for d in os.listdir(st.path) if d.startswith("batch=")]
+        comp_dirs = [d for d in os.listdir(st.path) if d.startswith("compacted-")]
+        assert len(batch_dirs) <= 1 and len(comp_dirs) == 1
+
+    # full replay (fresh checkpoint, same stores) after compaction
+    SEEN = "doc_id bigint, fp string"
+    IDX = "doc_id bigint, hs array<bigint>, band_key bigint"
+    seen_before = stores[1].read(spark, SEEN).count()
+    idx_before = stores[2].read(spark, IDX).count()
+    _run_stream(
+        spark, tmp_path, "c", files,
+        checkpoint=str(tmp_path / "ck_c2"), compact_every=1,
+    )
+    assert _ledger_rows(spark, stores[0]) == compacted_ledger
     assert stores[1].read(spark, SEEN).count() == seen_before
     assert stores[2].read(spark, IDX).count() == idx_before

@@ -111,18 +111,172 @@ FOLD_THRESHOLD = 8
 #: sanctioned use of the WindowExec single-partition path. Anything
 #: windowing a domain that grows with the data must go through
 #: operators/windows.py distributed_prefix_rank instead.
-BOUNDED_GLOBAL_WINDOW_OK: dict[str, str] = {
-    "binned_quantile_estimates": "cumsum over the fixed 256-bin histogram"
-    " (the exact-audit branch uses distributed_prefix_rank)",
-    "bpe_merge_candidates": "rank inside the 20-row TakeOrdered result",
-    "rrf_hybrid_search": "ranks inside the two 100-row TakeOrdered cuts"
-    " and the <=200-row fused frame",
-    "weighted_sample_wor": "rank inside the K-row TakeOrdered sample",
-    "zipf_slope": "rank inside the top-100 TakeOrdered vocabulary cut",
-    "daily_revenue_locf": "LOCF carry over the calendar-day spine"
-    " (~2.4k rows for the 7-year fixture — bounded by time span, not"
-    " corpus size; revenue is pre-aggregated to the day domain)",
+#: name -> (max rows allowed INTO any unpartitioned WindowExec, why).
+#: The bounds are MEASURED, not argued (round-6 item 4): the audit
+#: executes each allowlisted query and reads the row count flowing into
+#: every unpartitioned window from the executed plan's SQL metrics,
+#: failing if any exceeds its stated bound.
+BOUNDED_GLOBAL_WINDOW_OK: dict[str, tuple[int, str]] = {
+    "binned_quantile_estimates": (
+        300,
+        "cumsum over the fixed 256-bin histogram"
+        " (the exact-audit branch uses distributed_prefix_rank)",
+    ),
+    "bpe_merge_candidates": (24, "rank inside the 20-row TakeOrdered result"),
+    "rrf_hybrid_search": (
+        220,
+        "ranks inside the two 100-row TakeOrdered cuts"
+        " and the <=200-row fused frame",
+    ),
+    "weighted_sample_wor": (60, "rank inside the 50-row TakeOrdered sample"),
+    "zipf_slope": (110, "rank inside the top-100 TakeOrdered vocabulary cut"),
+    "daily_revenue_locf": (
+        3200,
+        "LOCF carry over the calendar-day spine"
+        " (~2.6k rows for the 7-year fixture — bounded by time span, not"
+        " corpus size; revenue is pre-aggregated to the day domain)",
+    ),
 }
+
+
+# -- measured window-domain sizes (round-6 item 4) --------------------------
+
+
+def _jseq(seq):
+    return [seq.apply(i) for i in range(seq.length())]
+
+
+def _window_input_rows(node):
+    """Rows flowing INTO a WindowExec, read from executed-plan metrics:
+    descend through cardinality-preserving nodes until a node exposes
+    numOutputRows; a TakeOrderedAndProject contributes min(limit,
+    upstream). Returns None when unmeasurable (conservatively flagged)."""
+    PRESERVING = {
+        "ProjectExec",
+        "SortExec",
+        "ShuffleExchangeExec",
+        "WholeStageCodegenExec",
+        "InputAdapter",
+        "CoalesceExec",
+        "AQEShuffleReadExec",
+        "WindowExec",  # window output == window input
+        "WindowGroupLimitExec",  # only REDUCES rows; bound stays valid
+    }
+    cur = node.children().apply(0) if node.children().length() else None
+    while cur is not None:
+        cls = cur.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            cur = cur.executedPlan()
+            continue
+        if "QueryStageExec" in cls:
+            cur = cur.plan()
+            continue
+        if cls == "ReusedExchangeExec":
+            cur = cur.child()
+            continue
+        try:
+            m = cur.metrics()
+            if m.contains("numOutputRows"):
+                return int(m.apply("numOutputRows").value())
+        except Exception:  # pragma: no cover - metrics access safety
+            pass
+        if cls == "TakeOrderedAndProjectExec":
+            lim = int(cur.limit())
+            down = _window_input_rows(cur)
+            return lim if down is None else min(lim, down)
+        if cls in PRESERVING and cur.children().length() == 1:
+            cur = cur.children().apply(0)
+            continue
+        return None
+    return None
+
+
+def _collect_nodes(node, out):
+    cls = node.getClass().getSimpleName()
+    out.append(node)
+    if cls == "AdaptiveSparkPlanExec":
+        _collect_nodes(node.executedPlan(), out)
+        return out
+    if "QueryStageExec" in cls:
+        _collect_nodes(node.plan(), out)
+        return out
+    for ch in _jseq(node.children()):
+        _collect_nodes(ch, out)
+    return out
+
+
+def measure_unpartitioned_windows(df) -> list[int | None]:
+    """Execute ``df`` and return the measured input-row count of every
+    unpartitioned WindowExec in the final plan. Executes via collect()
+    — a noop write would run a SEPARATE QueryExecution and leave this
+    plan's metrics at zero; the allowlisted queries all have bounded
+    output (that is the point), so the collect is small."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    sizes: list[int | None] = []
+    for node in _collect_nodes(plan, []):
+        if node.getClass().getSimpleName() in ("WindowExec", "WindowGroupLimitExec"):
+            try:
+                unpart = node.partitionSpec().isEmpty()
+            except Exception:  # WindowGroupLimit in some versions
+                unpart = False
+            if unpart:
+                sizes.append(_window_input_rows(node))
+    return sizes
+
+
+# -- sorted-neighborhood density guards (round-6 advice item 1) -------------
+
+
+def density_guard_rows(spark, sf_dir: str) -> list[tuple[str, int, int]]:
+    """Measured density vs the two sorted-neighborhood caps: returns
+    (guard, measured, window) rows; measured > window means the cap
+    could silently drop qualifying pairs at this SF, and the audit
+    fails loudly instead (round-6 advice: the windows were only ever
+    measured at sf0.01/sf0.1, and the oracle moves in lockstep, so
+    nothing else would flag the recall cliff)."""
+    from pyspark.sql import functions as F
+
+    from atlassian_confluence_data_pipeline_spark.catalog import load_table
+    from atlassian_confluence_data_pipeline_spark.plans.curation import (
+        EMB_RANK_WINDOW,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.textops import (
+        NEAR_DUP_RANK_WINDOW,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # densest same-lang ±10-char neighborhood: counts per (lang,
+    # n_chars) — a tiny domain — then a bounded ±10 self-join on it.
+    # A qualifying near_dup pair outside the rank window REQUIRES its
+    # doc's neighborhood to exceed the window, so neighborhood <= W
+    # proves the cap lossless at this SF.
+    cnt = docs.groupBy("lang", "n_chars").count()
+    nb = (
+        cnt.alias("a")
+        .join(
+            cnt.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (
+                F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= F.lit(10)
+            ),
+        )
+        .groupBy("a.lang", "a.n_chars")
+        .agg(F.sum("b.count").alias("nbhd"))
+        .agg(F.max("nbhd").alias("m"))
+        .first()["m"]
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    blk = (
+        emb.groupBy("label")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .first()["m"]
+    )
+    return [
+        ("near_dup ±10-char lang neighborhood", int(nb or 0), NEAR_DUP_RANK_WINDOW),
+        ("embedding label block", int(blk or 0), EMB_RANK_WINDOW),
+    ]
 
 UNPARTITIONED_WINDOW_RE = None  # compiled lazily below
 
@@ -237,6 +391,52 @@ def main() -> int:
             f" {'X' if gwin else ''} | {maxline // 1000}k |"
             f" {worst_iter or ''} | {ckpts or ''} |"
         )
+    print()
+    # measured allowlist bounds: execute each allowlisted query and read
+    # the actual rows entering its unpartitioned windows (round-6 item 4)
+    print("| allowlisted query | measured window rows | bound |")
+    print("|---|---|---|")
+    for name, (bound, _why) in sorted(BOUNDED_GLOBAL_WINDOW_OK.items()):
+        try:
+            sizes = measure_unpartitioned_windows(
+                QUERIES[name].fn(spark, args.sf)
+            )
+        except Exception as e:  # pragma: no cover - audit robustness
+            flagged.append(f"{name}: window measurement failed: {e}")
+            print(f"| {name} | ERROR | {bound} |")
+            continue
+        if not sizes:
+            # plan shape changed and the global window disappeared —
+            # fine (e.g. optimized away at this SF), nothing to gate
+            print(f"| {name} | (none in plan) | {bound} |")
+            continue
+        disp = ", ".join("?" if s is None else str(s) for s in sizes)
+        print(f"| {name} | {disp} | {bound} |")
+        for s in sizes:
+            if s is None:
+                flagged.append(
+                    f"{name}: unpartitioned window input UNMEASURABLE"
+                    " (metric chain broken) — verify the bound manually"
+                )
+            elif s > bound:
+                flagged.append(
+                    f"{name}: {s} rows entered an unpartitioned window"
+                    f" (> stated bound {bound}) — the 'bounded domain'"
+                    " argument no longer holds at this SF"
+                )
+    print()
+    # sorted-neighborhood density guards (round-6 advice item 1)
+    print("| density guard | measured | window |")
+    print("|---|---|---|")
+    for guard, measured, window in density_guard_rows(spark, args.sf):
+        print(f"| {guard} | {measured} | {window} |")
+        if measured > window:
+            flagged.append(
+                f"density guard: {guard} = {measured} exceeds the"
+                f" sorted-neighborhood window {window} — the capped"
+                " exact-pair baselines may now drop qualifying pairs;"
+                " widen the window or re-derive the declared bound"
+            )
     print()
     if flagged:
         print("FLAGGED:")
