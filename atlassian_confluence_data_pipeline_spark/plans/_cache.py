@@ -92,3 +92,162 @@ def srp_candidates(
     return shared_pair_table(
         spark, sf_dir, f"srp_candidates_h{max_hamming}c{chunks}", _build
     )
+
+
+def minhash_doc_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized MinHash base frame ``(doc_id, hs, sh)`` over the
+    documents table: per-word rolling-hash fold -> 3-gram shingle-HASH
+    combine (``hs``) plus the true string shingles (``sh``) — the stage
+    that ``minhash_lsh_pairs``, ``near_dup_pairs_lsh`` and
+    ``minhash_estimate_calibration`` each rebuilt per run (round-6 item
+    2; the SRP chain got the same treatment in round 6). Checkpointed
+    UNFILTERED; consumers apply the post-materialization ``size(hs) >
+    0`` guard themselves (filtering before the checkpoint re-inlines
+    the fold — the textops PERF contract)."""
+    from atlassian_confluence_data_pipeline_spark.catalog import load_table
+    from atlassian_confluence_data_pipeline_spark.functions.text import (
+        rolling_hash,
+    )
+    from atlassian_confluence_data_pipeline_spark.operators.lsh import (
+        shingle_hashes_from_word_hashes,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.textops import (
+        _shingles,
+        _words,
+    )
+    from pyspark.sql import functions as F
+
+    def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return (
+            docs.select("doc_id", _words(F.col("text")).alias("w"))
+            .select("doc_id", F.transform(F.col("w"), rolling_hash).alias("wh"), "w")
+            .select(
+                "doc_id",
+                shingle_hashes_from_word_hashes(F.col("wh")).alias("hs"),
+                _shingles(F.col("w")).alias("sh"),
+            )
+        )
+
+    return shared_pair_table(spark, sf_dir, "minhash_doc_base", _build)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized ``(doc_id, sig)`` MinHash signature frame:
+    explode of the shared shingle hashes -> ONE HashAggregate with k
+    ``min`` slots (the minhash_lsh_candidates construction, identical
+    values). Shared by the banded-candidate stage and the estimator
+    calibration (which reads the raw signature arrays)."""
+    from atlassian_confluence_data_pipeline_spark.functions.text import (
+        ROLLING_MOD,
+    )
+    from atlassian_confluence_data_pipeline_spark.operators.lsh import (
+        MINHASH_PERMS,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.multimodal import (
+        MINHASH_K,
+    )
+    from pyspark.sql import functions as F
+
+    def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        base = minhash_doc_base(spark, sf_dir).filter(F.size("hs") > 0)
+        ex = base.select("doc_id", F.explode("hs").alias("__h"))
+        mins = [
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % ROLLING_MOD).alias(
+                f"__m{i}"
+            )
+            for i, (a, b) in enumerate(MINHASH_PERMS[:MINHASH_K])
+        ]
+        return (
+            ex.groupBy("doc_id")
+            .agg(*mins)
+            .select(
+                "doc_id",
+                F.array(*[F.col(f"__m{i}") for i in range(MINHASH_K)]).alias(
+                    "sig"
+                ),
+            )
+        )
+
+    return shared_pair_table(spark, sf_dir, "minhash_signatures", _build)
+
+
+def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized banded-LSH candidate pairs ``(id_a, id_b)``
+    (id_a < id_b, distinct) from the shared signature frame — the
+    equi-join stage every MinHash consumer funnels through."""
+    from atlassian_confluence_data_pipeline_spark.operators.lsh import (
+        lsh_band_keys,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.multimodal import (
+        MINHASH_BANDS,
+        MINHASH_K,
+    )
+    from pyspark.sql import functions as F
+
+    def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        sig = minhash_signatures(spark, sf_dir)
+        rows = MINHASH_K // MINHASH_BANDS
+        keys = lsh_band_keys(F.col("sig"), MINHASH_BANDS, rows)
+        banded = sig.select(
+            "doc_id", F.explode(F.array(*keys)).alias("band_key")
+        )
+        return (
+            banded.select(F.col("doc_id").alias("id_a"), "band_key")
+            .join(
+                banded.select(F.col("doc_id").alias("id_b"), "band_key"),
+                "band_key",
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+    return shared_pair_table(spark, sf_dir, "minhash_band_candidates", _build)
+
+
+def srp_candidate_cosines(
+    spark: SparkSession, sf_dir: str, max_hamming: int, chunks: int
+) -> DataFrame:
+    """Session-memoized EXACT-cosine verification of the shared SRP
+    banding candidates: ``(id_a, id_b, cos)`` with the house fold
+    (element-ordered dot / norm product — bit-identical whichever side
+    is 'a', since IEEE multiply commutes). dbscan (eps-ball filter),
+    knn_graph_lsh (per-source ranks) and hard_negative_mining
+    (label-split ranks) all verified the same candidates at the same
+    fold before consuming them differently (round-6 item 6)."""
+    from atlassian_confluence_data_pipeline_spark.catalog import load_table
+    from atlassian_confluence_data_pipeline_spark.operators.similarity import (
+        dot,
+        l2_norm,
+    )
+    from pyspark.sql import functions as F
+
+    def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cand = srp_candidates(spark, sf_dir, max_hamming, chunks)
+        emb = load_table(spark, sf_dir, "embeddings")
+        wn = emb.select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            l2_norm(F.col("embedding")).alias("nrm"),
+        )
+        va = wn.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        )
+        vb = wn.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        )
+        cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        return (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .select("id_a", "id_b", cos.alias("cos"))
+        )
+
+    return shared_pair_table(
+        spark, sf_dir, f"srp_cosines_h{max_hamming}c{chunks}", _build
+    )

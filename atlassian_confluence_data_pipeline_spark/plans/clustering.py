@@ -125,34 +125,21 @@ def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is one join + min-aggregate. No stage ever touches
     all-pairs."""
     from atlassian_confluence_data_pipeline_spark.plans._cache import (
-        srp_candidates,
+        srp_candidate_cosines,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # the fingerprint + banding stage is session-shared with the other
-    # embedding-LSH consumers (round-5 advice item 1); the honest full
-    # chain shape stays audited under embedding_lsh_pairs, the owner
-    cand = srp_candidates(
-        spark, sf_dir, max_hamming=DBSCAN_MAX_HAMMING, chunks=DBSCAN_CHUNKS
-    )
-    wn = emb.select(
-        "vec_id",
-        F.col("embedding").alias("v"),
-        l2_norm(F.col("embedding")).alias("nrm"),
-    )
-    va = wn.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
-    )
-    vb = wn.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
-    )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # the fingerprint + banding + exact-cosine verify stages are
+    # session-shared with the other embedding-LSH consumers (round-5
+    # advice item 1; round-6 item 6 extended the sharing to the
+    # verified (id_a, id_b, cos) table); the honest full chain shape
+    # stays audited under embedding_lsh_pairs, the owner
     e = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .filter(cos >= DBSCAN_COS_MIN)
+        srp_candidate_cosines(
+            spark, sf_dir, max_hamming=DBSCAN_MAX_HAMMING, chunks=DBSCAN_CHUNKS
+        )
+        .filter(F.col("cos") >= DBSCAN_COS_MIN)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
     )
     sym = e.union(
         e.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))

@@ -458,44 +458,22 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_scale_patterns.py) — never a global sort. Ties on cosine
     break by dst id, and cosine folds element-in-order on both engines,
     so ranks are bit-deterministic."""
-    from atlassian_confluence_data_pipeline_spark.operators.similarity import (
-        dot,
-        l2_norm,
-    )
-
     from atlassian_confluence_data_pipeline_spark.plans._cache import (
-        srp_candidates,
+        srp_candidate_cosines,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    # session-shared fingerprint + banding stage (round-5 advice item 1);
-    # the honest chain shape stays audited under embedding_lsh_pairs
-    cand = srp_candidates(
+    # session-shared fingerprint + banding + exact-cosine verify stages
+    # (round-5 advice item 1; round-6 item 6); the honest chain shape
+    # stays audited under embedding_lsh_pairs. The graph is DIRECTED:
+    # symmetrize the verified pair cosines (dot and the norm product
+    # commute bitwise, so (b -> a) reuses (a, b)'s cosine exactly).
+    vc = srp_candidate_cosines(
         spark, sf_dir, max_hamming=KNN_MAX_HAMMING, chunks=KNN_CHUNKS
     )
-    sym = cand.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).union(cand.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-
-    with_norm = emb.select(
-        "vec_id",
-        F.col("embedding").alias("v"),
-        l2_norm(F.col("embedding")).alias("norm"),
-    )
-    va = with_norm.select(
-        F.col("vec_id").alias("src"), F.col("v").alias("va"), F.col("norm").alias("na")
-    )
-    vb = with_norm.select(
-        F.col("vec_id").alias("dst"), F.col("v").alias("vb"), F.col("norm").alias("nb")
-    )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    # narrow + materialize before the window: same barrier discipline as
-    # embedding_lsh_pairs' verify (keeps the dot fold once per candidate)
-    scored = (
-        sym.join(va, "src")
-        .join(vb, "dst")
-        .select("src", "dst", cos.alias("cos"))
-        .localCheckpoint(eager=False)
+    scored = vc.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "cos"
+    ).union(
+        vc.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "cos")
     )
     w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
     return (
@@ -563,44 +541,21 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical candidate machinery as minhash_lsh_pairs
     (one signature HashAggregate, banded equi-join); the comparison
     joins signatures and shingle sets per CANDIDATE only — never
-    all-pairs."""
-    docs = load_table(spark, sf_dir, "documents")
-    rows = MINHASH_K // MINHASH_BANDS
-    # staged projections (shingle_hashes_from_word_hashes contract) +
-    # checkpoint: base is referenced by the explode AND both shingle-set
-    # join sides, and the size guard would otherwise re-inline the fold
-    base = (
-        docs.select(
-            "doc_id", F.transform(_words(F.col("text")), rolling_hash).alias("wh")
-        )
-        .select("doc_id", shingle_hashes_from_word_hashes(F.col("wh")).alias("hs"))
-        .filter(F.size("hs") > 0)
-        .localCheckpoint(eager=False)
+    all-pairs. Base, signature and candidate stages are the
+    session-shared _cache.py chain (round-6 item 2: this query was the
+    #2 bench cost purely from rebuilding the signature stage its
+    siblings had already built)."""
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        minhash_band_candidates,
+        minhash_doc_base,
+        minhash_signatures,
     )
 
-    ex = base.select(F.col("doc_id"), F.explode("hs").alias("__h"))
-    mins = [
-        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % ROLLING_MOD).alias(f"__m{i}")
-        for i, (a, b) in enumerate(MINHASH_PERMS[:MINHASH_K])
-    ]
-    sig = (
-        ex.groupBy("doc_id")
-        .agg(*mins)
-        .select(
-            "doc_id",
-            F.array(*[F.col(f"__m{i}") for i in range(MINHASH_K)]).alias("sig"),
-        )
-        .localCheckpoint(eager=True)
+    base = minhash_doc_base(spark, sf_dir).select("doc_id", "hs").filter(
+        F.size("hs") > 0
     )
-    keys = lsh_band_keys(F.col("sig"), MINHASH_BANDS, rows)
-    banded = sig.select("doc_id", F.explode(F.array(*keys)).alias("band_key"))
-    pairs = (
-        banded.select(F.col("doc_id").alias("id_a"), "band_key")
-        .join(banded.select(F.col("doc_id").alias("id_b"), "band_key"), "band_key")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    sig = minhash_signatures(spark, sf_dir)
+    pairs = minhash_band_candidates(spark, sf_dir)
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"))
     sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb"))
     ha = base.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))

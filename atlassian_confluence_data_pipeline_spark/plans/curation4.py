@@ -848,45 +848,40 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     (WindowGroupLimit heaps, never a global sort); the final
     positive-x-negative join fans out at most {N} rows per anchor."""
     from atlassian_confluence_data_pipeline_spark.plans._cache import (
-        srp_candidates,
+        srp_candidate_cosines,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # session-shared fingerprint + banding stage (round-5 advice item 1);
-    # the honest chain shape stays audited under embedding_lsh_pairs
-    cand = srp_candidates(
+    # session-shared fingerprint + banding + exact-cosine verify stages
+    # (round-5 advice item 1; round-6 item 6); the honest chain shape
+    # stays audited under embedding_lsh_pairs. Labels join onto the
+    # verified pair cosines (narrow 2-col broadcast), then symmetrize —
+    # the (b -> a) direction reuses (a, b)'s cosine bit-for-bit.
+    vc = srp_candidate_cosines(
         spark, sf_dir, max_hamming=HN_MAX_HAMMING, chunks=HN_CHUNKS
     )
-    sym = cand.select(
-        F.col("id_a").alias("anchor"), F.col("id_b").alias("other")
+    labels = emb.select("vec_id", F.col("label").cast("int").alias("label"))
+    la = labels.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("la")
+    )
+    lb = labels.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lb")
+    )
+    labeled = vc.join(la, "id_a").join(lb, "id_b")
+    scored = labeled.select(
+        F.col("id_a").alias("anchor"),
+        F.col("id_b").alias("other"),
+        "la",
+        "lb",
+        "cos",
     ).union(
-        cand.select(F.col("id_b").alias("anchor"), F.col("id_a").alias("other"))
-    )
-
-    with_norm = emb.select(
-        "vec_id",
-        F.col("embedding").alias("v"),
-        F.col("label").cast("int").alias("label"),
-        l2_norm(F.col("embedding")).alias("nrm"),
-    )
-    va = with_norm.select(
-        F.col("vec_id").alias("anchor"),
-        F.col("v").alias("va"),
-        F.col("label").alias("la"),
-        F.col("nrm").alias("na"),
-    )
-    vb = with_norm.select(
-        F.col("vec_id").alias("other"),
-        F.col("v").alias("vb"),
-        F.col("label").alias("lb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    scored = (
-        sym.join(va, "anchor")
-        .join(vb, "other")
-        .select("anchor", "other", "la", "lb", cos.alias("cos"))
-        .localCheckpoint(eager=False)
+        labeled.select(
+            F.col("id_b").alias("anchor"),
+            F.col("id_a").alias("other"),
+            F.col("lb").alias("la"),
+            F.col("la").alias("lb"),
+            "cos",
+        )
     )
     w = Window.partitionBy("anchor").orderBy(F.col("cos").desc(), "other")
     pos = (

@@ -311,29 +311,22 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint stores bigint arrays instead of string arrays, and the
     verify intersects bigints. Hash-checked: the whole chain is
     reproduced bit-for-bit by the generated DuckDB oracle (all-pairs at
-    oracle scale)."""
-    from atlassian_confluence_data_pipeline_spark.functions.text import rolling_hash
-    from atlassian_confluence_data_pipeline_spark.operators.lsh import (
-        shingle_hashes_from_word_hashes,
+    oracle scale).
+
+    The base/signature/candidate stages are session-shared with
+    near_dup_pairs_lsh and minhash_estimate_calibration via
+    plans/_cache.py (round-6 item 2, the MinHash analogue of the SRP
+    sharing) — same constructions, identical values; the first consumer
+    in a session pays the build once."""
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        minhash_band_candidates,
+        minhash_doc_base,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    hs = (
-        docs.select("doc_id", _words(F.col("text")).alias("w"))
-        .select("doc_id", F.transform(F.col("w"), rolling_hash).alias("wh"))
-        .select(
-            "doc_id", shingle_hashes_from_word_hashes(F.col("wh")).alias("hs")
-        )
-        # filter AFTER the checkpoint: a size() predicate on the alias
-        # would be substituted with the whole shingle fold on pushdown,
-        # duplicating the char fold per slice reference (measured ~2x);
-        # post-checkpoint it is an O(1) length check on materialized data.
-        .localCheckpoint(eager=True)
-        .filter(F.size("hs") > 0)
+    hs = minhash_doc_base(spark, sf_dir).select("doc_id", "hs").filter(
+        F.size("hs") > 0
     )
-    cand = minhash_lsh_candidates(
-        hs, "doc_id", "hs", k=MINHASH_K, bands=MINHASH_BANDS, pre_hashed=True
-    )
+    cand = minhash_band_candidates(spark, sf_dir)
     return verify_candidates_jaccard(
         cand, hs, "doc_id", "hs", threshold=MINHASH_JACCARD
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -396,8 +389,26 @@ def near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings. Differences vs the exact baseline are the LSH contract:
     no lang/length blocking (cross-block dups become visible) and
     S-curve recall below j~0.2. Hash-checked bit-for-bit end to end
-    (portable hash family; `_neardup_lsh_oracle`)."""
-    return neardup_lsh_pairs_frame(load_table(spark, sf_dir, "documents"))
+    (portable hash family; `_neardup_lsh_oracle`).
+
+    Base + signature + candidate stages ride the session-shared
+    _cache.py chain (round-6 item 2); `neardup_lsh_pairs_frame` stays
+    the un-cached form for arbitrary frames (full_curation_pipeline's
+    filtered survivors)."""
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        minhash_band_candidates,
+        minhash_doc_base,
+    )
+
+    base = minhash_doc_base(spark, sf_dir).filter(F.size("hs") > 0)
+    cand = minhash_band_candidates(spark, sf_dir)
+    return verify_candidates_jaccard(
+        cand, base, "doc_id", "sh", threshold=MINHASH_JACCARD
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
 
 
 @query("simhash_pairs", oracle=_simhash_oracle(), tags=("dedup", "neardup", "simhash"))
