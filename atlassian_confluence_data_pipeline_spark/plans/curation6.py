@@ -53,17 +53,15 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
-        return (
-            docs.select("doc_id", _words(F.col("text")).alias("w"))
-            .select(
-                "doc_id", F.transform(F.col("w"), rolling_hash).alias("wh")
-            )
-            .select(
-                "doc_id",
-                shingle_hashes_from_word_hashes(F.col("wh")).alias("hs"),
-            )
-            .select("doc_id", F.explode("hs").alias("h"))
+        # round 7: derive from the session-shared minhash_doc_base frame
+        # instead of refolding the corpus — when any MinHash-chain
+        # consumer already ran, the explode is the only new work
+        from atlassian_confluence_data_pipeline_spark.plans._cache import (
+            minhash_doc_base,
+        )
+
+        return minhash_doc_base(spark, sf_dir).select(
+            "doc_id", F.explode("hs").alias("h")
         )
 
     return shared_pair_table(spark, sf_dir, "doc_shingle_hashes", _build)
