@@ -1,0 +1,165 @@
+"""Round-7 third wave: the two cross-cutting audits a sharded,
+packed training corpus needs — does shard-local dedup leak
+cross-shard duplicates, and how much cross-source attention
+contamination does concat-and-chop packing create.
+
+Both COMPOSE existing session-shared stages (the MinHash pair chain,
+the packing prefix, the shard hash) instead of new corpus passes.
+
+Reference parity note: no analog in `/root/reference`; driver-mandate
+§2.11 extension surface (training-data pipeline operations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from atlassian_confluence_data_pipeline_spark.functions.text import rolling_hash
+from atlassian_confluence_data_pipeline_spark.plans.curation7 import N_SHARDS
+from atlassian_confluence_data_pipeline_spark.plans.multimodal import (
+    MINHASH_JACCARD,
+    _minhash_oracle,
+    _rh_sql,
+)
+from atlassian_confluence_data_pipeline_spark.plans.packing import CTX_TOKENS
+from atlassian_confluence_data_pipeline_spark.plans.registry import query
+
+_SHARD_SQL = f"{_rh_sql('CAST(doc_id AS VARCHAR)')} % {N_SHARDS}"
+
+
+@query(
+    "cross_shard_dup_leakage",
+    oracle=f"""
+WITH p AS (SELECT id_a, id_b FROM ({_minhash_oracle()}) q),
+x AS (
+  SELECT CASE WHEN ({_SHARD_SQL.replace('doc_id', 'p.id_a')})
+              <> ({_SHARD_SQL.replace('doc_id', 'p.id_b')})
+         THEN 1 ELSE 0 END AS cross_shard
+  FROM p
+)
+SELECT CAST(count(*) AS BIGINT) AS n_dup_pairs,
+       CAST(sum(cross_shard) AS BIGINT) AS n_cross_shard,
+       round(CAST(sum(cross_shard) AS DOUBLE) / count(*), 6) AS leakage_rate
+FROM x
+""",
+    tags=("curation", "dedup", "sharding", "audit"),
+)
+def cross_shard_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shard-local-dedup audit: of the verified MinHash near-dup
+    pairs (Jaccard >= the LSH threshold), how many land on DIFFERENT
+    training shards under the portable hash placement? Shard-local
+    dedup (the cheap per-worker pass) misses exactly those pairs —
+    leakage_rate is the fraction of duplicate mass that REQUIRES the
+    global banded join this engine runs. With a uniform hash the
+    expected rate is (N_SHARDS-1)/N_SHARDS; a materially lower value
+    would mean duplicates cluster inside shards and local dedup
+    suffices.
+
+    Scale shape: consumes the session-shared MinHash pair chain (no
+    new corpus pass); the shard ids are per-pair hash arithmetic; the
+    rollup is a 1-row aggregate."""
+    from atlassian_confluence_data_pipeline_spark.operators.lsh import (
+        verify_candidates_jaccard,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        minhash_band_candidates,
+        minhash_doc_base,
+    )
+
+    hs = minhash_doc_base(spark, sf_dir).select("doc_id", "hs").filter(
+        F.size("hs") > 0
+    )
+    pairs = verify_candidates_jaccard(
+        minhash_band_candidates(spark, sf_dir),
+        hs,
+        "doc_id",
+        "hs",
+        threshold=MINHASH_JACCARD,
+    ).select("id_a", "id_b")
+
+    def shard(col):
+        return rolling_hash(F.col(col).cast("string")) % N_SHARDS
+
+    x = pairs.select(
+        F.when(shard("id_a") != shard("id_b"), 1).otherwise(0).alias(
+            "cross_shard"
+        )
+    )
+    return x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"),
+        F.sum("cross_shard").cast("bigint").alias("n_cross_shard"),
+        F.round(
+            F.sum("cross_shard").cast("double") / F.count(F.lit(1)), 6
+        ).alias("leakage_rate"),
+    )
+
+
+@query(
+    "packing_source_adjacency",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok
+  FROM documents
+), c AS (
+  SELECT doc_id, source, tok,
+         sum(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+), adj AS (
+  SELECT source,
+         lead(source) OVER (ORDER BY doc_id) AS next_source,
+         CASE WHEN cum % {CTX_TOKENS} <> 0 THEN 1 ELSE 0 END AS shared_window
+  FROM c
+), pairs AS (SELECT * FROM adj WHERE next_source IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_adjacent,
+       CAST(sum(shared_window) AS BIGINT) AS n_shared_window,
+       CAST(sum(CASE WHEN shared_window = 1 AND source <> next_source
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_source_contact,
+       round(CAST(sum(CASE WHEN shared_window = 1 AND source <> next_source
+                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS contamination_rate
+FROM pairs
+""",
+    tags=("curation", "packing", "audit"),
+)
+def packing_source_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document attention contamination under concat-and-chop:
+    adjacent documents share a context window unless the earlier one
+    ends EXACTLY on a window boundary (prefix % CTX == 0), and the
+    harmful case is a shared window across DIFFERENT sources — tokens
+    of one domain attending into another unless the loader masks
+    cross-document attention. Reports adjacent-pair counts, shared-
+    window counts, and the cross-source contact rate.
+
+    Scale shape: rides the session-shared packing prefix; adjacency is
+    a rank self-join (rank r joined to r+1 — the distributed form of
+    lead(), no single-partition window anywhere); the rollup is one
+    1-row aggregate."""
+    from atlassian_confluence_data_pipeline_spark.plans.packing import (
+        _packed_docs,
+    )
+
+    c = _packed_docs(spark, sf_dir)
+    left = c.select(
+        F.col("rk").alias("rk"),
+        F.col("source").alias("source"),
+        (F.col("cum") % CTX_TOKENS != 0).cast("int").alias("shared_window"),
+    )
+    right = c.select(
+        (F.col("rk") - 1).alias("rk"), F.col("source").alias("next_source")
+    )
+    pairs = left.join(right, "rk")
+    cross = F.when(
+        (F.col("shared_window") == 1)
+        & (F.col("source") != F.col("next_source")),
+        1,
+    ).otherwise(0)
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_adjacent"),
+        F.sum("shared_window").cast("bigint").alias("n_shared_window"),
+        F.sum(cross).cast("bigint").alias("n_cross_source_contact"),
+        F.round(F.sum(cross).cast("double") / F.count(F.lit(1)), 6).alias(
+            "contamination_rate"
+        ),
+    )

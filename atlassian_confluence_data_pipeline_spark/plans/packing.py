@@ -56,9 +56,10 @@ _PREFIX_CTE = f"""t AS (
 
 
 def _packed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-memoized (doc_id, tok, cum): whitespace token counts with
-    their INCLUSIVE global prefix sum in doc_id order — the one
-    distributed-prefix pass both packing views read."""
+    """Session-memoized (doc_id, source, tok, cum, rk): whitespace token
+    counts with their INCLUSIVE global prefix sum and global row number
+    in doc_id order — the ONE distributed-prefix pass every packing
+    view (per-window, summary, source-adjacency) reads."""
     from atlassian_confluence_data_pipeline_spark.operators.windows import (
         distributed_prefix_rank,
     )
@@ -69,9 +70,13 @@ def _packed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         t = docs.select(
-            "doc_id", F.size(_words(F.col("text"))).cast("bigint").alias("tok")
+            "doc_id",
+            "source",
+            F.size(_words(F.col("text"))).cast("bigint").alias("tok"),
         )
-        return distributed_prefix_rank(t, ["doc_id"], sums={"cum": "tok"})
+        return distributed_prefix_rank(
+            t, ["doc_id"], sums={"cum": "tok"}, rank_col="rk"
+        )
 
     return shared_pair_table(spark, sf_dir, "packed_doc_prefix", _build)
 

@@ -57,6 +57,7 @@ INTENTIONAL_BNLJ = {
     "nation_acctbal_share",  # 1-row global-balance scalar crossed onto 25 rows
     "source_js_divergence",  # 20-source dim crossed onto 50-term vocab (dense matrix)
     "join_key_skew_report",  # 1-row total-count scalar crossed onto top-20 keys
+    "shard_assignment",  # 1-row token-total scalar crossed onto 64 shard rows
     "binned_quantile_estimates",  # 3-row (p, k) probe table broadcast under
     # a non-equi cum>=k condition onto the 256-bin / distinct-value cumsums
     "hll_distinct_orders",  # 1-row estimate x 1-row exact scalar attach
