@@ -26,10 +26,6 @@ from atlassian_confluence_data_pipeline_spark.catalog import load_table
 from atlassian_confluence_data_pipeline_spark.operators.graph import (
     connected_components,
 )
-from atlassian_confluence_data_pipeline_spark.operators.similarity import (
-    dot,
-    l2_norm,
-)
 from atlassian_confluence_data_pipeline_spark.plans.curation3 import (
     _srp_fingerprint_cte,
 )
