@@ -211,6 +211,29 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
     )
 
 
+#: dHash raster geometry: 9 columns of gray so 8 adjacent-column
+#: comparisons per row x 8 rows = 64 bits.
+DHASH_W, DHASH_H = 9, 8
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """Perceptual difference hash (dHash) of an RGB raster: resize to
+    9x8 (nearest-neighbor — the engine's deterministic resample), gray
+    by integer mean of the three channels, then bit ``y*8 + x`` is
+    ``gray[y][x] > gray[y][x+1]``. Returns a SIGNED 64-bit int (bit 63
+    lands on the two's-complement sign bit, like the SimHash
+    fingerprints), so Hamming banding/popcount machinery is shared
+    with operators/lsh.py simhash_near_pairs.
+
+    Every step is integer index math, bit-reproducible by the DuckDB
+    oracle in plans/multimodal2.py."""
+    g = resize_nearest(pixels, DHASH_W, DHASH_H).astype(np.int32)
+    gray = (g[:, :, 0] + g[:, :, 1] + g[:, :, 2]) // 3
+    bits = (gray[:, :-1] > gray[:, 1:]).astype(np.uint64)
+    idx = np.arange(64, dtype=np.uint64).reshape(DHASH_H, DHASH_W - 1)
+    return int((bits << idx).sum(dtype=np.uint64).astype(np.int64))
+
+
 def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resize to (height, width, 3) — pure index math,
     deterministic (the pixel at output (y, x) is input

@@ -1573,34 +1573,13 @@ FROM final GROUP BY lang
 """
 
 
-@query(
-    "full_curation_pipeline",
-    oracle=_full_pipeline_oracle(),
-    tags=("curation", "dedup", "quality", "lsh", "pipeline", "flagship"),
-)
-def full_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE END-TO-END CURATION RUN as one composition — what a
-    pretraining-data team actually executes, each stage the scale-path
-    variant this engine ships:
-
-    1. quality gate (length >= 20 words, stopword ratio < 0.08 — the
-       corpus_curation thresholds);
-    2. exact dedup (canonical-whitespace md5, keep min doc_id);
-    3. fuzzy dedup: banded-MinHash candidates + exact string-shingle
-       Jaccard >= 0.05 on the survivors, connected components, keep
-       each cluster's min doc_id;
-    4. per-language document/token census of what remains.
-
-    Every stage reproduces bit-for-bit in the oracle: the gates and
-    fingerprints are exact arithmetic, the LSH chain is the portable
-    hash family pointed at the survivor CTE, and the component closure
-    is the recursive-CTE mirror of the label-propagation loop.
-
-    Scale shape: gates are a narrow pass; exact dedup one digest-keyed
-    hash aggregate; the LSH chain is the near-linear banded equi-join
-    (SCALING.md); components iterate over the PAIR list only. The
-    survivor frame is checkpointed once and feeds the shingle chain,
-    the anti-join and the census without recomputing the gates."""
+def curated_survivor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full_curation_pipeline survivor frame as a reusable stage:
+    (doc_id, lang, source, text, n_words) after the quality gate, exact
+    dedup, and fuzzy (banded-MinHash + CC) dedup — what the curated-
+    shard materialization job (sources/shard_sink.py) writes. Same
+    stages, same order, same thresholds as the oracle-checked query
+    below; the query is now a census over this frame."""
     from atlassian_confluence_data_pipeline_spark.operators.graph import (
         connected_components,
     )
@@ -1646,7 +1625,38 @@ def full_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    final = survivors.join(dropped, "doc_id", "left_anti")
+    return survivors.join(dropped, "doc_id", "left_anti")
+
+
+@query(
+    "full_curation_pipeline",
+    oracle=_full_pipeline_oracle(),
+    tags=("curation", "dedup", "quality", "lsh", "pipeline", "flagship"),
+)
+def full_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE END-TO-END CURATION RUN as one composition — what a
+    pretraining-data team actually executes, each stage the scale-path
+    variant this engine ships:
+
+    1. quality gate (length >= 20 words, stopword ratio < 0.08 — the
+       corpus_curation thresholds);
+    2. exact dedup (canonical-whitespace md5, keep min doc_id);
+    3. fuzzy dedup: banded-MinHash candidates + exact string-shingle
+       Jaccard >= 0.05 on the survivors, connected components, keep
+       each cluster's min doc_id;
+    4. per-language document/token census of what remains.
+
+    Every stage reproduces bit-for-bit in the oracle: the gates and
+    fingerprints are exact arithmetic, the LSH chain is the portable
+    hash family pointed at the survivor CTE, and the component closure
+    is the recursive-CTE mirror of the label-propagation loop.
+
+    Scale shape: gates are a narrow pass; exact dedup one digest-keyed
+    hash aggregate; the LSH chain is the near-linear banded equi-join
+    (SCALING.md); components iterate over the PAIR list only. The
+    survivor frame is checkpointed once and feeds the shingle chain,
+    the anti-join and the census without recomputing the gates."""
+    final = curated_survivor_docs(spark, sf_dir)
     return final.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").cast("bigint").alias("total_tokens"),

@@ -102,6 +102,99 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ngram_comb_sql(n: int) -> str:
+    """DuckDB rendering of shingle_hashes_from_word_hashes for n-grams:
+    the positional polynomial fold over per-word rolling hashes."""
+    expr = "wh[i]"
+    for k in range(1, n):
+        expr = f"({expr} * {BAND_BASE} + wh[i+{k}]) % {ROLLING_MOD}"
+    return expr
+
+
+def _rep_profile_oracle() -> str:
+    arms = "\n    UNION ALL\n".join(
+        f"""    SELECT doc_id, CAST({n} AS INT) AS n,
+           list_transform(range(1, greatest(len(wh) - {n - 2}, 1)),
+                          i -> {_ngram_comb_sql(n)}) AS hs
+    FROM wht"""
+        for n in (2, 3, 4)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), wht AS MATERIALIZED (
+  SELECT doc_id, list_transform(w, t -> {_rh_sql('t')}) AS wh FROM w
+), t AS (
+  SELECT doc_id, n, unnest(hs) AS h FROM (
+{arms}
+  )
+), g AS (
+  SELECT doc_id, n, h, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2, 3
+)
+SELECT doc_id, n,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(max(c) AS BIGINT) AS top_count,
+       round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 6) AS dup_frac,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_share
+FROM g GROUP BY 1, 2
+"""
+
+
+@query(
+    "doc_repetition_profile",
+    oracle=_rep_profile_oracle(),
+    tags=("curation", "quality", "repetition", "ngram"),
+)
+def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Gopher repetition suite (round-7 next-round item 3):
+    duplicate-n-gram fraction and top-n-gram share for n in {2, 3, 4}
+    per document — the multi-width profile the Gopher quality rules
+    threshold jointly (a doc can pass the 3-gram rule while a repeated
+    bigram phrase dominates).
+
+    Stage sharing: the per-word rolling hashes are folded ONCE (the
+    checkpointed ``wh`` column); the three n-gram arms are positional
+    zip_with slices of that same array — no second char-level fold
+    appears in the plan (the oracle mirrors this with a MATERIALIZED
+    word-hash CTE). Scale shape unchanged from doc_repetition_scores:
+    explode -> one (doc_id, n, h) hash aggregate -> one per-(doc, n)
+    rollup; rows triple, corpus passes don't."""
+    docs = load_table(spark, sf_dir, "documents")
+    wh = (
+        docs.select("doc_id", _words(F.col("text")).alias("w"))
+        .select("doc_id", F.transform(F.col("w"), rolling_hash).alias("wh"))
+        .localCheckpoint(eager=False)
+    )
+    arms = F.array(
+        *[
+            F.struct(
+                F.lit(n).cast("int").alias("n"),
+                shingle_hashes_from_word_hashes(
+                    F.col("wh"), n=n, distinct=False
+                ).alias("hs"),
+            )
+            for n in (2, 3, 4)
+        ]
+    )
+    e = (
+        wh.select("doc_id", F.explode(arms).alias("a"))
+        .select("doc_id", F.col("a.n").alias("n"), F.explode("a.hs").alias("h"))
+    )
+    g = e.groupBy("doc_id", "n", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return g.groupBy("doc_id", "n").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("top_count"),
+        F.round(
+            1.0 - F.count(F.lit(1)).cast("double") / F.sum("c"), 6
+        ).alias("dup_frac"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_share"),
+    )
+
+
 @query(
     "shard_assignment",
     oracle=f"""

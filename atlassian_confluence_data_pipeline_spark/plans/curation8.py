@@ -25,7 +25,109 @@ from atlassian_confluence_data_pipeline_spark.plans.multimodal import (
 from atlassian_confluence_data_pipeline_spark.plans.packing import CTX_TOKENS
 from atlassian_confluence_data_pipeline_spark.plans.registry import query
 
-_SHARD_SQL = f"{_rh_sql('CAST(doc_id AS VARCHAR)')} % {N_SHARDS}"
+def _shard_sql(col: str) -> str:
+    """Shard-placement SQL as a FUNCTION of the id column expression —
+    rendered per call site instead of string-replacing 'doc_id' inside
+    one pre-rendered template (which would silently corrupt the oracle
+    if the hash rendering ever mentioned doc_id itself; round-7 advice)."""
+    return f"{_rh_sql(f'CAST({col} AS VARCHAR)')} % {N_SHARDS}"
+
+
+def shard_packed_frame(t: DataFrame) -> DataFrame:
+    """Shard-LOCAL packing over any ``(doc_id, tok, ...)`` frame: adds
+    the portable shard placement, the per-shard inclusive token prefix
+    (``shard_cum``, in doc_id order within the shard), the shard-local
+    ``window_id``, and the chop flag ``split``.
+
+    Scale shape: the per-shard prefix is ONE distributed_prefix_rank
+    pass over a composite shard-major key (``shard_id * 2^40 +
+    doc_id`` — monotone in (shard, doc) for doc_id < 2^40, and <= 2^47
+    so no overflow), which range-buckets WITHIN big shards too — no
+    single task ever holds a whole shard, unlike a window PARTITIONed
+    by the 64 shard ids. The per-shard start offsets come back as a
+    64-row broadcast."""
+    from atlassian_confluence_data_pipeline_spark.operators.windows import (
+        distributed_prefix_rank,
+    )
+
+    assigned = t.withColumn(
+        "shard_id", rolling_hash(F.col("doc_id").cast("string")) % N_SHARDS
+    ).withColumn(
+        "__lead",
+        F.col("shard_id") * F.lit(1 << 40).cast("bigint") + F.col("doc_id"),
+    )
+    p = distributed_prefix_rank(assigned, ["__lead"], sums={"cum": "tok"})
+    off = p.groupBy(F.col("shard_id").alias("__osh")).agg(
+        F.min(F.col("cum") - F.col("tok")).alias("__off")
+    )
+    win = F.expr(f"(shard_cum - tok) DIV {CTX_TOKENS}")
+    endw = F.expr(f"(shard_cum - 1) DIV {CTX_TOKENS}")
+    return (
+        p.join(F.broadcast(off), p["shard_id"] == off["__osh"])
+        .withColumn("shard_cum", F.col("cum") - F.col("__off"))
+        .drop("__osh", "__off", "__lead", "cum")
+        .withColumn("window_id", win)
+        .withColumn("split", F.when(endw > win, 1).otherwise(0))
+    )
+
+
+@query(
+    "shard_packing_summary",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_shard_sql('doc_id')} AS shard_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok
+  FROM documents
+), c AS (
+  SELECT shard_id, tok,
+         sum(tok) OVER (PARTITION BY shard_id ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+), w AS (
+  SELECT shard_id, tok,
+         CASE WHEN (cum - 1) // {CTX_TOKENS} > (cum - tok) // {CTX_TOKENS}
+              THEN 1 ELSE 0 END AS split
+  FROM c
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS n_tokens,
+       CAST((sum(tok) + {CTX_TOKENS} - 1) // {CTX_TOKENS} AS BIGINT)
+         AS n_windows,
+       CAST(sum(split) AS BIGINT) AS n_chopped,
+       round(CAST(sum(split) AS DOUBLE) / count(*), 6) AS chop_rate
+FROM w GROUP BY 1
+""",
+    tags=("curation", "packing", "sharding", "planning"),
+)
+def shard_packing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-local packing (round-7 next-round item 4): each training
+    worker packs ITS OWN shard sequentially, so the numbers that matter
+    are per-shard — window count at CTX_TOKENS, chop count/rate, token
+    mass. Composes shard_assignment x pack_sequences through
+    :func:`shard_packed_frame`: the prefix is strictly cheaper than the
+    global one (each shard's running sum is independent; the composite
+    shard-major key lets the range bucketing split big shards across
+    tasks)."""
+    from atlassian_confluence_data_pipeline_spark.catalog import load_table
+    from atlassian_confluence_data_pipeline_spark.plans.textops import _words
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(_words(F.col("text"))).cast("bigint").alias("tok")
+    )
+    w = shard_packed_frame(t)
+    return w.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("n_tokens"),
+        F.expr(f"(sum(tok) + {CTX_TOKENS - 1}) DIV {CTX_TOKENS}")
+        .cast("bigint")
+        .alias("n_windows"),
+        F.sum("split").cast("bigint").alias("n_chopped"),
+        F.round(F.sum("split").cast("double") / F.count(F.lit(1)), 6).alias(
+            "chop_rate"
+        ),
+    )
 
 
 @query(
@@ -33,8 +135,8 @@ _SHARD_SQL = f"{_rh_sql('CAST(doc_id AS VARCHAR)')} % {N_SHARDS}"
     oracle=f"""
 WITH p AS (SELECT id_a, id_b FROM ({_minhash_oracle()}) q),
 x AS (
-  SELECT CASE WHEN ({_SHARD_SQL.replace('doc_id', 'p.id_a')})
-              <> ({_SHARD_SQL.replace('doc_id', 'p.id_b')})
+  SELECT CASE WHEN ({_shard_sql('p.id_a')})
+              <> ({_shard_sql('p.id_b')})
          THEN 1 ELSE 0 END AS cross_shard
   FROM p
 )

@@ -1,0 +1,168 @@
+"""Curated-shard materialization — the capstone SINK job (round-7
+next-round item 2): chain the full-curation survivors
+(plans/curation.py curated_survivor_docs) through the portable shard
+placement and shard-local packing (plans/curation8.py
+shard_packed_frame) into the artifact a training run actually
+consumes: ``shard_id=N/`` partitioned parquet behind an ATOMIC
+manifest.
+
+Commit protocol (the AppendIndexStore / html_sink pointer-flip
+discipline, applied to a batch corpus build):
+
+- the whole dataset is written to a hidden ``.tmp-data-{nonce}``
+  staging dir — a failed/killed job never touches the published view;
+- the staged files are READ BACK to compute the manifest's per-shard
+  row/token/window counts (so the manifest describes the bytes on
+  disk, not the plan that produced them);
+- publish = rename staging to ``data-{nonce}``, then write the
+  manifest JSON via tmp-file + ``os.replace`` (atomic on POSIX) — a
+  reader either sees the previous complete corpus or the new one;
+- the superseded ``data-*`` dir is removed AFTER the pointer flip;
+  ``.tmp-*`` leftovers from crashed runs are swept on the next
+  publish. Replays are idempotent: the content is a deterministic
+  function of the input fixtures, so re-running flips the pointer to
+  a byte-equivalent corpus.
+
+Reference analog: the output_generator stage (html_generator.py:50-64
+writes the consumable artifact tree) generalized to the training-data
+deliverable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from atlassian_confluence_data_pipeline_spark.plans.packing import CTX_TOKENS
+
+MANIFEST = "MANIFEST.json"
+
+
+def _sweep_stale(out_path: str, keep: str | None) -> None:
+    """Remove crashed-run staging dirs and superseded data dirs (all
+    but ``keep``). Best-effort; the manifest pointer is the truth."""
+    for d in os.listdir(out_path):
+        p = os.path.join(out_path, d)
+        if d.startswith(".tmp-data-") or (
+            d.startswith("data-") and d != keep and os.path.isdir(p)
+        ):
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def materialize_curated_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    ctx_tokens: int = CTX_TOKENS,
+) -> dict:
+    """Run curate -> shard -> pack -> write and atomically publish the
+    result under ``out_path``. Returns the committed manifest dict.
+
+    Written columns: shard_id, doc_id, lang, source, text, tok,
+    shard_cum (inclusive per-shard token prefix), window_id (the
+    shard-local CTX window the document STARTS in), split (1 when the
+    window's right edge chops it). Files are partitioned by shard_id,
+    so a training worker reads exactly its ``shard_id=N/`` directory.
+
+    Scale shape: the curation stages are the engine's scale-path
+    variants (banded LSH, digest hash-agg); the per-shard prefix is
+    the range-bucketed two-pass distributed_prefix_rank (no whole-shard
+    single task); the write is one shuffle-free partitioned parquet
+    job; manifest stats are one aggregate over the staged files."""
+    from atlassian_confluence_data_pipeline_spark.plans.curation import (
+        curated_survivor_docs,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.curation8 import (
+        shard_packed_frame,
+    )
+
+    os.makedirs(out_path, exist_ok=True)
+    survivors = curated_survivor_docs(spark, sf_dir).withColumn(
+        "tok", F.col("n_words").cast("bigint")
+    )
+    packed = shard_packed_frame(
+        survivors.select("doc_id", "lang", "source", "text", "tok")
+    ).select(
+        "shard_id",
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        "tok",
+        "shard_cum",
+        "window_id",
+        "split",
+    )
+
+    nonce = f"{time.time_ns():x}"
+    staging = os.path.join(out_path, f".tmp-data-{nonce}")
+    packed.write.mode("overwrite").partitionBy("shard_id").parquet(staging)
+
+    # manifest stats from the BYTES ON DISK, not the plan
+    staged = spark.read.parquet(staging)
+    per_shard = {
+        int(r["shard_id"]): {
+            "n_docs": int(r["n_docs"]),
+            "n_tokens": int(r["n_tokens"]),
+            "n_windows": int(r["n_windows"]),
+            "n_chopped": int(r["n_chopped"]),
+        }
+        for r in staged.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("n_tokens"),
+            F.expr(f"(sum(tok) + {ctx_tokens - 1}) DIV {ctx_tokens}").alias(
+                "n_windows"
+            ),
+            F.sum("split").alias("n_chopped"),
+        )
+        .collect()
+    }
+    n_files = sum(
+        1
+        for root, _, files in os.walk(staging)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    manifest = {
+        "dir": f"data-{nonce}",
+        "sf_dir": sf_dir,
+        "ctx_tokens": ctx_tokens,
+        "n_files": n_files,
+        "n_docs": sum(s["n_docs"] for s in per_shard.values()),
+        "n_tokens": sum(s["n_tokens"] for s in per_shard.values()),
+        "n_windows": sum(s["n_windows"] for s in per_shard.values()),
+        "n_chopped": sum(s["n_chopped"] for s in per_shard.values()),
+        "shards": {str(k): v for k, v in sorted(per_shard.items())},
+    }
+
+    data_dir = os.path.join(out_path, f"data-{nonce}")
+    os.rename(staging, data_dir)
+    tmp = os.path.join(out_path, f".ptr-{nonce}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_path, MANIFEST))
+    _sweep_stale(out_path, keep=f"data-{nonce}")
+    return manifest
+
+
+def read_manifest(out_path: str) -> dict | None:
+    p = os.path.join(out_path, MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def read_curated_shards(spark: SparkSession, out_path: str) -> DataFrame:
+    """Load the committed corpus through the manifest pointer — never
+    by globbing (a half-published directory is invisible)."""
+    man = read_manifest(out_path)
+    if man is None:
+        raise FileNotFoundError(f"no committed corpus under {out_path}")
+    return spark.read.parquet(os.path.join(out_path, man["dir"]))
