@@ -547,11 +547,11 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     siblings had already built)."""
     from atlassian_confluence_data_pipeline_spark.plans._cache import (
         minhash_band_candidates,
-        minhash_doc_base,
+        minhash_doc_hashes,
         minhash_signatures,
     )
 
-    base = minhash_doc_base(spark, sf_dir).select("doc_id", "hs").filter(
+    base = minhash_doc_hashes(spark, sf_dir).filter(
         F.size("hs") > 0
     )
     sig = minhash_signatures(spark, sf_dir)

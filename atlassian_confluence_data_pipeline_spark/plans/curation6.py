@@ -53,14 +53,14 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # round 7: derive from the session-shared minhash_doc_base frame
+        # round 7: derive from the session-shared minhash_doc_hashes frame
         # instead of refolding the corpus — when any MinHash-chain
         # consumer already ran, the explode is the only new work
         from atlassian_confluence_data_pipeline_spark.plans._cache import (
-            minhash_doc_base,
+            minhash_doc_hashes,
         )
 
-        return minhash_doc_base(spark, sf_dir).select(
+        return minhash_doc_hashes(spark, sf_dir).select(
             "doc_id", F.explode("hs").alias("h")
         )
 

@@ -166,10 +166,10 @@ def cross_shard_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from atlassian_confluence_data_pipeline_spark.plans._cache import (
         minhash_band_candidates,
-        minhash_doc_base,
+        minhash_doc_hashes,
     )
 
-    hs = minhash_doc_base(spark, sf_dir).select("doc_id", "hs").filter(
+    hs = minhash_doc_hashes(spark, sf_dir).filter(
         F.size("hs") > 0
     )
     pairs = verify_candidates_jaccard(

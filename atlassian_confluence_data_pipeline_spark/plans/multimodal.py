@@ -320,12 +320,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     in a session pays the build once."""
     from atlassian_confluence_data_pipeline_spark.plans._cache import (
         minhash_band_candidates,
-        minhash_doc_base,
+        minhash_doc_hashes,
     )
 
-    hs = minhash_doc_base(spark, sf_dir).select("doc_id", "hs").filter(
-        F.size("hs") > 0
-    )
+    hs = minhash_doc_hashes(spark, sf_dir).filter(F.size("hs") > 0)
     cand = minhash_band_candidates(spark, sf_dir)
     return verify_candidates_jaccard(
         cand, hs, "doc_id", "hs", threshold=MINHASH_JACCARD
@@ -397,10 +395,10 @@ def near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered survivors)."""
     from atlassian_confluence_data_pipeline_spark.plans._cache import (
         minhash_band_candidates,
-        minhash_doc_base,
+        minhash_doc_shingles,
     )
 
-    base = minhash_doc_base(spark, sf_dir).filter(F.size("hs") > 0)
+    base = minhash_doc_shingles(spark, sf_dir).filter(F.size("sh") > 0)
     cand = minhash_band_candidates(spark, sf_dir)
     return verify_candidates_jaccard(
         cand, base, "doc_id", "sh", threshold=MINHASH_JACCARD
