@@ -721,3 +721,158 @@ def foreach_batch_cms_merge(
         cms_store.write(merged.unionByName(meta).localCheckpoint(eager=True))
 
     return events.writeStream.foreachBatch(merge_batch)
+
+
+#: index schema for the perceptual-fingerprint dedup state
+_FP_INDEX_SCHEMA = (
+    "owner_id bigint, simhash bigint, chunk_id int, chunk_val bigint"
+)
+
+
+def foreach_batch_fingerprint_dedup(
+    attachments,
+    index_store,
+    pairs_out_dir: str,
+    fingerprinter,
+    max_hamming: int = 16,
+    chunks: int = 4,
+    compact_every: int | None = None,
+):  # noqa: ANN001 - DataStreamWriter return hint kept lazy like peers
+    """Cross-batch streaming PERCEPTUAL near-duplicate detection — the
+    online form of image_near_dup_pairs / audio_near_dup_pairs, and the
+    binary-modality sibling of foreach_batch_minhash_dedup. Each
+    micro-batch of (owner_id, filename, content BINARY) attachments
+
+    1. is fingerprinted by ``fingerprinter`` (dhash_images for rasters,
+       fingerprint_audio for WAV tracks — the exact batch operators;
+       undecodable rows carry NULL and are skipped);
+    2. is split into ``chunks`` 16-bit pigeonhole chunks and probes the
+       PERSISTED chunk index, so new media pair against every file ever
+       seen, not just the current batch; candidates are verified with
+       the exact popcount Hamming distance and appended to
+       ``pairs_out_dir``;
+    3. writes its own chunk keys as ONE AppendIndexStore batch
+       partition — O(batch) state I/O per trigger, never an O(index)
+       snapshot rewrite.
+
+    Scale notes: the index carries one row per chunk per file (chunks x
+    corpus, same near-linear footprint as the batch band table); the
+    probe is an equi-join on (chunk_id, chunk_val), never all-pairs.
+    The partition is a pure function of the batch, so a replayed batch
+    overwrites it with identical rows (idempotent at any crash point);
+    pair emission is at-least-once (dedup-on-read by (id_a, id_b))."""
+    from pyspark.sql import functions as F
+
+    width = 64 // chunks
+    mask = (1 << width) - 1
+
+    def dedup_batch(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fp = (
+            fingerprinter(batch_df)
+            .select("owner_id", F.col("simhash"))
+            .filter(F.col("simhash").isNotNull())
+            .localCheckpoint(eager=True)
+        )
+        chunk_vals = F.array(
+            *[
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .cast("bigint")
+                for i in range(chunks)
+            ]
+        )
+        banded = fp.select(
+            "owner_id",
+            "simhash",
+            F.posexplode(chunk_vals).alias("chunk_id", "chunk_val"),
+        )
+        prior = index_store.read(spark, _FP_INDEX_SCHEMA)
+        universe = prior.unionByName(banded)
+        cand = (
+            banded.select(
+                F.col("owner_id").alias("id_x"),
+                F.col("simhash").alias("fp_x"),
+                "chunk_id",
+                "chunk_val",
+            )
+            .join(
+                universe.select(
+                    F.col("owner_id").alias("id_y"),
+                    F.col("simhash").alias("fp_y"),
+                    "chunk_id",
+                    "chunk_val",
+                ),
+                ["chunk_id", "chunk_val"],
+            )
+            .filter(F.col("id_x") != F.col("id_y"))
+            .select(
+                F.least("id_x", "id_y").alias("id_a"),
+                F.greatest("id_x", "id_y").alias("id_b"),
+                F.bit_count(
+                    F.col("fp_x").bitwiseXOR(F.col("fp_y"))
+                ).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+        cand.write.mode("append").parquet(pairs_out_dir)
+        index_store.write_batch(banded, batch_id)
+        if compact_every and (int(batch_id) + 1) % compact_every == 0:
+            index_store.compact(
+                spark, _FP_INDEX_SCHEMA, keep_recent=compact_every
+            )
+
+    return attachments.writeStream.foreachBatch(dedup_batch)
+
+
+def foreach_batch_image_dedup(
+    attachments, index_store, pairs_out_dir: str, **kw
+):  # noqa: ANN001
+    """Streaming image near-dup dedup: dHash over the real raster
+    decoders (BMP/PPM/PNG) + the persisted chunk index. See
+    foreach_batch_fingerprint_dedup for contract and scale notes."""
+    from atlassian_confluence_data_pipeline_spark.plans.multimodal2 import (
+        DHASH_MAX_HAMMING,
+    )
+    from atlassian_confluence_data_pipeline_spark.sources.binary import (
+        dhash_images,
+    )
+
+    def _fp(batch_df):  # noqa: ANN001
+        from pyspark.sql import functions as F
+
+        return dhash_images(batch_df).select(
+            "owner_id", F.col("dhash").alias("simhash")
+        )
+
+    kw.setdefault("max_hamming", DHASH_MAX_HAMMING)
+    return foreach_batch_fingerprint_dedup(
+        attachments, index_store, pairs_out_dir, _fp, **kw
+    )
+
+
+def foreach_batch_audio_dedup(
+    attachments, index_store, pairs_out_dir: str, **kw
+):  # noqa: ANN001
+    """Streaming audio near-dup dedup: energy-envelope fingerprints
+    over the real WAV parser + the persisted chunk index. See
+    foreach_batch_fingerprint_dedup for contract and scale notes."""
+    from atlassian_confluence_data_pipeline_spark.plans.multimodal3 import (
+        AFP_MAX_HAMMING,
+    )
+    from atlassian_confluence_data_pipeline_spark.sources.binary import (
+        fingerprint_audio,
+    )
+
+    def _fp(batch_df):  # noqa: ANN001
+        from pyspark.sql import functions as F
+
+        return fingerprint_audio(batch_df).select(
+            "owner_id", F.col("afp").alias("simhash")
+        )
+
+    kw.setdefault("max_hamming", AFP_MAX_HAMMING)
+    return foreach_batch_fingerprint_dedup(
+        attachments, index_store, pairs_out_dir, _fp, **kw
+    )
