@@ -1,0 +1,318 @@
+"""Video frame-level dedup and cross-modal dedup agreement (X2/X5).
+
+Finishes the dedup modality matrix begun in plans/multimodal.py (text),
+multimodal2.py (image) and multimodal3.py (audio): per-frame perceptual
+fingerprints over the engine's uncompressed concatenated-BMP video
+container, video-level near-dup pairs by shared-frame count (an exact
+equi-join on frame hashes — the linear-candidate shape of content-ID
+systems, never an all-pairs video comparison), and the agreement audit
+between the image and audio perceptual chains over their planted
+variant groups.
+
+Hash-checked END TO END: the video fixtures are pure integer functions
+of (doc_id, frame) (sources/binary.py
+textured_video_attachments_from_documents), so DuckDB re-derives every
+decoded gray, every frame dHash bit, and every shared-frame count
+symbolically — a bug in the container split, the BMP decode, the
+resample, or the bit pack breaks the value hash.
+
+Reference analog: attachment byte handling
+(api_client/confluence_client.py:601-633) generalized to the video
+dedup operator a training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from atlassian_confluence_data_pipeline_spark.catalog import load_table
+from atlassian_confluence_data_pipeline_spark.plans.registry import query
+from atlassian_confluence_data_pipeline_spark.sources.binary import (
+    dhash_video_frames,
+    textured_video_attachments_from_documents,
+)
+
+#: minimum bit-exact shared frames for "near-duplicate video": planted
+#: variants share 7 of 8 frames; unrelated videos share none (distinct
+#: quadratic textures; an accidental single-frame hash collision stays
+#: far below the threshold)
+MIN_SHARED_FRAMES = 5
+
+#: fixture frame count
+N_FRAMES = 8
+
+
+def _frame_gray_sql(xe: str, ye: str) -> str:
+    """One resized-gray sample of frame ``ff`` of the video fixture:
+    texture id tex = gg*8 + ff, plus the variant band inversion that
+    applies ONLY on frame 2*vv (channel-averaged (r+g+b)//3, the
+    dhash64 fold)."""
+    base = (
+        f"(tex % 97) * {xe} * {xe} + ((tex * 3) % 89) * {ye} * {ye}"
+        f" + ((tex * 7) % 83) * {xe} * {ye} + tex"
+        f" + 128 * (CASE WHEN ff = 2 * vv AND {ye} >= 4 * vv"
+        f" AND {ye} < 4 * vv + 4 THEN 1 ELSE 0 END)"
+    )
+    terms = " + ".join(f"(({base} + {101 * c}) % 256)" for c in range(3))
+    return f"(({terms}) // 3)"
+
+
+def _frame_fp_cte() -> str:
+    """CTE chain ``dims -> gm -> fp`` producing (doc_id, frame_index,
+    fh): same 9x8 nearest resample and 64 adjacent-gray compares as the
+    still-image oracle, per (doc, frame)."""
+    gray = _frame_gray_sql("((x * 16) // 9)", "(2 * y)")
+    return f"""
+dims AS (
+  SELECT doc_id, doc_id // 4 AS gg, doc_id % 4 AS vv,
+         unnest(range(0, {N_FRAMES})) AS ff
+  FROM documents
+), tex AS (
+  SELECT doc_id, gg, vv, ff, gg * 8 + ff AS tex FROM dims
+), gm AS (
+  SELECT doc_id, ff,
+         list_transform(range(0, 8), y ->
+           list_transform(range(0, 9), x -> {gray})) AS gm
+  FROM tex
+), fp AS (
+  SELECT doc_id, CAST(ff AS INT) AS frame_index,
+         CAST(list_sum(list_transform(range(0, 64), i ->
+           CASE WHEN gm[i // 8 + 1][i % 8 + 1] > gm[i // 8 + 1][i % 8 + 2]
+                THEN CASE WHEN i = 63
+                          THEN CAST(-9223372036854775808 AS BIGINT)
+                          ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fh
+  FROM gm
+)"""
+
+
+def _video_neardup_oracle() -> str:
+    return f"""
+WITH {_frame_fp_cte()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS INT) AS n_shared
+FROM fp a JOIN fp b
+  ON a.fh = b.fh AND a.frame_index = b.frame_index
+ AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {MIN_SHARED_FRAMES}
+"""
+
+
+@query(
+    "video_frame_fingerprints",
+    oracle=f"WITH {_frame_fp_cte()}\nSELECT doc_id, frame_index, fh FROM fp",
+    tags=("multimodal", "video", "dedup", "fingerprint"),
+)
+def video_frame_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame dHash over the concatenated-BMP video container,
+    hash-checked end to end: workers encode the 8-frame fixtures, the
+    container splitter + BMP decoder recover every raster, dhash64
+    packs 64 adjacent-gray bits per frame — and every value must equal
+    what DuckDB derives symbolically from the (doc_id, frame)
+    arithmetic. One mapInPandas pass; rasters never leave the Arrow
+    batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = dhash_video_frames(textured_video_attachments_from_documents(docs))
+    return fp.select(
+        F.col("owner_id").alias("doc_id"), "frame_index", "fh"
+    )
+
+
+@query(
+    "video_near_dup_pairs",
+    oracle=_video_neardup_oracle(),
+    tags=("multimodal", "video", "dedup", "neardup"),
+)
+def video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup X2/X5 — the content-ID shape: per-frame dHash,
+    then an EXACT equi-join on (frame hash, frame position) and a
+    shared-frame count threshold (>= 5 of 8). Candidates are linear in
+    total frames (hash buckets, never all-pairs of videos); planted
+    variants share 7 of 8 frames bit-exact, unrelated videos share
+    none. The oracle reproduces split, decode, resample, pack, join,
+    and threshold bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = dhash_video_frames(
+        textured_video_attachments_from_documents(docs)
+    ).select(F.col("owner_id").alias("doc_id"), "frame_index", "fh")
+    a = fp.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("frame_index").alias("fi"),
+        "fh",
+    )
+    b = fp.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("frame_index").alias("fi"),
+        "fh",
+    )
+    return (
+        a.join(b, ["fh", "fi"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
+        .filter(F.col("n_shared") >= MIN_SHARED_FRAMES)
+    )
+
+
+def _modality_agreement_oracle() -> str:
+    """Image-dHash and audio-fingerprint chains re-derived under
+    prefixed CTE names (no string surgery on the sibling modules'
+    rendered SQL — the round-7 ADVICE lesson), then a FULL OUTER join
+    of the two pair sets and one summary row."""
+    from atlassian_confluence_data_pipeline_spark.functions.audio import (
+        FP_WINDOWS,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.multimodal2 import (
+        DHASH_CHUNKS,
+        DHASH_MAX_HAMMING,
+        _gray_sql,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.multimodal3 import (
+        _AMP_SQL,
+        _N_SQL,
+        AFP_CHUNKS,
+        AFP_MAX_HAMMING,
+    )
+
+    gray = _gray_sql("((x * 16) // 9)", "(2 * y)")
+
+    def chunk_eq(col: str, chunks: int) -> str:
+        width = 64 // chunks
+        mask = (1 << width) - 1
+        return " OR ".join(
+            f"((a.{col} >> {i * width}) & {mask})"
+            f" = ((b.{col} >> {i * width}) & {mask})"
+            for i in range(chunks)
+        )
+
+    pack = (
+        "CAST(list_sum(list_transform(range(0, 64), i ->"
+        " CASE WHEN {cmp}"
+        " THEN CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)"
+        " ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END"
+        " ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    )
+    img_bits = pack.format(
+        cmp="gm[i // 8 + 1][i % 8 + 1] > gm[i // 8 + 1][i % 8 + 2]"
+    )
+    aud_bits = pack.format(cmp="e_arr[i + 2] > e_arr[i + 1]")
+    return f"""
+WITH idims AS (
+  SELECT doc_id, doc_id // 4 AS gg, doc_id % 4 AS vv FROM documents
+), igm AS (
+  SELECT doc_id,
+         list_transform(range(0, 8), y ->
+           list_transform(range(0, 9), x -> {gray})) AS gm
+  FROM idims
+), ifp AS (
+  SELECT doc_id, {img_bits} AS dhash FROM igm
+), adims AS (
+  SELECT doc_id, {_N_SQL} AS n, doc_id // 4 AS gg, doc_id % 4 AS vv
+  FROM documents
+), asamp AS (
+  SELECT doc_id, n, gg, vv, unnest(range(0, n)) AS t FROM adims
+), aamp AS (
+  SELECT doc_id, ww, {_AMP_SQL} AS amp
+  FROM (SELECT asamp.*, (t * {FP_WINDOWS}) // n AS ww FROM asamp)
+), awin AS (
+  SELECT doc_id, ww, sum(amp * amp) AS e FROM aamp GROUP BY doc_id, ww
+), aearr AS (
+  SELECT doc_id, list(e ORDER BY ww) AS e_arr FROM awin GROUP BY doc_id
+), afp AS (
+  SELECT doc_id, {aud_bits} AS afp FROM aearr
+), ip AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ifp a JOIN ifp b
+    ON a.doc_id < b.doc_id AND ({chunk_eq("dhash", DHASH_CHUNKS)})
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= {DHASH_MAX_HAMMING}
+), ap AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM afp a JOIN afp b
+    ON a.doc_id < b.doc_id AND ({chunk_eq("afp", AFP_CHUNKS)})
+  WHERE bit_count(xor(a.afp, b.afp)) <= {AFP_MAX_HAMMING}
+), u AS (
+  SELECT coalesce(ip.id_a, ap.id_a) AS id_a,
+         coalesce(ip.id_b, ap.id_b) AS id_b,
+         (ip.id_a IS NOT NULL) AS in_img,
+         (ap.id_a IS NOT NULL) AS in_aud
+  FROM ip FULL OUTER JOIN ap
+    ON ip.id_a = ap.id_a AND ip.id_b = ap.id_b
+)
+SELECT CAST(sum(CASE WHEN in_img THEN 1 ELSE 0 END) AS BIGINT) AS n_image_pairs,
+       CAST(sum(CASE WHEN in_aud THEN 1 ELSE 0 END) AS BIGINT) AS n_audio_pairs,
+       CAST(sum(CASE WHEN in_img AND in_aud THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       CAST(sum(CASE WHEN in_img AND NOT in_aud THEN 1 ELSE 0 END) AS BIGINT) AS n_image_only,
+       CAST(sum(CASE WHEN in_aud AND NOT in_img THEN 1 ELSE 0 END) AS BIGINT) AS n_audio_only
+FROM u
+"""
+
+
+@query(
+    "perceptual_modality_agreement",
+    oracle=_modality_agreement_oracle(),
+    tags=("multimodal", "dedup", "agreement", "audit"),
+)
+def perceptual_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup agreement audit — the modality analogue of
+    dedup_method_agreement: the image-dHash and audio-fingerprint
+    near-dup chains run over the SAME planted variant groups, and this
+    query reports how far their pair sets agree (both / image-only /
+    audio-only). At 100 TB this is the audit that decides whether one
+    modality's dedup verdicts can gate another's ingestion; both pair
+    sets come from banded equi-joins and the overlay is one pair-level
+    FULL OUTER join + a 1-row aggregate."""
+    from atlassian_confluence_data_pipeline_spark.operators.lsh import (
+        simhash_near_pairs,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.multimodal2 import (
+        DHASH_CHUNKS,
+        DHASH_MAX_HAMMING,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.multimodal3 import (
+        AFP_CHUNKS,
+        AFP_MAX_HAMMING,
+    )
+    from atlassian_confluence_data_pipeline_spark.sources.binary import (
+        audio_attachments_from_documents,
+        dhash_images,
+        fingerprint_audio,
+        textured_image_attachments_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ifp = dhash_images(textured_image_attachments_from_documents(docs)).select(
+        F.col("owner_id").alias("doc_id"), F.col("dhash").alias("simhash")
+    )
+    ip = simhash_near_pairs(
+        ifp, "doc_id", max_hamming=DHASH_MAX_HAMMING, chunks=DHASH_CHUNKS
+    ).select("id_a", "id_b", F.lit(True).alias("in_img"))
+    afp = fingerprint_audio(audio_attachments_from_documents(docs)).select(
+        F.col("owner_id").alias("doc_id"), F.col("afp").alias("simhash")
+    )
+    ap = simhash_near_pairs(
+        afp, "doc_id", max_hamming=AFP_MAX_HAMMING, chunks=AFP_CHUNKS
+    ).select("id_a", "id_b", F.lit(True).alias("in_aud"))
+    u = ip.join(ap, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("in_img", F.lit(False)).alias("in_img"),
+        F.coalesce("in_aud", F.lit(False)).alias("in_aud"),
+    )
+    t = F.lit(1)
+    return u.agg(
+        F.sum(F.when(F.col("in_img"), t).otherwise(0))
+        .cast("bigint")
+        .alias("n_image_pairs"),
+        F.sum(F.when(F.col("in_aud"), t).otherwise(0))
+        .cast("bigint")
+        .alias("n_audio_pairs"),
+        F.sum(F.when(F.col("in_img") & F.col("in_aud"), t).otherwise(0))
+        .cast("bigint")
+        .alias("n_both"),
+        F.sum(F.when(F.col("in_img") & ~F.col("in_aud"), t).otherwise(0))
+        .cast("bigint")
+        .alias("n_image_only"),
+        F.sum(F.when(F.col("in_aud") & ~F.col("in_img"), t).otherwise(0))
+        .cast("bigint")
+        .alias("n_audio_only"),
+    )

@@ -558,3 +558,99 @@ def fingerprint_audio(attachments: DataFrame) -> DataFrame:
     return attachments.select("owner_id", "filename", "content").mapInPandas(
         _fp, schema="owner_id bigint, filename string, afp bigint, err string"
     )
+
+
+def textured_video_attachments_from_documents(
+    docs: DataFrame, n_frames: int = 8
+) -> DataFrame:
+    """Deterministic NEAR-DUP video fixtures: every group of 4
+    consecutive doc_ids shares the same 8-frame sequence of 16x16
+    quadratic textures (frame f's texture id is group*8 + f — the same
+    coefficient family as the still-image fixtures), and each variant v
+    inverts a 4-row band in exactly ONE frame (index 2*v) — a planted
+    single-frame edit, so variants share 7 of 8 frames bit-exact.
+    Frames are real encoded BMPs concatenated into the engine's
+    uncompressed 'video' container (split_concatenated_bmps)."""
+    import numpy as np
+
+    from atlassian_confluence_data_pipeline_spark.functions.imaging import encode_bmp
+    from atlassian_confluence_data_pipeline_spark.pyfiles import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers()
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g, v = d // 4, d % 4
+                y, x, c = np.ogrid[:16, :16, :3]
+                frames = []
+                for f in range(n_frames):
+                    tex = g * 8 + f
+                    px = (
+                        (tex % 97) * x * x
+                        + ((tex * 3) % 89) * y * y
+                        + ((tex * 7) % 83) * x * y
+                        + tex
+                        + 101 * c
+                    ) % 256
+                    if f == 2 * v:
+                        band = (y >= 4 * v) & (y < 4 * v + 4)
+                        px = (px + 128 * band) % 256
+                    frames.append(encode_bmp(px.astype(np.uint8)))
+                rows.append((d, f"vtex_{d}.cbmp", b"".join(frames)))
+            yield pd.DataFrame(rows, columns=["owner_id", "filename", "content"])
+
+    return docs.select("doc_id").mapInPandas(
+        _build, schema="owner_id bigint, filename string, content binary"
+    )
+
+
+def dhash_video_frames(videos: DataFrame) -> DataFrame:
+    """Per-frame perceptual fingerprints over the concatenated-BMP
+    video container: split + decode + dHash in ONE mapInPandas pass
+    (the video analogue of dhash_images — 8 bytes per frame cross the
+    shuffle, the rasters never leave the Arrow batch). Undecodable
+    payloads surface as a tolerant-load ``err`` row with NULL hash."""
+    from atlassian_confluence_data_pipeline_spark.functions.imaging import (
+        decode_bmp,
+        dhash64,
+    )
+    from atlassian_confluence_data_pipeline_spark.pyfiles import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers()
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for owner, name, content in zip(
+                pdf["owner_id"], pdf["filename"], pdf["content"]
+            ):
+                frames = split_concatenated_bmps(bytes(content))
+                if not frames:
+                    rows.append((owner, name, None, None, "no decodable frames"))
+                    continue
+                for idx, frame in enumerate(frames):
+                    try:
+                        rows.append(
+                            (owner, name, idx, dhash64(decode_bmp(frame)), None)
+                        )
+                    except ValueError as exc:
+                        rows.append((owner, name, idx, None, str(exc)))
+            yield pd.DataFrame(
+                rows,
+                columns=["owner_id", "filename", "frame_index", "fh", "err"],
+            )
+
+    return videos.select("owner_id", "filename", "content").mapInPandas(
+        _fp,
+        schema=(
+            "owner_id bigint, filename string, frame_index int, "
+            "fh bigint, err string"
+        ),
+    )
