@@ -153,3 +153,42 @@ def doc_novelty_vs_earlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@query(
+    "ngram_posting_spectrum",
+    oracle=f"""
+WITH {_SH_CTES},
+e AS (SELECT doc_id, unnest(hs) AS h FROM t),
+df AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY 1)
+SELECT CAST(length(format('{{:b}}', df)) - 1 AS INT) AS df_bucket,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(sum(df) AS BIGINT) AS n_postings
+FROM df GROUP BY 1
+""",
+    tags=("curation", "text", "ngram", "index"),
+)
+def ngram_posting_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list length spectrum of the inverted 3-shingle index
+    (sources/ngram_index_sink.py): how many distinct shingles have
+    document frequency in [2^k, 2^(k+1)) and how many posting rows they
+    carry — the capacity/skew planning view for the decontamination
+    index (a hot boilerplate shingle with df = 10^6 is a skew hazard a
+    prober must know about). Buckets are INTEGER-exact (binary digit
+    count, no float log2 at power-of-two edges).
+
+    Scale shape: rides the session-shared exploded-shingle stage (one
+    corpus fold); df is one hash aggregate on the shingle hash; the
+    spectrum is a bounded (~log2 corpus) second aggregate."""
+    e = _exploded_shingles(spark, sf_dir)
+    df = e.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    bucket = (
+        F.length(F.conv(F.col("df").cast("string"), 10, 2)) - 1
+    ).cast("int")
+    return (
+        df.groupBy(bucket.alias("df_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            F.sum("df").cast("bigint").alias("n_postings"),
+        )
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from atlassian_confluence_data_pipeline_spark.catalog import load_table
 from atlassian_confluence_data_pipeline_spark.functions.text import rolling_hash
 from atlassian_confluence_data_pipeline_spark.plans.curation7 import N_SHARDS
 from atlassian_confluence_data_pipeline_spark.plans.multimodal import (
@@ -264,4 +265,89 @@ def packing_source_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(cross).cast("double") / F.count(F.lit(1)), 6).alias(
             "contamination_rate"
         ),
+    )
+
+
+@query(
+    "corpus_datacard",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, lang, source,
+         regexp_split_to_array(trim(text), '\\s+') AS words,
+         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, source, fp, len(words) AS n_words,
+         CAST(len(list_filter(words, x -> x IN ('the', 'a', 'of', 'and')))
+              AS DOUBLE) / len(words) AS stop_ratio
+  FROM w
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(n_words) AS BIGINT) AS total_tokens,
+       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dup_docs,
+       CAST(sum(CASE WHEN n_words >= 20 AND stop_ratio < 0.08
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_quality_fail,
+       round(CAST(count(*) - count(DISTINCT fp) AS DOUBLE) / count(*), 6)
+         AS exact_dup_rate,
+       round(CAST(sum(CASE WHEN n_words >= 20 AND stop_ratio < 0.08
+                           THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6)
+         AS quality_fail_rate
+FROM scored GROUP BY source
+""",
+    tags=("curation", "datacard", "report", "flagship"),
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE DATASET DATACARD — the per-source datasheet a pretraining
+    team publishes with a corpus: document/token volume, language
+    breadth, exact-duplicate surplus (docs beyond the first per
+    canonical fingerprint), and the quality-gate failure rate, all in
+    ONE narrow corpus pass + one hash aggregate per source. The gate
+    thresholds and canonical fingerprint are exactly the
+    corpus_curation / full_curation_pipeline definitions, so the card's
+    numbers reconcile against the pipeline's survivor census.
+
+    Scale shape: per-doc scoring is a projection (no shuffle); the
+    rollup is one groupBy over a bounded source domain with two
+    count-distincts riding the same aggregate (Expand — still one
+    shuffle); no window, no join, no collect."""
+    from atlassian_confluence_data_pipeline_spark.plans.textops import _words
+
+    docs = load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and")])
+    canon = F.lower(F.regexp_replace("text", r"\s+", " "))
+    scored = docs.select(
+        "source",
+        "lang",
+        F.md5(canon).alias("fp"),
+        _words(F.col("text")).alias("w"),
+    ).select(
+        "source",
+        "lang",
+        "fp",
+        F.size("w").alias("n_words"),
+        (
+            F.size(F.filter(F.col("w"), lambda x: F.array_contains(stop, x)))
+            .cast("double")
+            / F.size("w")
+        ).alias("stop_ratio"),
+    )
+    fail = F.when(
+        (F.col("n_words") >= 20) & (F.col("stop_ratio") < 0.08), 0
+    ).otherwise(1)
+    n = F.count(F.lit(1))
+    dups = n - F.countDistinct("fp")
+    fails = F.sum(fail)
+    return (
+        scored.groupBy("source")
+        .agg(
+            n.cast("bigint").alias("n_docs"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum("n_words").cast("bigint").alias("total_tokens"),
+            dups.cast("bigint").alias("n_exact_dup_docs"),
+            fails.cast("bigint").alias("n_quality_fail"),
+            F.round(dups.cast("double") / n, 6).alias("exact_dup_rate"),
+            F.round(fails.cast("double") / n, 6).alias("quality_fail_rate"),
+        )
     )
