@@ -161,3 +161,98 @@ def packing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "docs_per_window"
         ),
     )
+
+
+#: epochs in the shuffle plan
+N_EPOCHS = 3
+
+
+@query(
+    "epoch_shuffle_plan",
+    oracle=f"""
+WITH {_PREFIX_CTE},
+wins AS (
+  SELECT DISTINCT window_id FROM w
+), keyed AS (
+  SELECT e.epoch, wins.window_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(regexp_split_to_array(
+             CAST(wins.window_id AS VARCHAR) || ':' ||
+             CAST(e.epoch AS VARCHAR), ''),
+             c -> CAST(ascii(c) AS BIGINT))),
+           (h, c) -> (h * 257 + c) % 2147483647) AS skey
+  FROM wins, (SELECT unnest(range(0, {N_EPOCHS})) AS epoch) e
+)
+SELECT CAST(epoch AS INT) AS epoch, window_id,
+       CAST(row_number() OVER (PARTITION BY epoch
+                               ORDER BY skey, window_id) AS BIGINT)
+         AS load_order
+FROM keyed
+""",
+    tags=("curation", "packing", "loader", "shuffle"),
+)
+def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE LOADER ORDER ARTIFACT: for each training epoch, a
+    deterministic pseudo-random permutation of the packed context
+    windows — order by the portable rolling hash of
+    "window_id:epoch", so every worker (and the oracle) derives the
+    SAME order with no coordination and each epoch reshuffles
+    independently. This is the piece between packing and the training
+    loop: a worker seeks its epoch's load_order range directly.
+
+    Scale shape: windows are corpus_tokens / CTX — corpus-scale — so
+    the per-epoch permutation rank must NOT be a 3-partition window
+    (each partition would hold every window). The rank rides ONE
+    distributed_prefix_rank pass over the combined monotone key
+    (epoch << 33 | hash — exact in bigint: hash < 2^31), then the
+    per-epoch order is global_rank minus the epoch's exclusive offset,
+    computed from the SAME pass via one bounded (<= N_EPOCHS rows)
+    aggregate broadcast back."""
+    from atlassian_confluence_data_pipeline_spark.functions.text import (
+        rolling_hash,
+    )
+    from atlassian_confluence_data_pipeline_spark.operators.windows import (
+        distributed_prefix_rank,
+    )
+
+    wins = (
+        _window_frame(spark, sf_dir).select("window_id").distinct()
+    )
+    epochs = spark.range(N_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+    keyed = wins.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "window_id",
+        rolling_hash(
+            F.concat(
+                F.col("window_id").cast("string"),
+                F.lit(":"),
+                F.col("epoch").cast("string"),
+            )
+        ).alias("skey"),
+    )
+    combined = keyed.select(
+        "epoch",
+        "window_id",
+        "skey",
+        (
+            F.col("epoch").cast("bigint") * F.lit(1 << 33) + F.col("skey")
+        ).alias("ek"),
+    )
+    ranked = distributed_prefix_rank(
+        combined, ["ek", "window_id"], rank_col="grank"
+    )
+    # exclusive per-epoch offsets: one bounded aggregate (<= N_EPOCHS
+    # rows), broadcast back — no second corpus pass
+    offs = (
+        ranked.groupBy("epoch")
+        .agg(F.min("grank").alias("first_rank"))
+        .select("epoch", (F.col("first_rank") - 1).alias("off"))
+    )
+    return (
+        ranked.join(F.broadcast(offs), "epoch")
+        .select(
+            "epoch",
+            "window_id",
+            (F.col("grank") - F.col("off")).cast("bigint").alias("load_order"),
+        )
+    )
