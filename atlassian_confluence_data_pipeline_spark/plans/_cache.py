@@ -90,6 +90,46 @@ def _disk_dir(sf_dir: str, name: str) -> Path:
     return _chain_cache_root() / f"{base}-{_fixture_fingerprint(sf_dir)}" / name
 
 
+#: leftovers younger than this are presumed to belong to a live
+#: concurrent session and are never reaped (the state.py grace-period
+#: lesson: unconditional reaping can delete an in-flight write)
+_REAP_GRACE_SECONDS = 3600.0
+
+
+def _reap_stale(entry_dir: Path) -> None:
+    """Best-effort crash hygiene, age-gated: drop (a) `.tmp-*` staging
+    dirs from crashed writes inside this fingerprint's dir, and (b)
+    whole sibling `{sfname}-*` fingerprint dirs orphaned by a fixture
+    regeneration or a _CHAIN_VERSION bump — both otherwise accumulate
+    forever on long-lived hosts."""
+    import time
+
+    now = time.time()
+
+    def old(p: Path) -> bool:
+        try:
+            return now - p.stat().st_mtime > _REAP_GRACE_SECONDS
+        except OSError:
+            return False
+
+    try:
+        for p in entry_dir.parent.iterdir():
+            if p.name.startswith(".tmp-") and old(p):
+                shutil.rmtree(p, ignore_errors=True)
+        root = entry_dir.parent.parent
+        sfname = entry_dir.parent.name.rsplit("-", 1)[0]
+        for p in root.iterdir():
+            if (
+                p.is_dir()
+                and p != entry_dir.parent
+                and p.name.rsplit("-", 1)[0] == sfname
+                and old(p)
+            ):
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+
+
 def _persist_stage(df: DataFrame, target: Path) -> DataFrame | None:
     """Best-effort atomic parquet persist of a built stage; returns the
     re-read frame on success, None on any failure (read-only disk, race
@@ -104,6 +144,7 @@ def _persist_stage(df: DataFrame, target: Path) -> DataFrame | None:
         except OSError:
             # a concurrent session committed first — use its copy
             shutil.rmtree(tmp, ignore_errors=True)
+        _reap_stale(target)
         spark = df.sparkSession
         return spark.read.parquet(str(target))
     except Exception:
