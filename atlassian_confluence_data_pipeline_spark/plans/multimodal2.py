@@ -143,3 +143,93 @@ def image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(
         fp, "doc_id", max_hamming=DHASH_MAX_HAMMING, chunks=DHASH_CHUNKS
     )
+
+
+def _fidelity_oracle() -> str:
+    """All banded candidates (no Hamming threshold) joined to the
+    symbolic 768-cell rasters; per-Hamming exact pixel-L1 totals."""
+    base = (
+        "(gg % 97) * x * x + ((gg * 3) % 89) * y * y"
+        " + ((gg * 7) % 83) * x * y + gg"
+        " + 128 * (CASE WHEN y >= 4 * vv AND y < 4 * vv + 4"
+        " THEN 1 ELSE 0 END)"
+    )
+    width = 64 // DHASH_CHUNKS
+    mask = (1 << width) - 1
+    chunk_eq = " OR ".join(
+        f"((a.dhash >> {i * width}) & {mask}) = ((b.dhash >> {i * width}) & {mask})"
+        for i in range(DHASH_CHUNKS)
+    )
+    return f"""
+WITH {_dhash_fp_cte()}, px AS (
+  SELECT doc_id,
+         flatten(flatten(list_transform(range(0, 16), y ->
+           list_transform(range(0, 16), x ->
+             list_transform(range(0, 3), c -> ({base} + 101 * c) % 256)))))
+           AS px
+  FROM dims
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.dhash, b.dhash)) AS hamming
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND ({chunk_eq})
+), l1t AS (
+  SELECT c.hamming,
+         list_sum(list_transform(range(1, 769),
+           i -> abs(pa.px[i] - pb.px[i]))) AS l1
+  FROM cand c
+  JOIN px pa ON pa.doc_id = c.id_a
+  JOIN px pb ON pb.doc_id = c.id_b
+)
+SELECT CAST(hamming AS INT) AS hamming,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(l1) AS BIGINT) AS total_l1
+FROM l1t GROUP BY 1
+"""
+
+
+@query(
+    "dhash_hamming_fidelity",
+    oracle=_fidelity_oracle(),
+    tags=("multimodal", "image", "dedup", "calibration"),
+)
+def dhash_hamming_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash FIDELITY calibration — the image analogue of
+    minhash_estimate_calibration: for every banded candidate pair (NO
+    Hamming threshold, so the full curve is visible), the exact
+    raster-L1 distance is folded JVM-side and rolled up per Hamming
+    distance. Monotone total_l1/n_pairs growth across hamming buckets
+    is the evidence that the 64-bit fingerprint orders pairs the way
+    true pixel distance does — the property the dedup threshold relies
+    on. Scale shape: candidates are the banded equi-join (~2x corpus);
+    the L1 is one zip_with/aggregate fold per candidate, rasters join
+    by id (decoded once, never all-pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    att = textured_image_attachments_from_documents(docs)
+    fp = dhash_images(att).select(
+        F.col("owner_id").alias("doc_id"), F.col("dhash").alias("simhash")
+    )
+    cand = simhash_near_pairs(fp, "doc_id", max_hamming=63, chunks=DHASH_CHUNKS)
+    from atlassian_confluence_data_pipeline_spark.sources.binary import (
+        decode_image,
+    )
+
+    px = decode_image(att).select(
+        F.col("owner_id").alias("doc_id"), F.col("pixels").alias("px")
+    )
+    pa = px.select(F.col("doc_id").alias("id_a"), F.col("px").alias("pa"))
+    pb = px.select(F.col("doc_id").alias("id_b"), F.col("px").alias("pb"))
+    l1 = F.aggregate(
+        F.zip_with("pa", "pb", lambda a, b: F.abs(a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select("hamming", l1.alias("l1"))
+        .groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("l1").cast("bigint").alias("total_l1"),
+        )
+    )
