@@ -204,7 +204,11 @@ def dhash_hamming_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the L1 is one zip_with/aggregate fold per candidate, rasters join
     by id (decoded once, never all-pairs)."""
     docs = load_table(spark, sf_dir, "documents")
-    att = textured_image_attachments_from_documents(docs)
+    # one fixture build for both consumers (the dHash pass and the
+    # pixel decode) instead of re-encoding the corpus per branch
+    att = textured_image_attachments_from_documents(docs).localCheckpoint(
+        eager=True
+    )
     fp = dhash_images(att).select(
         F.col("owner_id").alias("doc_id"), F.col("dhash").alias("simhash")
     )

@@ -134,9 +134,14 @@ def video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     none. The oracle reproduces split, decode, resample, pack, join,
     and threshold bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
-    fp = dhash_video_frames(
-        textured_video_attachments_from_documents(docs)
-    ).select(F.col("owner_id").alias("doc_id"), "frame_index", "fh")
+    # materialize: the self-join below would otherwise run the encode +
+    # split + decode + dHash Python stage once PER SIDE (the
+    # simhash_near_pairs idiom; measured 6.5 -> ~3 s at sf0.1)
+    fp = (
+        dhash_video_frames(textured_video_attachments_from_documents(docs))
+        .select(F.col("owner_id").alias("doc_id"), "frame_index", "fh")
+        .localCheckpoint(eager=True)
+    )
     a = fp.select(
         F.col("doc_id").alias("id_a"),
         F.col("frame_index").alias("fi"),
