@@ -186,3 +186,82 @@ def audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(
         fp, "doc_id", max_hamming=AFP_MAX_HAMMING, chunks=AFP_CHUNKS
     )
+
+
+def _afp_fidelity_oracle() -> str:
+    """All banded candidates (no Hamming threshold) joined to the
+    symbolic window-energy envelopes; per-Hamming exact envelope-L1
+    totals."""
+    width = 64 // AFP_CHUNKS
+    mask = (1 << width) - 1
+    chunk_eq = " OR ".join(
+        f"((a.afp >> {i * width}) & {mask}) = ((b.afp >> {i * width}) & {mask})"
+        for i in range(AFP_CHUNKS)
+    )
+    return f"""
+WITH {_afp_cte()}, cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.afp, b.afp)) AS hamming
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND ({chunk_eq})
+), l1t AS (
+  SELECT c.hamming,
+         list_sum(list_transform(range(1, {FP_WINDOWS + 1}),
+           i -> abs(ea.e_arr[i] - eb.e_arr[i]))) AS l1
+  FROM cand c
+  JOIN earr ea ON ea.doc_id = c.id_a
+  JOIN earr eb ON eb.doc_id = c.id_b
+)
+SELECT CAST(hamming AS INT) AS hamming,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(l1) AS BIGINT) AS total_l1
+FROM l1t GROUP BY 1
+"""
+
+
+@query(
+    "afp_hamming_fidelity",
+    oracle=_afp_fidelity_oracle(),
+    tags=("multimodal", "audio", "dedup", "calibration"),
+)
+def afp_hamming_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-fingerprint FIDELITY calibration — the audio leg of
+    dhash_hamming_fidelity: per banded candidate pair (NO threshold),
+    the exact window-energy-envelope L1 distance folded JVM-side and
+    rolled up per Hamming distance. Monotone growth is the evidence
+    the 64 adjacent-compare bits order tracks the way the true
+    envelope distance does. Candidates are the banded equi-join;
+    envelopes join by id, decoded once."""
+    from atlassian_confluence_data_pipeline_spark.operators.lsh import (
+        simhash_near_pairs,
+    )
+    from atlassian_confluence_data_pipeline_spark.sources.binary import (
+        audio_window_energies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # one fixture build for both consumers (fingerprints + envelopes)
+    att = audio_attachments_from_documents(docs).localCheckpoint(eager=True)
+    fp = fingerprint_audio(att).select(
+        F.col("owner_id").alias("doc_id"), F.col("afp").alias("simhash")
+    )
+    cand = simhash_near_pairs(fp, "doc_id", max_hamming=63, chunks=AFP_CHUNKS)
+    env = audio_window_energies(att).select(
+        F.col("owner_id").alias("doc_id"), "env"
+    )
+    ea = env.select(F.col("doc_id").alias("id_a"), F.col("env").alias("ea"))
+    eb = env.select(F.col("doc_id").alias("id_b"), F.col("env").alias("eb"))
+    l1 = F.aggregate(
+        F.zip_with("ea", "eb", lambda a, b: F.abs(a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("hamming", l1.alias("l1"))
+        .groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("l1").cast("bigint").alias("total_l1"),
+        )
+    )

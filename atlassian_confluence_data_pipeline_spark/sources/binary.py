@@ -654,3 +654,49 @@ def dhash_video_frames(videos: DataFrame) -> DataFrame:
             "fh bigint, err string"
         ),
     )
+
+
+def audio_window_energies(attachments: DataFrame) -> DataFrame:
+    """Per-track 65-window exact energy envelopes (the arrays the
+    fingerprint's adjacent-compare bits are derived from), decoded and
+    folded in ONE mapInPandas pass — the calibration-side companion of
+    fingerprint_audio (65 bigints per track cross the shuffle)."""
+    import numpy as np
+
+    from atlassian_confluence_data_pipeline_spark.functions.audio import (
+        FP_WINDOWS,
+        decode_wav,
+    )
+    from atlassian_confluence_data_pipeline_spark.pyfiles import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers()
+
+    def _env(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for owner, name, content in zip(
+                pdf["owner_id"], pdf["filename"], pdf["content"]
+            ):
+                try:
+                    _, s = decode_wav(bytes(content))
+                    n = int(s.size)
+                    if n < FP_WINDOWS:
+                        raise ValueError("too short for the window fold")
+                    dev = s.astype(np.int64) - 128
+                    sq = dev * dev
+                    ww = (np.arange(n, dtype=np.int64) * FP_WINDOWS) // n
+                    e = np.zeros(FP_WINDOWS, dtype=np.int64)
+                    np.add.at(e, ww, sq)
+                    rows.append((owner, name, e.tolist(), None))
+                except ValueError as exc:
+                    rows.append((owner, name, None, str(exc)))
+            yield pd.DataFrame(
+                rows, columns=["owner_id", "filename", "env", "err"]
+            )
+
+    return attachments.select("owner_id", "filename", "content").mapInPandas(
+        _env,
+        schema="owner_id bigint, filename string, env array<bigint>, err string",
+    )
