@@ -229,9 +229,16 @@ def dhash_images(attachments: DataFrame) -> DataFrame:
                     )
                 except ValueError as exc:
                     rows.append((owner, name, None, str(exc)))
-            yield pd.DataFrame(
-                rows, columns=["owner_id", "filename", "dhash", "err"]
+            out = pd.DataFrame(
+                rows, columns=["owner_id", "filename", "dhash", "err"],
+                dtype=object,
             )
+            # object-dtype construction + nullable Int64: letting
+            # pd.DataFrame infer float64 on a mixed batch (some
+            # undecodable rows) rounds 64-bit hashes through a 53-bit
+            # mantissa AT CONSTRUCTION and silently corrupts them
+            out["dhash"] = pd.array(out["dhash"], dtype="Int64")
+            yield out
 
     return attachments.select("owner_id", "filename", "content").mapInPandas(
         _dhash, schema="owner_id bigint, filename string, dhash bigint, err string"
@@ -505,7 +512,7 @@ def extract_audio_features(attachments: DataFrame) -> DataFrame:
                     rows.append(
                         (owner, name, None, None, None, None, None, str(exc))
                     )
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 rows,
                 columns=[
                     "owner_id",
@@ -517,7 +524,11 @@ def extract_audio_features(attachments: DataFrame) -> DataFrame:
                     "n_loud",
                     "err",
                 ],
+                dtype=object,
             )
+            for c in ("sample_rate", "n_samples", "peak_dev", "energy", "n_loud"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
 
     return attachments.select("owner_id", "filename", "content").mapInPandas(
         _features, schema=AUDIO_FEATURES_SCHEMA
@@ -551,9 +562,14 @@ def fingerprint_audio(attachments: DataFrame) -> DataFrame:
                     rows.append((owner, name, energy_fingerprint64(samples), None))
                 except ValueError as exc:
                     rows.append((owner, name, None, str(exc)))
-            yield pd.DataFrame(
-                rows, columns=["owner_id", "filename", "afp", "err"]
+            out = pd.DataFrame(
+                rows, columns=["owner_id", "filename", "afp", "err"],
+                dtype=object,
             )
+            # nullable Int64 — see dhash_images: float64 inference on
+            # mixed batches corrupts 64-bit fingerprints
+            out["afp"] = pd.array(out["afp"], dtype="Int64")
+            yield out
 
     return attachments.select("owner_id", "filename", "content").mapInPandas(
         _fp, schema="owner_id bigint, filename string, afp bigint, err string"
@@ -642,10 +658,16 @@ def dhash_video_frames(videos: DataFrame) -> DataFrame:
                         )
                     except ValueError as exc:
                         rows.append((owner, name, idx, None, str(exc)))
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 rows,
                 columns=["owner_id", "filename", "frame_index", "fh", "err"],
+                dtype=object,
             )
+            # nullable Int64 — see dhash_images: float64 inference on
+            # mixed batches corrupts 64-bit frame hashes
+            out["frame_index"] = pd.array(out["frame_index"], dtype="Int64")
+            out["fh"] = pd.array(out["fh"], dtype="Int64")
+            yield out
 
     return videos.select("owner_id", "filename", "content").mapInPandas(
         _fp,

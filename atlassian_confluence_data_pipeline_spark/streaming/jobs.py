@@ -876,3 +876,82 @@ def foreach_batch_audio_dedup(
     return foreach_batch_fingerprint_dedup(
         attachments, index_store, pairs_out_dir, _fp, **kw
     )
+
+
+#: index schema for the streaming video frame-dedup state
+_FRAME_INDEX_SCHEMA = "owner_id bigint, frame_index int, fh bigint"
+
+
+def foreach_batch_video_dedup(
+    videos,
+    index_store,
+    pairs_out_dir: str,
+    min_shared: int | None = None,
+    compact_every: int | None = None,
+):  # noqa: ANN001 - DataStreamWriter return hint kept lazy like peers
+    """Cross-batch streaming VIDEO near-dup detection — the online form
+    of video_near_dup_pairs (the content-ID shape): each micro-batch of
+    (owner_id, filename, content) concatenated-BMP videos
+
+    1. is split + decoded + per-frame dHashed (the exact batch
+       operator; undecodable rows carry NULL and are skipped);
+    2. probes the PERSISTED frame index with an exact equi-join on
+       (frame hash, frame position) — since all frames of a video
+       arrive in its own batch, every (new, seen) video pair completes
+       within one probe — and appends pairs meeting the shared-frame
+       threshold to ``pairs_out_dir``;
+    3. writes its own frame rows as ONE AppendIndexStore batch
+       partition — O(batch) state I/O per trigger.
+
+    Scale notes: the index carries one row per frame; the probe is an
+    exact hash-bucket join, never all-pairs of videos. Replayed batches
+    overwrite their partition with identical rows (idempotent); pair
+    emission is at-least-once (dedup-on-read by (id_a, id_b))."""
+    from pyspark.sql import functions as F
+
+    from atlassian_confluence_data_pipeline_spark.plans.multimodal4 import (
+        MIN_SHARED_FRAMES,
+    )
+    from atlassian_confluence_data_pipeline_spark.sources.binary import (
+        dhash_video_frames,
+    )
+
+    threshold = MIN_SHARED_FRAMES if min_shared is None else min_shared
+
+    def dedup_batch(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bf = (
+            dhash_video_frames(batch_df)
+            .filter(F.col("fh").isNotNull())
+            .select("owner_id", "frame_index", "fh")
+            .localCheckpoint(eager=True)
+        )
+        prior = index_store.read(spark, _FRAME_INDEX_SCHEMA)
+        universe = prior.unionByName(bf)
+        pairs = (
+            bf.select(
+                F.col("owner_id").alias("id_x"), "frame_index", "fh"
+            )
+            .join(
+                universe.select(
+                    F.col("owner_id").alias("id_y"), "frame_index", "fh"
+                ),
+                ["fh", "frame_index"],
+            )
+            .filter(F.col("id_x") != F.col("id_y"))
+            .select(
+                F.least("id_x", "id_y").alias("id_a"),
+                F.greatest("id_x", "id_y").alias("id_b"),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
+            .filter(F.col("n_shared") >= threshold)
+        )
+        pairs.write.mode("append").parquet(pairs_out_dir)
+        index_store.write_batch(bf, batch_id)
+        if compact_every and (int(batch_id) + 1) % compact_every == 0:
+            index_store.compact(
+                spark, _FRAME_INDEX_SCHEMA, keep_recent=compact_every
+            )
+
+    return videos.writeStream.foreachBatch(dedup_batch)

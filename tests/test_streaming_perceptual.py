@@ -163,3 +163,34 @@ def test_streaming_image_dedup_replay_idempotent(spark, tmp_path):
         for r in spark.read.parquet(pairs_dir).distinct().collect()
     }
     assert pairs == {(1, 3)}
+
+
+def test_streaming_video_dedup_across_batches(spark, tmp_path):
+    """A single-frame-edited video arriving in a LATER micro-batch must
+    pair with its group's originals from an EARLIER batch via the
+    persisted frame index."""
+    from pyspark.sql import functions as F
+
+    from atlassian_confluence_data_pipeline_spark.sources.binary import (
+        textured_video_attachments_from_documents,
+    )
+    from atlassian_confluence_data_pipeline_spark.streaming.jobs import (
+        _FRAME_INDEX_SCHEMA,
+        foreach_batch_video_dedup,
+    )
+
+    def vids(ids):
+        docs = spark.createDataFrame([(d,) for d in ids], "doc_id bigint")
+        return textured_video_attachments_from_documents(docs).collect()
+
+    b1 = [(r["owner_id"], r["filename"], bytearray(r["content"])) for r in vids([400, 401])]
+    b2 = [(r["owner_id"], r["filename"], bytearray(r["content"])) for r in vids([402])]
+    b2.append((999, "junk.cbmp", bytearray(b"definitely not bmps")))
+    pairs, store = _run_stream(
+        spark, tmp_path, foreach_batch_video_dedup, b1, b2
+    )
+    assert (400, 402) in pairs and (401, 402) in pairs  # cross-batch
+    assert all(999 not in p for p in pairs)  # undecodable skipped
+    idx = store.read(spark, _FRAME_INDEX_SCHEMA)
+    assert idx.filter("owner_id = 999").count() == 0
+    assert idx.filter("owner_id = 400").count() == 8  # one row per frame

@@ -61,3 +61,43 @@ def test_undecodable_video_payload_tolerant(spark):
     rows = dhash_video_frames(att).collect()
     assert len(rows) == 1
     assert rows[0]["fh"] is None and rows[0]["err"] is not None
+
+
+def test_mixed_batch_does_not_corrupt_hashes(spark):
+    """REGRESSION: a batch mixing undecodable rows with valid ones must
+    emit bit-identical fingerprints to a pure batch. (pd.DataFrame
+    float64 inference on int+None columns rounds 64-bit hashes through
+    a 53-bit mantissa — caught by the video exact-hash join, silently
+    weakened the image/audio Hamming joins.)"""
+    from atlassian_confluence_data_pipeline_spark.sources.binary import (
+        audio_attachments_from_documents,
+        dhash_images,
+        fingerprint_audio,
+        textured_image_attachments_from_documents,
+    )
+
+    docs = spark.range(500, 504).select(F.col("id").alias("doc_id"))
+    junk = [(999, "junk.bin", bytearray(b"not media"))]
+    for fixture, fp_fn, col in (
+        (textured_image_attachments_from_documents, dhash_images, "dhash"),
+        (audio_attachments_from_documents, fingerprint_audio, "afp"),
+        (textured_video_attachments_from_documents, dhash_video_frames, "fh"),
+    ):
+        good = [
+            (r["owner_id"], r["filename"], bytearray(r["content"]))
+            for r in fixture(docs).collect()
+        ]
+        schema = "owner_id bigint, filename string, content binary"
+        pure = spark.createDataFrame(good, schema)
+        mixed = spark.createDataFrame(good + junk, schema).coalesce(1)
+        a = sorted(
+            (r["owner_id"], r[col])
+            for r in fp_fn(pure).collect()
+            if r[col] is not None
+        )
+        b = sorted(
+            (r["owner_id"], r[col])
+            for r in fp_fn(mixed).collect()
+            if r[col] is not None and r["owner_id"] != 999
+        )
+        assert a == b, f"{col}: mixed batch corrupted fingerprints"
