@@ -942,7 +942,17 @@ def foreach_batch_video_dedup(
             .select(
                 F.least("id_x", "id_y").alias("id_a"),
                 F.greatest("id_x", "id_y").alias("id_b"),
+                "frame_index",
             )
+            # Count each (pair, frame) ONCE. The join key includes fh AND
+            # frame_index, so a given (id_a, id_b, frame_index) can match at
+            # most once legitimately; duplicates arise only from (a) a
+            # same-batch pair matching in both directions through
+            # universe = prior UNION bf, and (b) a replayed batch whose old
+            # index partition is still readable. Without this, n_shared is
+            # 2x (3x on replay) for same-batch pairs and the threshold is
+            # effectively halved.
+            .distinct()
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
             .filter(F.col("n_shared") >= threshold)

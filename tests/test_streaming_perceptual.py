@@ -194,3 +194,37 @@ def test_streaming_video_dedup_across_batches(spark, tmp_path):
     idx = store.read(spark, _FRAME_INDEX_SCHEMA)
     assert idx.filter("owner_id = 999").count() == 0
     assert idx.filter("owner_id = 400").count() == 8  # one row per frame
+
+
+def test_streaming_video_dedup_counts_same_batch_pair_once(spark, tmp_path):
+    """Regression (round-9 ADVICE): a SAME-batch video pair matches in
+    both directions through universe = prior UNION bf, so without a
+    (id_a, id_b, frame_index) distinct each shared frame counted twice
+    and n_shared was 2x — two videos sharing only 3 frames in one
+    micro-batch were wrongly emitted past MIN_SHARED_FRAMES=5. Plant a
+    3-shared same-batch pair (must NOT pair) and a 6-shared same-batch
+    pair (must pair with n_shared exactly 6)."""
+    from atlassian_confluence_data_pipeline_spark.streaming.jobs import (
+        foreach_batch_video_dedup,
+    )
+
+    def video(frame_seeds):
+        return b"".join(encode_bmp(_texture(s)) for s in frame_seeds)
+
+    # ids 10/11 share frames 0-2 (3 < threshold 5); ids 20/21 share
+    # frames 0-5 (6 >= 5). Non-shared frames use disjoint seed ranges.
+    b1 = [
+        (10, "v10.cbmp", bytearray(video([1, 2, 3, 100, 101, 102, 103, 104]))),
+        (11, "v11.cbmp", bytearray(video([1, 2, 3, 200, 201, 202, 203, 204]))),
+        (20, "v20.cbmp", bytearray(video([50, 51, 52, 53, 54, 55, 300, 301]))),
+        (21, "v21.cbmp", bytearray(video([50, 51, 52, 53, 54, 55, 400, 401]))),
+    ]
+    b2 = [(30, "v30.cbmp", bytearray(video([500, 501, 502, 503, 504, 505, 506, 507])))]
+    pairs, _ = _run_stream(
+        spark, tmp_path, foreach_batch_video_dedup, b1, b2
+    )
+    assert (10, 11) not in pairs  # 3 shared frames stays below threshold
+    assert (20, 21) in pairs
+    rows = spark.read.parquet(str(tmp_path / "pairs")).distinct().collect()
+    by_pair = {(r.id_a, r.id_b): r.n_shared for r in rows}
+    assert by_pair[(20, 21)] == 6  # counted once per shared frame
