@@ -47,31 +47,81 @@ from pyspark.sql import DataFrame, SparkSession
 
 _PAIR_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
-# Bump when ANY builder routed through shared_pair_table changes its
-# semantics — the version is folded into the fixture fingerprint, so a
-# bump orphans every persisted stage and forces clean rebuilds.
-_CHAIN_VERSION = "v1"
+# Manual escape hatch on top of the automatic code fingerprint below —
+# bump only for semantic changes that live OUTSIDE the _CODE_DEP
+# modules (e.g. a constants module reshuffle).
+_CHAIN_VERSION = "v2"
 
-_FP_CACHE: dict[str, str] = {}
+#: modules whose source defines the SEMANTICS of every chain routed
+#: through shared_pair_table. Their bytes are hashed into the fixture
+#: fingerprint, so editing a builder or one of its helpers orphans the
+#: persisted stages automatically (round-9 ADVICE: _CHAIN_VERSION was
+#: correctness-by-discipline). Over-invalidation is safe (a rebuild);
+#: under-invalidation is the bug — keep this list generous.
+_CODE_DEPS = (
+    "_cache.py",
+    "../operators/lsh.py",
+    "../operators/similarity.py",
+    "../functions/text.py",
+    "../functions/imaging.py",
+    "../functions/audio.py",
+    "../sources/binary.py",
+    "textops.py",
+    "multimodal.py",
+    "multimodal2.py",
+    "multimodal3.py",
+    "multimodal4.py",
+)
+
+_CODE_FP_CACHE: list[str] = []
+
+_FP_CACHE: dict[tuple[str, int], str] = {}
+
+
+def _code_fingerprint() -> str:
+    """sha256 over the source bytes of every _CODE_DEPS module (plus
+    ``_CHAIN_VERSION``), memoized per-process — source files don't
+    change under a running interpreter we'd trust anyway."""
+    if _CODE_FP_CACHE:
+        return _CODE_FP_CACHE[0]
+    h = hashlib.sha256(_CHAIN_VERSION.encode())
+    here = Path(__file__).resolve().parent
+    for rel in _CODE_DEPS:
+        p = (here / rel).resolve()
+        try:
+            h.update(p.read_bytes())
+        except OSError:
+            h.update(f"missing:{rel}".encode())
+    digest = h.hexdigest()[:12]
+    _CODE_FP_CACHE.append(digest)
+    return digest
 
 
 def _fixture_fingerprint(sf_dir: str) -> str:
     """sha256 over (relative name, size, mtime_ns) of every parquet
-    file under ``sf_dir`` plus ``_CHAIN_VERSION``. Any regenerated or
-    edited fixture changes the digest; memoized per-process (the stat
-    sweep is cheap but every consumer calls through here)."""
-    cached = _FP_CACHE.get(sf_dir)
+    file under ``sf_dir`` plus the chain CODE fingerprint. Any
+    regenerated/edited fixture or edited builder module changes the
+    digest. Memoized per-process keyed by (sf_dir, root mtime_ns) — the
+    coarse freshness probe means an in-process fixture regeneration
+    (which recreates files under the root) falls out of the memo
+    instead of serving the stale digest (round-9 ADVICE)."""
+    root = Path(sf_dir)
+    try:
+        root_mtime = root.stat().st_mtime_ns
+    except OSError:
+        root_mtime = -1
+    memo_key = (sf_dir, root_mtime)
+    cached = _FP_CACHE.get(memo_key)
     if cached is not None:
         return cached
-    h = hashlib.sha256(_CHAIN_VERSION.encode())
-    root = Path(sf_dir)
+    h = hashlib.sha256(_code_fingerprint().encode())
     for p in sorted(root.rglob("*.parquet")):
         st = p.stat()
         h.update(
             f"{p.relative_to(root)}|{st.st_size}|{st.st_mtime_ns}\n".encode()
         )
     digest = h.hexdigest()[:16]
-    _FP_CACHE[sf_dir] = digest
+    _FP_CACHE[memo_key] = digest
     return digest
 
 
@@ -85,9 +135,22 @@ def _chain_cache_root() -> Path:
     )
 
 
+def _path_key(sf_dir: str) -> str:
+    """Short digest of the ABSOLUTE sf_dir path — the reap/eviction
+    identity. Two fixture roots that happen to share a basename (two
+    checkouts both holding an 'sf0.1') get disjoint keys, so neither
+    can ever reap the other's warm cache (round-9 ADVICE)."""
+    resolved = str(Path(sf_dir).resolve())
+    return hashlib.sha256(resolved.encode()).hexdigest()[:8]
+
+
 def _disk_dir(sf_dir: str, name: str) -> Path:
     base = Path(sf_dir).name or "root"
-    return _chain_cache_root() / f"{base}-{_fixture_fingerprint(sf_dir)}" / name
+    return (
+        _chain_cache_root()
+        / f"{base}-{_path_key(sf_dir)}-{_fixture_fingerprint(sf_dir)}"
+        / name
+    )
 
 
 #: leftovers younger than this are presumed to belong to a live
@@ -99,9 +162,19 @@ _REAP_GRACE_SECONDS = 3600.0
 def _reap_stale(entry_dir: Path) -> None:
     """Best-effort crash hygiene, age-gated: drop (a) `.tmp-*` staging
     dirs from crashed writes inside this fingerprint's dir, and (b)
-    whole sibling `{sfname}-*` fingerprint dirs orphaned by a fixture
-    regeneration or a _CHAIN_VERSION bump — both otherwise accumulate
-    forever on long-lived hosts."""
+    sibling fingerprint dirs for the SAME sf_dir identity orphaned by a
+    fixture regeneration or a builder-code change — both otherwise
+    accumulate forever on long-lived hosts.
+
+    Siblings are matched on the full `{base}-{pathkey}-` prefix (the
+    hash of the absolute sf_dir path), never on basename alone: a
+    different fixture root that shares the basename is a different
+    identity and is left untouched (round-9 ADVICE — basename matching
+    let two same-named roots perpetually evict each other, and could
+    rmtree a dir another live session was reading). Reads touch the
+    fingerprint dir's mtime (see shared_pair_table), so an actively
+    read same-identity dir — e.g. a long-lived session still on the
+    pre-regeneration fingerprint — stays inside the grace window."""
     import time
 
     now = time.time()
@@ -116,16 +189,31 @@ def _reap_stale(entry_dir: Path) -> None:
         for p in entry_dir.parent.iterdir():
             if p.name.startswith(".tmp-") and old(p):
                 shutil.rmtree(p, ignore_errors=True)
+        import re
+
         root = entry_dir.parent.parent
-        sfname = entry_dir.parent.name.rsplit("-", 1)[0]
+        prefix = entry_dir.parent.name.rsplit("-", 1)[0] + "-"
+        # pre-round-9 dirs lack the 8-hex path key — nothing writes that
+        # format anymore, so age them out regardless of identity
+        legacy = re.compile(r"-[0-9a-f]{16}$")
+        current = re.compile(r"-[0-9a-f]{8}-[0-9a-f]{16}$")
         for p in root.iterdir():
-            if (
-                p.is_dir()
-                and p != entry_dir.parent
-                and p.name.rsplit("-", 1)[0] == sfname
-                and old(p)
+            if not (p.is_dir() and p != entry_dir.parent and old(p)):
+                continue
+            if p.name.startswith(prefix) or (
+                legacy.search(p.name) and not current.search(p.name)
             ):
                 shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+
+
+def _touch(p: Path) -> None:
+    """Advance a cache dir's mtime on READ — directory mtimes don't
+    move on reads by themselves, and the reaper's grace window keys on
+    mtime, so in-use entries must be refreshed explicitly."""
+    try:
+        os.utime(p)
     except OSError:
         pass
 
@@ -172,6 +260,7 @@ def shared_pair_table(
     disk = _disk_dir(sf_dir, name) if use_disk else None
     if disk is not None and (disk / "_SUCCESS").exists():
         df = spark.read.parquet(str(disk))
+        _touch(disk.parent)  # keep the in-use dir inside the reap grace
     else:
         df = builder(spark, sf_dir).localCheckpoint(eager=True)
         if disk is not None:

@@ -121,3 +121,98 @@ def test_reap_is_age_gated(spark, tmp_path, monkeypatch):
     assert fresh_tmp.exists()  # in-flight write untouched (grace)
     assert not old_sib.exists()  # rotated fingerprint reaped
     assert fresh_sib.exists()  # fresh sibling untouched (grace)
+
+
+def test_same_basename_roots_are_disjoint_identities(
+    spark, tmp_path, monkeypatch
+):
+    """Round-9 ADVICE (medium): two fixture roots that share a BASENAME
+    (two checkouts both holding an 'sf0.1') must key disjoint cache
+    dirs, and reaping triggered from one must never delete the other's
+    old-but-live entry."""
+    monkeypatch.setattr(_cache, "_chain_cache_root", lambda: tmp_path / "cc")
+    a_root = tmp_path / "fixA"
+    b_root = tmp_path / "fixB"
+    for r in (a_root, b_root):
+        (r / "sf0.1").mkdir(parents=True)
+    sf_a, sf_b = str(a_root / "sf0.1"), str(b_root / "sf0.1")
+    spark.range(5).select(F.col("id").alias("doc_id")).write.parquet(
+        f"{sf_a}/documents.parquet"
+    )
+    spark.range(7).select(F.col("id").alias("doc_id")).write.parquet(
+        f"{sf_b}/documents.parquet"
+    )
+    dir_a = _cache._disk_dir(sf_a, "t")
+    dir_b = _cache._disk_dir(sf_b, "t")
+    assert dir_a.parent != dir_b.parent
+    assert dir_a.parent.name.split("-")[0] == dir_b.parent.name.split("-")[0]
+
+    def builder(s, d):
+        return s.read.parquet(f"{d}/documents.parquet").select("doc_id")
+
+    # build B's cache, then age it past the grace window
+    _cache.shared_pair_table(spark, sf_b, "t", builder).collect()
+    past = time.time() - 7200
+    os.utime(dir_b.parent, (past, past))
+    # building A's cache runs the reaper from A's identity
+    _cache.shared_pair_table(spark, sf_a, "t", builder).collect()
+    assert (dir_b / "_SUCCESS").exists()  # B's old warm cache survived
+    # but an old orphan of A's OWN identity is reaped
+    own_orphan = dir_a.parent.parent / (
+        dir_a.parent.name.rsplit("-", 1)[0] + "-aaaaaaaaaaaaaaaa"
+    )
+    own_orphan.mkdir()
+    os.utime(own_orphan, (past, past))
+    _fresh_session_state()
+    _cache.shared_pair_table(spark, sf_a, "t2", builder).collect()
+    assert not own_orphan.exists()
+
+
+def test_disk_read_touches_mtime(spark, tmp_path, monkeypatch):
+    """Warm reads must refresh the fingerprint dir's mtime so an
+    actively-read entry stays inside the reap grace window (directory
+    mtimes don't advance on reads by themselves)."""
+    monkeypatch.setattr(_cache, "_chain_cache_root", lambda: tmp_path / "cc")
+    sf = _mk_sf_dir(spark, tmp_path)
+
+    def builder(s, d):
+        return s.read.parquet(f"{d}/documents.parquet").select("doc_id")
+
+    _cache.shared_pair_table(spark, sf, "t", builder).collect()
+    fp_dir = _cache._disk_dir(sf, "t").parent
+    past = time.time() - 7200
+    os.utime(fp_dir, (past, past))
+    _fresh_session_state()
+    _cache.shared_pair_table(spark, sf, "t", builder)  # disk warm read
+    assert time.time() - fp_dir.stat().st_mtime < 60
+
+
+def test_code_fingerprint_rotates_on_dep_change(tmp_path, monkeypatch):
+    """Round-9 ADVICE (low): the fixture fingerprint folds a hash of the
+    chain-semantics modules' source, so editing a builder dep orphans
+    persisted stages without a manual _CHAIN_VERSION bump."""
+    dep = tmp_path / "dep.py"
+    dep.write_text("SEMANTICS = 1\n")
+    monkeypatch.setattr(_cache, "_CODE_DEPS", (str(dep),))
+    monkeypatch.setattr(_cache, "_CODE_FP_CACHE", [])
+    first = _cache._code_fingerprint()
+    monkeypatch.setattr(_cache, "_CODE_FP_CACHE", [])
+    assert _cache._code_fingerprint() == first  # stable when unchanged
+    dep.write_text("SEMANTICS = 2\n")
+    monkeypatch.setattr(_cache, "_CODE_FP_CACHE", [])
+    assert _cache._code_fingerprint() != first
+
+
+def test_fingerprint_memo_has_freshness_probe(spark, tmp_path):
+    """Round-9 ADVICE (low): regenerating fixtures while the process is
+    alive must rotate the fingerprint WITHOUT a manual memo clear — the
+    memo key carries the sf_dir root mtime as a coarse freshness
+    probe."""
+    sf = _mk_sf_dir(spark, tmp_path)
+    fp1 = _cache._fixture_fingerprint(sf)
+    assert _cache._fixture_fingerprint(sf) == fp1  # memo hit, stable
+    time.sleep(0.05)
+    spark.range(3).select(F.col("id").alias("doc_id")).write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/documents.parquet")
+    assert _cache._fixture_fingerprint(sf) != fp1  # no stale memo served
