@@ -499,3 +499,121 @@ def srp_candidate_cosines(
     return shared_pair_table(
         spark, sf_dir, f"srp_cosines_h{max_hamming}c{chunks}", _build
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual fingerprint stages (round-9 VERDICT item 1): the video /
+# image / audio chains each re-paid a ~1-3.5 s encode + decode +
+# fingerprint mapInPandas pass per cold session — the entire top of the
+# round-8 bench profile. Persist the narrow per-modality fingerprint
+# tables under the fingerprint-keyed disk cache; codec-constant changes
+# rotate the key via the _CODE_DEPS code fingerprint (imaging.py,
+# audio.py, binary.py, multimodal*.py are all hashed in).
+# ---------------------------------------------------------------------------
+
+
+def image_dhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared ``(doc_id, dhash)`` perceptual-hash frame over the
+    textured image fixtures — the stage image_dhash_fingerprints,
+    image_near_dup_pairs, dhash_hamming_fidelity and
+    perceptual_modality_agreement each rebuilt per session (encode +
+    decode + 9x8 resample + 64-bit pack, one mapInPandas pass)."""
+    from atlassian_confluence_data_pipeline_spark.catalog import load_table
+    from atlassian_confluence_data_pipeline_spark.sources.binary import (
+        dhash_images,
+        textured_image_attachments_from_documents,
+    )
+    from pyspark.sql import functions as F
+
+    def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        fp = dhash_images(textured_image_attachments_from_documents(docs))
+        return fp.select(F.col("owner_id").alias("doc_id"), "dhash")
+
+    return shared_pair_table(spark, sf_dir, "perc_image_dhash", _build)
+
+
+def image_pixel_rasters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared ``(doc_id, px)`` decoded-raster frame (768 ints per image)
+    — the exact-L1 verify side of dhash_hamming_fidelity. Wider than
+    the fingerprint frames but still ~6 KB/row; cached under its own
+    key so fingerprint-only sessions never pin it."""
+    from atlassian_confluence_data_pipeline_spark.catalog import load_table
+    from atlassian_confluence_data_pipeline_spark.sources.binary import (
+        decode_image,
+        textured_image_attachments_from_documents,
+    )
+    from pyspark.sql import functions as F
+
+    def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        att = textured_image_attachments_from_documents(docs)
+        return decode_image(att).select(
+            F.col("owner_id").alias("doc_id"), F.col("pixels").alias("px")
+        )
+
+    return shared_pair_table(spark, sf_dir, "perc_image_pixels", _build)
+
+
+def audio_fp64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared ``(doc_id, afp)`` energy-envelope fingerprint frame over
+    the WAV fixtures — consumed by audio_fingerprints,
+    audio_near_dup_pairs, afp_hamming_fidelity and
+    perceptual_modality_agreement."""
+    from atlassian_confluence_data_pipeline_spark.catalog import load_table
+    from atlassian_confluence_data_pipeline_spark.sources.binary import (
+        audio_attachments_from_documents,
+        fingerprint_audio,
+    )
+    from pyspark.sql import functions as F
+
+    def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        fp = fingerprint_audio(audio_attachments_from_documents(docs))
+        return fp.select(F.col("owner_id").alias("doc_id"), "afp")
+
+    return shared_pair_table(spark, sf_dir, "perc_audio_fp", _build)
+
+
+def audio_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared ``(doc_id, env)`` window-energy envelope frame (65
+    bigints per track) — the exact-L1 verify side of
+    afp_hamming_fidelity, under its own key like the image rasters."""
+    from atlassian_confluence_data_pipeline_spark.catalog import load_table
+    from atlassian_confluence_data_pipeline_spark.sources.binary import (
+        audio_attachments_from_documents,
+        audio_window_energies,
+    )
+    from pyspark.sql import functions as F
+
+    def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        att = audio_attachments_from_documents(docs)
+        return audio_window_energies(att).select(
+            F.col("owner_id").alias("doc_id"), "env"
+        )
+
+    return shared_pair_table(spark, sf_dir, "perc_audio_env", _build)
+
+
+def video_frame_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared ``(doc_id, frame_index, fh)`` per-frame dHash frame over
+    the concatenated-BMP video fixtures — the single most expensive
+    cold stage in the round-8 bench (video_near_dup_pairs 3.50 s +
+    video_frame_fingerprints 3.33 s, each re-running the container
+    split + per-frame decode + dHash pass)."""
+    from atlassian_confluence_data_pipeline_spark.catalog import load_table
+    from atlassian_confluence_data_pipeline_spark.sources.binary import (
+        dhash_video_frames,
+        textured_video_attachments_from_documents,
+    )
+    from pyspark.sql import functions as F
+
+    def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        fp = dhash_video_frames(textured_video_attachments_from_documents(docs))
+        return fp.select(
+            F.col("owner_id").alias("doc_id"), "frame_index", "fh"
+        )
+
+    return shared_pair_table(spark, sf_dir, "perc_video_frames", _build)

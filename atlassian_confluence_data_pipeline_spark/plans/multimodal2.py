@@ -23,13 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from atlassian_confluence_data_pipeline_spark.catalog import load_table
 from atlassian_confluence_data_pipeline_spark.operators.lsh import simhash_near_pairs
 from atlassian_confluence_data_pipeline_spark.plans.registry import query
-from atlassian_confluence_data_pipeline_spark.sources.binary import (
-    dhash_images,
-    textured_image_attachments_from_documents,
-)
 
 #: Hamming radius for "near-duplicate image". The planted within-group
 #: edits in the textured fixtures measure ~12-17 bits apart; 16 keeps
@@ -114,10 +109,14 @@ def image_dhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-numpy decoders decode them back, dhash64 resamples to 9x8 and
     packs 64 adjacent-gray-compare bits — and the value must equal what
     DuckDB derives symbolically from the doc_id arithmetic. One
-    mapInPandas pass; the raster never leaves the Arrow batch."""
-    docs = load_table(spark, sf_dir, "documents")
-    fp = dhash_images(textured_image_attachments_from_documents(docs))
-    return fp.select(F.col("owner_id").alias("doc_id"), "dhash")
+    mapInPandas pass; the raster never leaves the Arrow batch. Since
+    round 9 the pass is the session+disk-shared ``_cache.py`` stage
+    (warm sessions read the persisted fingerprint table)."""
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        image_dhash_fp,
+    )
+
+    return image_dhash_fp(spark, sf_dir)
 
 
 @query(
@@ -135,10 +134,12 @@ def image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB shape is the banded equi-join, never all-pairs. The
     oracle reproduces fixtures, resample, gray fold, bit pack, chunk
     join, and threshold bit-for-bit."""
-    docs = load_table(spark, sf_dir, "documents")
-    fp = (
-        dhash_images(textured_image_attachments_from_documents(docs))
-        .select(F.col("owner_id").alias("doc_id"), F.col("dhash").alias("simhash"))
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        image_dhash_fp,
+    )
+
+    fp = image_dhash_fp(spark, sf_dir).select(
+        "doc_id", F.col("dhash").alias("simhash")
     )
     return simhash_near_pairs(
         fp, "doc_id", max_hamming=DHASH_MAX_HAMMING, chunks=DHASH_CHUNKS
@@ -203,23 +204,20 @@ def dhash_hamming_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     on. Scale shape: candidates are the banded equi-join (~2x corpus);
     the L1 is one zip_with/aggregate fold per candidate, rasters join
     by id (decoded once, never all-pairs)."""
-    docs = load_table(spark, sf_dir, "documents")
-    # one fixture build for both consumers (the dHash pass and the
-    # pixel decode) instead of re-encoding the corpus per branch
-    att = textured_image_attachments_from_documents(docs).localCheckpoint(
-        eager=True
-    )
-    fp = dhash_images(att).select(
-        F.col("owner_id").alias("doc_id"), F.col("dhash").alias("simhash")
-    )
-    cand = simhash_near_pairs(fp, "doc_id", max_hamming=63, chunks=DHASH_CHUNKS)
-    from atlassian_confluence_data_pipeline_spark.sources.binary import (
-        decode_image,
+    # both legs are session+disk-shared _cache.py stages (round 9): the
+    # dHash fingerprints and the decoded rasters each materialize once
+    # per fixture fingerprint, and a fresh session warm-starts from the
+    # persisted parquet instead of re-encoding + re-decoding the corpus
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        image_dhash_fp,
+        image_pixel_rasters,
     )
 
-    px = decode_image(att).select(
-        F.col("owner_id").alias("doc_id"), F.col("pixels").alias("px")
+    fp = image_dhash_fp(spark, sf_dir).select(
+        "doc_id", F.col("dhash").alias("simhash")
     )
+    cand = simhash_near_pairs(fp, "doc_id", max_hamming=63, chunks=DHASH_CHUNKS)
+    px = image_pixel_rasters(spark, sf_dir)
     pa = px.select(F.col("doc_id").alias("id_a"), F.col("px").alias("pa"))
     pb = px.select(F.col("doc_id").alias("id_b"), F.col("px").alias("pb"))
     l1 = F.aggregate(
