@@ -409,6 +409,7 @@ def foreach_batch_curation(
     gate_min_words: int = 5,
     jaccard: float = 0.5,
     compact_every: int | None = None,
+    on_accepted=None,
 ):  # noqa: ANN001 - DataStreamWriter return hint kept lazy like peers
     """The composed END-TO-END streaming curation job (round-5 item 4):
     quality gate -> cross-batch exact dedup -> cross-batch near-dup
@@ -558,6 +559,15 @@ def foreach_batch_curation(
         )
         rejected = rej_vs_prior.unionByName(rej_in_batch).distinct()
         accepted = fresh.join(rejected, "doc_id", "left_anti")
+        if on_accepted is not None:
+            # sink composition hook (incremental shard maintenance):
+            # runs BEFORE the state writes, so at every crash point a
+            # replay recomputes the identical accepted frame (state for
+            # this batch not yet visible) and the hook's own commit
+            # protocol (batch-keyed dirs + manifest flip) dedups it
+            on_accepted(
+                accepted.localCheckpoint(eager=True), int(batch_id)
+            )
         # ledger MERGE: content-derived fields only -> byte-identical
         # across chop points and replays
         ledger_store.upsert(
@@ -589,6 +599,61 @@ def foreach_batch_curation(
             )
 
     return docs.writeStream.foreachBatch(curate_batch)
+
+
+def foreach_batch_curated_shards(
+    docs,
+    ledger_store,
+    seen_store,
+    index_store,
+    pairs_out_dir: str,
+    shards_out_path: str,
+    gate_min_words: int = 5,
+    jaccard: float = 0.5,
+    compact_every: int | None = None,
+    ctx_tokens: int | None = None,
+):  # noqa: ANN001 - DataStreamWriter return hint kept lazy like peers
+    """Incremental curated-shard maintenance (round-9 item 3): the full
+    streaming curation job composed with the shard sink — each
+    micro-batch's ACCEPTED docs append shard-partitioned parquet under
+    ``shards_out_path`` behind the manifest flip
+    (sources/shard_sink.py append_shard_batch), instead of a full
+    corpus rebuild per trigger. Same equivalence contract as the parent
+    job: the maintained corpus equals the one-batch build whenever
+    arrival order is doc_id order; replays are idempotent at every
+    crash point (batch-keyed data dirs + the manifest no-op check)."""
+    from atlassian_confluence_data_pipeline_spark.plans.packing import (
+        CTX_TOKENS,
+    )
+    from atlassian_confluence_data_pipeline_spark.sources.shard_sink import (
+        append_shard_batch,
+    )
+    from pyspark.sql import functions as F
+
+    ctx = CTX_TOKENS if ctx_tokens is None else ctx_tokens
+
+    def _append(accepted, batch_id: int) -> None:
+        append_shard_batch(
+            accepted.sparkSession,
+            accepted.select(
+                "doc_id", "text", F.col("n_words").cast("bigint").alias("tok")
+            ),
+            shards_out_path,
+            batch_id,
+            ctx_tokens=ctx,
+        )
+
+    return foreach_batch_curation(
+        docs,
+        ledger_store,
+        seen_store,
+        index_store,
+        pairs_out_dir,
+        gate_min_words=gate_min_words,
+        jaccard=jaccard,
+        compact_every=compact_every,
+        on_accepted=_append,
+    )
 
 
 def foreach_batch_hll_distinct(
