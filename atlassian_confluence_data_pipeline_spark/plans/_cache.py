@@ -617,3 +617,23 @@ def video_frame_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return shared_pair_table(spark, sf_dir, "perc_video_frames", _build)
+
+
+def text_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared ``(doc_id, simhash)`` 64-bit text SimHash frame — the
+    explode + 64-affine-vote HashAggregate that dominated
+    ``simhash_pairs``' cold cost (2.7 s of its 2.7 s at sf0.1; the
+    chunk-banded candidate join downstream is cheap). Same fold as the
+    oracle's symbolic rendering; warm sessions read the persisted
+    fingerprint table."""
+    from atlassian_confluence_data_pipeline_spark.catalog import load_table
+    from atlassian_confluence_data_pipeline_spark.operators.lsh import simhash
+    from atlassian_confluence_data_pipeline_spark.plans.textops import _words
+    from pyspark.sql import functions as F
+
+    def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select("doc_id", _words(F.col("text")).alias("toks"))
+        return simhash(toks, "doc_id", "toks")
+
+    return shared_pair_table(spark, sf_dir, "text_simhash_fp", _build)

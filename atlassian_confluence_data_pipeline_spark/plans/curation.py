@@ -46,7 +46,7 @@ WITH e AS (
 SELECT id_a, id_b, round(cos, 6) AS cos
 FROM p WHERE cos >= {COS_THRESHOLD}
 """,
-    tags=("dedup", "neardup", "vector"),
+    tags=("dedup", "neardup", "vector", "diagnostic"),
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection (the mandate's fifth
@@ -61,8 +61,11 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranks come from grouped_distributed_rank (range-bucketed — no
     per-label single-task window), and the rank-bucket join blocks are
     exactly <= W rows, so the old hot-label pair salting is unnecessary
-    by construction. The SRP-banded sibling (embedding_lsh_pairs) stays
-    the registered sublinear scale path."""
+    by construction. Registered as a bounded DIAGNOSTIC (the
+    ``diagnostic`` tag, round-9 item 5): the sf-bounded exact-recall
+    baseline the SRP path is audited against, not a pipeline stage —
+    the production pair enumeration is the SRP-banded sibling
+    ``embedding_lsh_pairs``."""
     from atlassian_confluence_data_pipeline_spark.operators.similarity import (
         dot,
         l2_norm,

