@@ -1,18 +1,29 @@
 #!/usr/bin/env python
 """Physical-plan shape snapshot + regression diff.
 
-    python tools/plan_snapshot.py --write   # regenerate PLAN_SNAPSHOT.json
-    python tools/plan_snapshot.py --check   # diff current plans vs snapshot
+    python tools/plan_snapshot.py --write        # regenerate PLAN_SNAPSHOT.json
+    python tools/plan_snapshot.py --check        # diff current plans vs snapshot
+    python tools/plan_snapshot.py --write-warm   # regenerate PLAN_SNAPSHOT_WARM.json
+    python tools/plan_snapshot.py --check-warm   # warm-path diff + zero-rebuild gate
 
 For every registered query, count the plan nodes that define its scale
 posture (exchanges, join strategies, window forms, aggregates, Python
-eval nodes). ``--check`` exits 1 when any query's shape changed — a
-conf bump, Spark upgrade, or refactor that silently flips a
+eval nodes, parquet scans). ``--check`` exits 1 when any query's shape
+changed — a conf bump, Spark upgrade, or refactor that silently flips a
 BroadcastHashJoin into a SortMergeJoin (or sneaks in a
 BroadcastNestedLoopJoin) fails the gate instead of shipping. Shape
 changes made ON PURPOSE are recorded by re-running ``--write`` and
 committing the new snapshot — the diff then documents itself in the
 PR.
+
+Cold modes pin ``SPARK_GRAFT_NO_CHAIN_CACHE=1`` so the diff sees the
+honest chain regardless of disk-cache state. WARM modes (round-9 item
+8) pin the other contract: with the chain cache fully populated, a
+fresh session constructing every query plan must take the persisted
+parquet reads — the tool pre-warms the cache, clears the session layer,
+instruments the builder path, and FAILS if any builder re-runs
+(accidental rebuild) or any consumer-side plan shape drifts from
+PLAN_SNAPSHOT_WARM.json (e.g. a cached read that stopped pruning).
 
 The snapshot complements tools/plan_audit.py: the audit flags known
 anti-patterns anywhere; the snapshot freezes the EXACT current shape,
@@ -27,19 +38,11 @@ import json
 import sys
 from pathlib import Path
 
-# Pin the plan shape: snapshots/audits must see the honest cold chain
-# regardless of what the cross-session disk cache (plans/_cache.py)
-# happens to hold — a warm parquet read would otherwise swap every
-# shared-stage subtree for a scan and make the diff state-dependent.
-os.environ["SPARK_GRAFT_NO_CHAIN_CACHE"] = "1"
-
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-from atlassian_confluence_data_pipeline_spark.plans import QUERIES  # noqa: E402
-from atlassian_confluence_data_pipeline_spark.session import get_session  # noqa: E402
-
 SNAPSHOT = REPO / "PLAN_SNAPSHOT.json"
+SNAPSHOT_WARM = REPO / "PLAN_SNAPSHOT_WARM.json"
 
 #: node-name substrings that define a plan's scale posture
 MARKERS = {
@@ -60,6 +63,7 @@ MARKERS = {
     "arrow_eval": "ArrowEvalPython",
     "pandas_grouped_map": "FlatMapGroupsInPandas",
     "map_in_pandas": "MapInPandas",
+    "parquet_scans": "Scan parquet",
 }
 
 
@@ -72,6 +76,9 @@ def shape_of(phys: str) -> dict[str, int]:
 
 
 def collect(sf: str) -> dict[str, dict[str, int]]:
+    from atlassian_confluence_data_pipeline_spark.plans import QUERIES
+    from atlassian_confluence_data_pipeline_spark.session import get_session
+
     spark = get_session("plan-snapshot", cpus=8)
     shapes: dict[str, dict[str, int]] = {}
     for name in sorted(QUERIES):
@@ -84,24 +91,77 @@ def collect(sf: str) -> dict[str, dict[str, int]]:
     return shapes
 
 
+def collect_warm(sf: str) -> tuple[dict[str, dict[str, int]], list[str]]:
+    """Two passes: pass 1 populates the disk chain cache (builders run
+    or disk-hit), then the SESSION layer is cleared — the second pass
+    is what a fresh session sees over a warm disk cache. Pass 2 runs
+    with the builder path instrumented: any builder invocation is an
+    accidental rebuild and is reported for the gate."""
+    import atlassian_confluence_data_pipeline_spark.plans._cache as _c
+
+    collect(sf)  # pass 1: warm the disk layer
+    _c._PAIR_CACHE.clear()  # simulate a fresh session over warm disk
+
+    rebuilt: list[str] = []
+    real = _c.shared_pair_table
+
+    def spying(spark, sf_dir, name, builder):
+        def spy_builder(s, d):
+            rebuilt.append(name)
+            return builder(s, d)
+
+        return real(spark, sf_dir, name, spy_builder)
+
+    _c.shared_pair_table = spying
+    try:
+        shapes = collect(sf)
+    finally:
+        _c.shared_pair_table = real
+    return shapes, sorted(set(rebuilt))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     mode = ap.add_mutually_exclusive_group(required=True)
     mode.add_argument("--write", action="store_true")
     mode.add_argument("--check", action="store_true")
+    mode.add_argument("--write-warm", action="store_true")
+    mode.add_argument("--check-warm", action="store_true")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     args = ap.parse_args()
 
-    shapes = collect(args.sf)
-    if args.write:
-        SNAPSHOT.write_text(json.dumps(shapes, indent=1, sort_keys=True) + "\n")
-        print(f"wrote {SNAPSHOT.name}: {len(shapes)} query shapes")
+    warm = args.write_warm or args.check_warm
+    if warm:
+        # warm modes need the disk layer ON; also rotate nothing — the
+        # fixture fingerprint decides the cache key as in production
+        os.environ.pop("SPARK_GRAFT_NO_CHAIN_CACHE", None)
+        shapes, rebuilt = collect_warm(args.sf)
+    else:
+        # Pin the plan shape: cold snapshots/audits must see the honest
+        # cold chain regardless of what the cross-session disk cache
+        # (plans/_cache.py) happens to hold — a warm parquet read would
+        # otherwise swap every shared-stage subtree for a scan and make
+        # the diff state-dependent.
+        os.environ["SPARK_GRAFT_NO_CHAIN_CACHE"] = "1"
+        shapes, rebuilt = collect(args.sf), []
+
+    snap = SNAPSHOT_WARM if warm else SNAPSHOT
+    if warm and rebuilt:
+        print(f"WARM REBUILD ({len(rebuilt)} stages re-ran their builders "
+              "against a fully warm disk cache):")
+        for n in rebuilt:
+            print(" -", n)
+        return 1
+
+    if args.write or args.write_warm:
+        snap.write_text(json.dumps(shapes, indent=1, sort_keys=True) + "\n")
+        print(f"wrote {snap.name}: {len(shapes)} query shapes")
         return 0
 
-    if not SNAPSHOT.exists():
-        print(f"{SNAPSHOT.name} missing - run --write first")
+    if not snap.exists():
+        print(f"{snap.name} missing - run --write{'-warm' if warm else ''} first")
         return 1
-    want = json.loads(SNAPSHOT.read_text())
+    want = json.loads(snap.read_text())
     drift: list[str] = []
     for name, shape in shapes.items():
         if name not in want:
@@ -115,9 +175,12 @@ def main() -> int:
         print(f"PLAN DRIFT ({len(drift)} queries):")
         for d in drift:
             print(" -", d)
-        print("\nIf intentional: rerun with --write and commit the diff.")
+        print("\nIf intentional: rerun with --write"
+              f"{'-warm' if warm else ''} and commit the diff.")
         return 1
-    print(f"OK: {len(shapes)} query plan shapes match the snapshot.")
+    mode_name = "warm" if warm else "cold"
+    print(f"OK: {len(shapes)} {mode_name} query plan shapes match the snapshot."
+          + (" Zero warm rebuilds." if warm else ""))
     return 0
 
 

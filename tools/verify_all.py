@@ -14,6 +14,10 @@ Runs, in order, and stops at the first failure (exit code 1):
 4. ``python tools/plan_snapshot.py --check``    (physical-plan shape
    regression diff vs the committed PLAN_SNAPSHOT.json; intentional
    shape changes are recorded with --write)
+5. ``python tools/plan_snapshot.py --check-warm`` (warm-path gate:
+   with the chain cache fully populated, a fresh session must take the
+   persisted parquet reads — zero builder re-runs — and the warm plan
+   shapes must match PLAN_SNAPSHOT_WARM.json)
 
 ``--fast`` skips step 1 (the pytest suite) for quick mid-edit loops;
 a commit-worthy tree must pass all three.
@@ -34,6 +38,10 @@ STEPS = [
     ("driver_sim", [sys.executable, "tools/driver_sim.py"]),
     ("plan_audit", [sys.executable, "tools/plan_audit.py"]),
     ("plan_snapshot", [sys.executable, "tools/plan_snapshot.py", "--check"]),
+    (
+        "plan_snapshot_warm",
+        [sys.executable, "tools/plan_snapshot.py", "--check-warm"],
+    ),
 ]
 
 
