@@ -67,6 +67,7 @@ _CODE_DEPS = (
     "../functions/audio.py",
     "../sources/binary.py",
     "textops.py",
+    "substring.py",
     "multimodal.py",
     "multimodal2.py",
     "multimodal3.py",

@@ -84,3 +84,33 @@ def test_boilerplate_df_gate(spark, tmp_path, monkeypatch):
     sf = _mk_docs(spark, tmp_path, rows)
     # 5 docs share it > MAX_WINDOW_DF=3 -> gated out entirely
     assert sub.exact_substring_overlaps(spark, sf).count() == 0
+
+
+def test_apply_form_removes_span_from_higher_id_only(spark, tmp_path):
+    from atlassian_confluence_data_pipeline_spark.plans.substring import (
+        exact_substring_dedup_docs,
+    )
+
+    k = MIN_OVERLAP_TOKENS
+    shared = _tok("s", k + 8)
+    a_head, a_tail = _tok("a", 4), _tok("b", 3)
+    c_head = _tok("c", 6)
+    rows = [
+        (1, a_head + " " + shared + " " + a_tail),
+        (2, c_head + " " + shared),
+        (3, _tok("z", 30)),
+    ]
+    sf = _mk_docs(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in exact_substring_dedup_docs(spark, sf).collect()}
+    # doc 1 (first occurrence) keeps everything
+    assert out[1].n_removed == 0
+    assert out[1].clean_text == rows[0][1]
+    # doc 2 loses exactly the shared span, keeps its own head
+    assert out[2].n_removed == k + 8
+    assert out[2].n_kept == 6
+    assert out[2].clean_text == c_head
+    # untouched doc is passthrough
+    assert out[3].n_removed == 0 and out[3].clean_text == rows[2][1]
+    # token accounting closes
+    for r in out.values():
+        assert r.n_tokens == r.n_kept + r.n_removed
