@@ -1,0 +1,385 @@
+"""Preference / pairwise-feedback operators (RLHF-era data curation).
+
+A preference dataset is a stream of pairwise duels ("response A beat
+response B"); before it trains a reward model, a pipeline needs the
+standard audits: per-matchup win rates with uncertainty (Wilson bounds),
+latent strength fitting (Bradley-Terry), and an intransitivity audit
+(cyclic majorities = annotation noise or genuine non-transitivity —
+either way, flagged before fitting).
+
+The duel fixture is DETERMINISTIC and fully SQL-reproducible: document
+``d`` duels documents ``d+1``, ``d+3`` and ``d+4`` (offsets chosen so 1 + 3 = 4:
+every source — ``src{doc_id % 20}`` — meets six distinct opponents,
+the tournament graph is connected (not a fixed 2-clique matching), AND
+it contains triangles — (s, s+1, s+4) has pairwise gaps 1, 3, 4 — so
+the transitivity audit has triples to classify);
+the longer document (``n_chars``, ties to the lower doc_id) wins.
+Contestants are the 20 sources, so strengths are per-source.
+
+Float determinism across engines follows the house rule (the
+kmeans_iterations idiom): every aggregate that feeds a float is an
+ID-ORDERED fold — ``list_reduce(list(x ORDER BY key))`` in DuckDB,
+``F.aggregate(array_sort(collect_list(struct(key, x))))`` in Spark —
+so both engines sum identical values in identical order.
+
+Scale shape: duels are one equi-join on a computed key (doc_id +
+exploded offset literal — never a BNLJ); the matchup matrix is one hash
+aggregate; each Bradley-Terry iteration is two broadcast-sized joins +
+one ordered-fold aggregate over the matchup table (state = one weight
+per contestant — the driver loop materializes it per round, the
+hierarchy/kmeans pattern); the cycle audit joins the majority-edge
+list, which is bounded by matchups, not duels.
+
+Reference analog: none (the reference has no analytics surface) —
+§2.11 LLM-pipeline extension mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from atlassian_confluence_data_pipeline_spark.catalog import load_table
+from atlassian_confluence_data_pipeline_spark.plans.registry import query
+
+#: duel offsets: doc d challenges d+1, d+3, d+4 (six distinct opponent
+#: sources per source; 1 + 3 = 4 keeps triangles in the schedule graph)
+DUEL_OFFSETS = (1, 3, 4)
+
+#: Bradley-Terry MM iterations (fixed — the iteration count IS the
+#: semantics; both engines run exactly this many) and the pseudo-win
+#: prior that keeps every strength strictly positive (a zero-win
+#: contestant would otherwise collapse to 0 and zero a denominator)
+BT_ITERS = 8
+BT_PRIOR = 0.5
+
+#: z for the 95% Wilson lower bound
+WILSON_Z = 1.96
+
+_DUEL_CTE = f"""cmp AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.source AS s_a, b.source AS s_b,
+         CASE WHEN a.n_chars > b.n_chars
+                OR (a.n_chars = b.n_chars AND a.doc_id < b.doc_id)
+              THEN a.source ELSE b.source END AS winner
+  FROM documents a
+  JOIN documents b
+    ON b.doc_id IN ({", ".join(f"a.doc_id + {o}" for o in DUEL_OFFSETS)})
+  WHERE a.source != b.source
+), duels AS MATERIALIZED (
+  SELECT s_a AS i, s_b AS j, winner FROM cmp
+  UNION ALL
+  SELECT s_b AS i, s_a AS j, winner FROM cmp
+), matchups AS MATERIALIZED (
+  SELECT i, j,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN winner = i THEN 1 ELSE 0 END) AS BIGINT) AS w_i
+  FROM duels GROUP BY i, j
+), wins AS MATERIALIZED (
+  SELECT i, CAST(sum(CASE WHEN winner = i THEN 1 ELSE 0 END) AS BIGINT) AS w,
+         CAST(count(*) AS BIGINT) AS n
+  FROM duels GROUP BY i
+)"""
+
+_OFOLD = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list({x} ORDER BY {k})),"
+    " (a, b) -> a + b)"
+)
+
+
+def _duel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, s_a, s_b, winner) — one row per duel."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("s_a"),
+        F.col("n_chars").alias("ca"),
+        F.explode(
+            F.array(*[(F.col("doc_id") + F.lit(o)) for o in DUEL_OFFSETS])
+        ).alias("id_b"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("s_b"),
+        F.col("n_chars").alias("cb"),
+    )
+    win = F.when(
+        (F.col("ca") > F.col("cb"))
+        | ((F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b"))),
+        F.col("s_a"),
+    ).otherwise(F.col("s_b"))
+    return (
+        a.join(b, "id_b")
+        .filter(F.col("s_a") != F.col("s_b"))
+        .select("id_a", "id_b", "s_a", "s_b", win.alias("winner"))
+    )
+
+
+def _duels_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(i, j, winner) with each duel emitted in both orientations."""
+    cmp = _duel_frame(spark, sf_dir)
+    return cmp.select(
+        F.col("s_a").alias("i"), F.col("s_b").alias("j"), "winner"
+    ).unionByName(
+        cmp.select(F.col("s_b").alias("i"), F.col("s_a").alias("j"), "winner")
+    )
+
+
+@query(
+    "preference_winrate_matrix",
+    oracle=f"""
+WITH {_DUEL_CTE}
+SELECT i AS src, j AS opponent, n AS n_duels, w_i AS n_wins,
+       round(CAST(w_i AS DOUBLE) / n, 6) AS winrate,
+       round((CAST(w_i AS DOUBLE) / n + {WILSON_Z} * {WILSON_Z} / (2 * n)
+              - {WILSON_Z} * sqrt((CAST(w_i AS DOUBLE) / n
+                                   * (1 - CAST(w_i AS DOUBLE) / n)
+                                   + {WILSON_Z} * {WILSON_Z} / (4 * n)) / n))
+             / (1 + {WILSON_Z} * {WILSON_Z} / n), 6) AS wilson_lb
+FROM matchups
+""",
+    tags=("preference", "rlhf", "agreement", "governance"),
+)
+def preference_winrate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-matchup win rates with the 95% Wilson LOWER bound — the
+    uncertainty-aware ranking a preference pipeline reports instead of
+    raw win rates (a 2/2 sweep must not outrank a 40/50 record). One
+    hash aggregate over the duel stream; the Wilson bound is a closed
+    form of the two integers, so it reproduces bit-for-bit."""
+    duels = _duels_both(spark, sf_dir)
+    m = duels.groupBy(F.col("i").alias("src"), F.col("j").alias("opponent")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_duels"),
+        F.sum(F.when(F.col("winner") == F.col("i"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_wins"),
+    )
+    p = F.col("n_wins").cast("double") / F.col("n_duels")
+    n = F.col("n_duels").cast("double")
+    z = F.lit(WILSON_Z)
+    wilson = (
+        p + z * z / (2 * n) - z * F.sqrt((p * (1 - p) + z * z / (4 * n)) / n)
+    ) / (1 + z * z / n)
+    return m.select(
+        "src",
+        "opponent",
+        "n_duels",
+        "n_wins",
+        F.round(p, 6).alias("winrate"),
+        F.round(wilson, 6).alias("wilson_lb"),
+    )
+
+
+def _bt_oracle() -> str:
+    blocks = [_DUEL_CTE, "it0 AS MATERIALIZED (SELECT i, CAST(1.0 AS DOUBLE) AS wt FROM wins)"]
+    prev = "it0"
+    term = _OFOLD.format(x="p.n / (wi.wt + wj.wt)", k="p.j")
+    for k in range(1, BT_ITERS + 1):
+        norm = _OFOLD.format(x="wraw", k="i")
+        blocks.append(f"""raw{k} AS MATERIALIZED (
+  SELECT p.i, (any_value(w.w) + {BT_PRIOR}) / {term} AS wraw
+  FROM matchups p
+  JOIN wins w ON w.i = p.i
+  JOIN {prev} wi ON wi.i = p.i
+  JOIN {prev} wj ON wj.i = p.j
+  GROUP BY p.i
+), it{k} AS MATERIALIZED (
+  SELECT i, wraw * (SELECT count(*) FROM raw{k})
+           / (SELECT {norm} FROM raw{k}) AS wt
+  FROM raw{k}
+)""")
+        prev = f"it{k}"
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f"""
+SELECT w.i AS source, w.w AS n_wins, w.n AS n_duels,
+       round(t.wt, 6) AS strength
+FROM wins w JOIN {prev} t ON t.i = w.i
+"""
+    )
+
+
+@query(
+    "bradley_terry_strengths",
+    oracle=_bt_oracle(),
+    tags=("preference", "rlhf", "fitting", "iterative"),
+)
+def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry latent strengths via BT_ITERS minorize-maximize
+    iterations (Hunter 2004 MM update, regularized with BT_PRIOR
+    pseudo-wins), normalized each round to mean 1 — the standard
+    model-ranking fit over pairwise preference data. Driver loop (the
+    kmeans_iterations pattern): each round joins the matchup table to
+    the current weights twice, folds the per-contestant denominator in
+    opponent order, and materializes the new (tiny) weight table.
+    Every float is an id-ordered fold, so the fixed-iteration result
+    reproduces bit-for-bit in the oracle's unrolled CTE chain."""
+    duels = _duels_both(spark, sf_dir)
+    matchups = (
+        duels.groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    wins = (
+        duels.groupBy("i")
+        .agg(
+            F.sum(F.when(F.col("winner") == F.col("i"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("w"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wt = wins.select("i", F.lit(1.0).alias("wt"))
+    for _ in range(BT_ITERS):
+        wi = wt.select(F.col("i"), F.col("wt").alias("wt_i"))
+        wj = wt.select(F.col("i").alias("j"), F.col("wt").alias("wt_j"))
+        raw = (
+            matchups.join(wi, "i")
+            .join(wj, "j")
+            .select(
+                "i",
+                "j",
+                (F.col("n").cast("double") / (F.col("wt_i") + F.col("wt_j"))).alias(
+                    "term"
+                ),
+            )
+            .groupBy("i")
+            .agg(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("j", "term"))),
+                        lambda s: s["term"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                ).alias("denom")
+            )
+            .join(wins.select("i", "w"), "i")
+            .select(
+                "i",
+                ((F.col("w") + F.lit(BT_PRIOR)) / F.col("denom")).alias("wraw"),
+            )
+        )
+        norm = raw.agg(
+            F.count(F.lit(1)).cast("double").alias("k"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "wraw"))),
+                    lambda s: s["wraw"],
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("s"),
+        )
+        wt = (
+            raw.crossJoin(F.broadcast(norm))
+            .select("i", (F.col("wraw") * F.col("k") / F.col("s")).alias("wt"))
+            .localCheckpoint(eager=True)
+        )
+    from atlassian_confluence_data_pipeline_spark import iterstats
+
+    iterstats.record("bradley_terry_strengths", BT_ITERS)
+    return wins.join(wt, "i").select(
+        F.col("i").alias("source"),
+        F.col("w").alias("n_wins"),
+        F.col("n").alias("n_duels"),
+        F.round("wt", 6).alias("strength"),
+    )
+
+
+@query(
+    "preference_cycle_audit",
+    oracle=f"""
+WITH {_DUEL_CTE}, rec AS (
+  SELECT a.i, a.j, a.w_i AS wins_ij, b.w_i AS wins_ji
+  FROM matchups a JOIN matchups b ON a.i = b.j AND a.j = b.i
+), edges AS MATERIALIZED (
+  SELECT i, j FROM rec WHERE wins_ij > wins_ji
+), cyc AS (
+  SELECT count(*) AS n_cycles
+  FROM edges e1 JOIN edges e2 ON e1.j = e2.i
+                JOIN edges e3 ON e2.j = e3.i AND e3.j = e1.i
+  WHERE e1.i < e2.i AND e1.i < e3.i
+), tr AS (
+  SELECT count(*) AS n_transitive
+  FROM edges e1 JOIN edges e2 ON e1.j = e2.i
+                JOIN edges e3 ON e3.i = e1.i AND e3.j = e2.j
+)
+SELECT (SELECT CAST(count(DISTINCT i) AS BIGINT) FROM duels) AS n_sources,
+       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+       CAST(cyc.n_cycles AS BIGINT) AS n_cycles_3,
+       CAST(tr.n_transitive AS BIGINT) AS n_transitive_triples,
+       CASE WHEN cyc.n_cycles + tr.n_transitive = 0 THEN NULL
+            ELSE round(CAST(cyc.n_cycles AS DOUBLE)
+                       / (cyc.n_cycles + tr.n_transitive), 6) END
+         AS cycle_rate
+FROM cyc, tr
+""",
+    tags=("preference", "rlhf", "audit", "graph"),
+)
+def preference_cycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intransitivity audit over the MAJORITY graph (i -> j when i wins
+    the matchup more often than it loses; ties drop the edge): the
+    count of directed 3-cycles (A>B>C>A — the Condorcet paradoxes a
+    Bradley-Terry fit silently averages away) vs transitive triples,
+    and the cycle rate. High cycle rates mean the duels are too noisy
+    or genuinely non-transitive — audit BEFORE fitting. Joins run on
+    the matchup-level edge list (bounded by contestant pairs, not
+    duels); each cycle is counted once by anchoring at its smallest
+    node."""
+    duels = _duels_both(spark, sf_dir)
+    m = duels.groupBy("i", "j").agg(
+        F.sum(F.when(F.col("winner") == F.col("i"), 1).otherwise(0)).alias("w")
+    )
+    rec = m.alias("a").join(
+        m.select(
+            F.col("i").alias("j2"), F.col("j").alias("i2"), F.col("w").alias("w_ji")
+        ),
+        (F.col("a.i") == F.col("i2")) & (F.col("a.j") == F.col("j2")),
+    )
+    edges = (
+        rec.filter(F.col("a.w") > F.col("w_ji"))
+        .select(F.col("a.i").alias("i"), F.col("a.j").alias("j"))
+        .localCheckpoint(eager=True)
+    )
+    e1 = edges.select(F.col("i").alias("x"), F.col("j").alias("y"))
+    e2 = edges.select(F.col("i").alias("y"), F.col("j").alias("z"))
+    e3c = edges.select(F.col("i").alias("z"), F.col("j").alias("x2"))
+    cycles = (
+        e1.join(e2, "y")
+        .join(e3c, "z")
+        .filter(
+            (F.col("x") == F.col("x2"))
+            & (F.col("x") < F.col("y"))
+            & (F.col("x") < F.col("z"))
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cycles_3"))
+    )
+    e3t = edges.select(F.col("i").alias("x"), F.col("j").alias("z"))
+    transitive = (
+        e1.join(e2, "y")
+        .join(e3t, ["x", "z"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitive_triples"))
+    )
+    n_sources = duels.agg(
+        F.count_distinct("i").cast("bigint").alias("n_sources")
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    out = (
+        n_sources.crossJoin(n_edges).crossJoin(cycles).crossJoin(transitive)
+    )
+    return out.select(
+        "n_sources",
+        "n_edges",
+        "n_cycles_3",
+        "n_transitive_triples",
+        F.when(
+            (F.col("n_cycles_3") + F.col("n_transitive_triples")) > 0,
+            F.round(
+                F.col("n_cycles_3").cast("double")
+                / (F.col("n_cycles_3") + F.col("n_transitive_triples")),
+                6,
+            ),
+        ).alias("cycle_rate"),
+    )
