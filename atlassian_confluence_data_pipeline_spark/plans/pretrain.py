@@ -239,3 +239,150 @@ def doc_concat_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("end_offset").cast("bigint").alias("end_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram-LM perplexity (the CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+
+#: interpolation weight on the bigram term; (1 - lambda) backs off to
+#: the unigram model (Jelinek-Mercer smoothing, fixed lambda)
+LM_LAMBDA = 0.7
+
+
+@query(
+    "interpolated_lm_perplexity",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), tok AS (
+  SELECT doc_id, unnest(w) AS word,
+         CAST(generate_subscripts(w, 1) - 1 AS BIGINT) AS pos
+  FROM w
+), freq AS (
+  SELECT word, count(*) AS c FROM tok GROUP BY 1
+), tot AS (
+  SELECT sum(c) AS n FROM freq
+), bgd AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2, CAST(i AS BIGINT) AS pos
+  FROM w, unnest(range(1, greatest(len(w), 1))) AS t(i)
+), bc AS (
+  SELECT w1, w2, count(*) AS c FROM bgd GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, sum(c) AS ctx FROM bc GROUP BY 1
+), s1 AS (
+  SELECT b.doc_id, b.pos,
+         -ln({LM_LAMBDA} * (CAST(bc.c AS DOUBLE) / ctx.ctx)
+             + (1 - {LM_LAMBDA})
+               * (CAST(f.c AS DOUBLE) / (SELECT n FROM tot))) AS nll
+  FROM bgd b
+  JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+  JOIN ctx ON b.w1 = ctx.w1
+  JOIN freq f ON b.w2 = f.word
+), s0 AS (
+  SELECT t.doc_id, t.pos,
+         -ln(CAST(f.c AS DOUBLE) / (SELECT n FROM tot)) AS nll
+  FROM tok t JOIN freq f USING (word)
+  WHERE t.pos = 0
+), scored AS (
+  SELECT * FROM s0 UNION ALL SELECT * FROM s1
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(nll ORDER BY pos)),
+                     (a, b) -> a + b) / count(*) AS avg_nll
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(avg_nll, 6) AS avg_nll,
+       round(exp(avg_nll), 6) AS ppl
+FROM agg
+""",
+    tags=("curation", "quality", "lm", "pipeline"),
+)
+def interpolated_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering, one model class up from
+    unigram_nll_scores: each document scored under a Jelinek-Mercer
+    interpolated bigram LM trained on the corpus itself —
+    ``p(w2 | w1) = λ·c(w1,w2)/c(w1·) + (1-λ)·c(w2)/N`` (the first token
+    backs off to the unigram term alone). Documents whose perplexity is
+    far from the corpus center are the machine-generated / boilerplate
+    / wrong-language candidates a quality gate drops.
+
+    Scale shape: unigram and bigram count tables are hash aggregates
+    (vocab / vocab²-bounded); scoring is equi-joins of the exploded
+    corpus against them; the per-document average is the id-ordered
+    positional fold (deterministic, oracle-reproducible). No corpus
+    window, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    tok = w.select("doc_id", F.posexplode("w").alias("pos", "word")).select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos"), "word"
+    )
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cu"))
+    total = tok.count()  # scalar cardinality, computed distributed
+    n = F.greatest(F.size("w") - 1, F.lit(0))
+    bgd = w.select(
+        "doc_id",
+        F.posexplode(
+            F.zip_with(
+                F.slice("w", 1, n),
+                F.slice("w", 2, n),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("i", "b"),
+    ).select(
+        "doc_id",
+        (F.col("i") + 1).cast("bigint").alias("pos"),
+        "b.w1",
+        "b.w2",
+    )
+    bc = bgd.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = bc.groupBy("w1").agg(F.sum("cb").alias("ctx"))
+    lam = F.lit(LM_LAMBDA)
+    pu = F.col("cu").cast("double") / F.lit(float(total))
+    s1 = (
+        bgd.join(bc, ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(freq.withColumnRenamed("word", "w2")), "w2")
+        .select(
+            "doc_id",
+            "pos",
+            (
+                -F.log(
+                    lam * (F.col("cb").cast("double") / F.col("ctx"))
+                    + (F.lit(1.0) - lam) * pu
+                )
+            ).alias("nll"),
+        )
+    )
+    s0 = (
+        tok.filter(F.col("pos") == 0)
+        .join(F.broadcast(freq), "word")
+        .select("doc_id", "pos", (-F.log(pu)).alias("nll"))
+    )
+    agg = (
+        s0.unionByName(s1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            (
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "nll"))),
+                        lambda s: s["nll"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+                / F.count(F.lit(1))
+            ).alias("avg_nll"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_nll", 6).alias("avg_nll"),
+        F.round(F.exp("avg_nll"), 6).alias("ppl"),
+    )
