@@ -292,8 +292,12 @@ def dawid_skene_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda c: F.size(F.filter("ois", lambda o: o == c)).cast("double")
         / F.lit(float(K)),
     )
-    q = per_doc.select("doc_id", "ois", qv0.alias("qv")).localCheckpoint(
-        eager=True
+    # docs x (K+C) narrow columns — small enough that one partition
+    # beats 32-task scheduling for the per-round aggregate + checkpoint
+    q = (
+        per_doc.select("doc_id", "ois", qv0.alias("qv"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
 
     def collect_model(qf):
@@ -383,14 +387,14 @@ def dawid_skene_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "ois",
             F.transform(v, lambda x: x / z).alias("qv"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True)  # already 1 partition (narrow)
 
     from atlassian_confluence_data_pipeline_spark import iterstats
 
     iterstats.record("dawid_skene_confusion", DS_ITERS)
     _, conf = collect_model(q)
     out_rows = [
-        (k, cls[c], cls[o], round(conf[(k, o, c)], 6))
+        (k, cls[c], cls[o], conf[(k, o, c)])
         for k in range(1, K + 1)
         for c in range(C)
         for o in range(C)
@@ -398,4 +402,11 @@ def dawid_skene_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out_rows,
         "annotator int, true_class string, observed_class string, p_conf double",
+    ).select(
+        "annotator",
+        "true_class",
+        "observed_class",
+        # round ENGINE-side: Spark/DuckDB round half-up; Python's
+        # builtin is half-even and would diverge on exact ties
+        F.round("p_conf", 6).alias("p_conf"),
     )

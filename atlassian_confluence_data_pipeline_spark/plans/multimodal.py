@@ -488,26 +488,22 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts aggregate to |sources|² rows joined against the tiny
     per-source totals. The shingle hash is the engine-portable
     rolling-hash combine, so DuckDB reproduces every bucket."""
-    from atlassian_confluence_data_pipeline_spark.functions.text import rolling_hash
-    from atlassian_confluence_data_pipeline_spark.operators.lsh import (
-        shingle_hashes_from_word_hashes,
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        minhash_doc_hashes,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     # materialize the distinct (source, shingle-hash) table ONCE: three
     # consumers (pair generation + both per-source count joins) would
     # otherwise each re-run the scan + shingle folds (plan_audit caught
-    # 18 duplicated aggregate-folds without this)
+    # 18 duplicated aggregate-folds without this). Since round 9 the
+    # per-doc shingle hashes come from the session+disk-shared
+    # minhash_doc_hashes stage (identical fold), so a warm session
+    # skips the word-hash + combine pass entirely.
     ss = (
-        docs.select("source", _words(F.col("text")).alias("w"))
-        .select(
-            "source",
-            F.explode(
-                shingle_hashes_from_word_hashes(
-                    F.transform(F.col("w"), rolling_hash)
-                )
-            ).alias("h"),
-        )
+        minhash_doc_hashes(spark, sf_dir)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", F.explode("hs").alias("h"))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -215,35 +215,44 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every float is an id-ordered fold, so the fixed-iteration result
     reproduces bit-for-bit in the oracle's unrolled CTE chain."""
     duels = _duels_both(spark, sf_dir)
+    # contestant²-bounded (120 rows here): single-partition checkpoint
+    # so each of the 8 per-round aggregate jobs schedules ONE task
+    # instead of 32 empty ones
     matchups = (
         duels.groupBy("i", "j")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .coalesce(1)
         .localCheckpoint(eager=True)
     )
-    wins = (
-        duels.groupBy("i")
+    wins = {
+        r["i"]: (int(r["w"]), int(r["n"]))
+        for r in duels.groupBy("i")
         .agg(
             F.sum(F.when(F.col("winner") == F.col("i"), 1).otherwise(0))
             .cast("bigint")
             .alias("w"),
             F.count(F.lit(1)).cast("bigint").alias("n"),
         )
-        .localCheckpoint(eager=True)
-    )
-    wt = wins.select("i", F.lit(1.0).alias("wt"))
+        .collect()
+    }
+    # Model state is CONTESTANT-sized: collect it per round and
+    # re-broadcast as a literal map (the kmeans-centroid pattern) — each
+    # of the BT_ITERS rounds is then ONE aggregate job over the matchup
+    # table (denominator fold ordered by opponent), with the
+    # normalization done driver-side in contestant order (IEEE doubles,
+    # identical fold order to the oracle). At millions of contestants
+    # the literal map becomes a broadcast join; the aggregate shape is
+    # unchanged.
+    wt = {i: 1.0 for i in wins}
     for _ in range(BT_ITERS):
-        wi = wt.select(F.col("i"), F.col("wt").alias("wt_i"))
-        wj = wt.select(F.col("i").alias("j"), F.col("wt").alias("wt_j"))
-        raw = (
-            matchups.join(wi, "i")
-            .join(wj, "j")
-            .select(
-                "i",
-                "j",
-                (F.col("n").cast("double") / (F.col("wt_i") + F.col("wt_j"))).alias(
-                    "term"
-                ),
-            )
+        wmap = F.create_map(
+            *[x for i, v in sorted(wt.items()) for x in (F.lit(i), F.lit(v))]
+        )
+        term = F.col("n").cast("double") / (
+            F.element_at(wmap, F.col("i")) + F.element_at(wmap, F.col("j"))
+        )
+        raw_rows = (
+            matchups.select("i", "j", term.alias("term"))
             .groupBy("i")
             .agg(
                 F.aggregate(
@@ -255,36 +264,29 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda a, b: a + b,
                 ).alias("denom")
             )
-            .join(wins.select("i", "w"), "i")
-            .select(
-                "i",
-                ((F.col("w") + F.lit(BT_PRIOR)) / F.col("denom")).alias("wraw"),
-            )
+            .collect()
         )
-        norm = raw.agg(
-            F.count(F.lit(1)).cast("double").alias("k"),
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "wraw"))),
-                    lambda s: s["wraw"],
-                ),
-                F.lit(0.0),
-                lambda a, b: a + b,
-            ).alias("s"),
-        )
-        wt = (
-            raw.crossJoin(F.broadcast(norm))
-            .select("i", (F.col("wraw") * F.col("k") / F.col("s")).alias("wt"))
-            .localCheckpoint(eager=True)
-        )
+        wraw = {
+            r["i"]: (wins[r["i"]][0] + BT_PRIOR) / r["denom"] for r in raw_rows
+        }
+        total = 0.0
+        for i in sorted(wraw):  # ORDER BY i — the oracle's fold order
+            total += wraw[i]
+        k = float(len(wraw))
+        wt = {i: v * k / total for i, v in wraw.items()}
     from atlassian_confluence_data_pipeline_spark import iterstats
 
     iterstats.record("bradley_terry_strengths", BT_ITERS)
-    return wins.join(wt, "i").select(
-        F.col("i").alias("source"),
-        F.col("w").alias("n_wins"),
-        F.col("n").alias("n_duels"),
-        F.round("wt", 6).alias("strength"),
+    out = [(i, wins[i][0], wins[i][1], wt[i]) for i in sorted(wins)]
+    return spark.createDataFrame(
+        out, "source string, n_wins bigint, n_duels bigint, strength double"
+    ).select(
+        "source",
+        "n_wins",
+        "n_duels",
+        # round ENGINE-side: Spark/DuckDB round half-up; Python's
+        # builtin is half-even and would diverge on exact ties
+        F.round("strength", 6).alias("strength"),
     )
 
 
