@@ -1646,3 +1646,78 @@ def full_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").cast("bigint").alias("total_tokens"),
     )
+
+
+def _dedup_weights_oracle() -> str:
+    from atlassian_confluence_data_pipeline_spark.plans.registry import QUERIES
+
+    pairs_sql = QUERIES["near_dup_pairs_lsh"].oracle
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n
+),
+comp AS (SELECT n AS doc_id, min(m) AS rep FROM reach GROUP BY 1),
+sz AS (SELECT rep, CAST(count(*) AS BIGINT) AS size FROM comp GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(c.rep, d.doc_id) AS cluster_rep,
+       coalesce(s.size, 1) AS cluster_size,
+       round(1.0 / coalesce(s.size, 1), 6) AS weight
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.doc_id
+LEFT JOIN sz s ON c.rep = s.rep
+"""
+
+
+@query(
+    "dedup_aware_sample_weights",
+    oracle=_dedup_weights_oracle(),
+    tags=("curation", "dedup", "sampling", "pipeline"),
+)
+def dedup_aware_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-aware sampling weights — the soft alternative to
+    keep-one-per-cluster dedup: every document gets weight
+    ``1 / |its near-dup cluster|`` (singletons weigh 1), so a training
+    sampler sees each CONTENT once in expectation while keeping all
+    surface variants available. Composes the shared near-dup cluster
+    chain (banded-MinHash pairs -> connected components) with one
+    cluster-size aggregate and a left join back onto the corpus."""
+    from atlassian_confluence_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        shared_pair_table,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.multimodal import (
+        near_dup_pairs_lsh,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shared_pair_table(
+        spark, sf_dir, "near_dup_pairs_lsh", near_dup_pairs_lsh
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("rep")
+    )
+    sz = comp.groupBy("rep").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .join(F.broadcast(sz), "rep", "left")
+        .select(
+            "doc_id",
+            F.coalesce("rep", F.col("doc_id")).alias("cluster_rep"),
+            F.coalesce("size", F.lit(1).cast("bigint")).alias("cluster_size"),
+            F.round(
+                F.lit(1.0) / F.coalesce("size", F.lit(1).cast("bigint")), 6
+            ).alias("weight"),
+        )
+    )

@@ -293,3 +293,253 @@ def embedding_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("covariance"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval quality metrics (nDCG@k / MRR) over the cosine top-k chain
+# ---------------------------------------------------------------------------
+
+
+def _ndcg_oracle() -> str:
+    from atlassian_confluence_data_pipeline_spark.plans.similarity import (
+        N_QUERIES,
+        TOP_K,
+    )
+
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlab, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS neighbor_id, label AS nlab, embedding::DOUBLE[] AS cv
+  FROM embeddings
+), p AS (
+  SELECT query_id, qlab, neighbor_id, nlab,
+         list_sum(list_transform(range(1, len(qv)+1), i -> qv[i] * cv[i]))
+           / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+              * sqrt(list_sum(list_transform(cv, x -> x * x)))) AS sim
+  FROM q, c WHERE query_id <> neighbor_id
+), topk AS (
+  SELECT query_id, rnk,
+         CASE WHEN qlab = nlab THEN 1 ELSE 0 END AS rel
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+    ) AS rnk FROM p
+  ) WHERE rnk <= {TOP_K}
+), agg AS (
+  SELECT query_id,
+         CAST(sum(rel) AS BIGINT) AS n_relevant,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(rel / log2(rnk + 1.0) ORDER BY rnk)), (a, b) -> a + b) AS dcg,
+         CASE WHEN sum(rel) = 0 THEN CAST(0 AS BIGINT)
+              ELSE min(CASE WHEN rel = 1 THEN rnk END) END AS first_rel
+  FROM topk GROUP BY query_id
+)
+SELECT query_id, n_relevant,
+       CASE WHEN n_relevant = 0 THEN 0.0
+            ELSE round(dcg / list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(range(1, CAST(n_relevant AS INT) + 1),
+                                    i -> 1.0 / log2(i + 1.0))),
+                   (a, b) -> a + b), 6) END AS ndcg,
+       CASE WHEN n_relevant = 0 THEN 0.0
+            ELSE round(1.0 / first_rel, 6) END AS mrr
+FROM agg
+"""
+
+
+@query(
+    "retrieval_ndcg_mrr",
+    oracle=_ndcg_oracle(),
+    tags=("evaluation", "retrieval", "ranking", "vector"),
+)
+def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality metrics over the brute-force cosine top-k
+    ranking: per query, nDCG@k (binary label-match relevance, log2
+    discounts) and MRR — the standard report card an embedding-search
+    deployment publishes alongside recall. Relevance = neighbor shares
+    the query's label. The DCG fold runs in rank order (id-ordered
+    fold), the ideal DCG is a closed-form fold over 1..n_relevant, so
+    both engines reproduce every float."""
+    from pyspark.sql import Window
+
+    from atlassian_confluence_data_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.similarity import (
+        N_QUERIES,
+        TOP_K,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlab"),
+        F.col("embedding").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlab"),
+        F.col("embedding").alias("cv"),
+    )
+    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            sim.alias("sim"),
+            F.when(F.col("qlab") == F.col("nlab"), 1).otherwise(0).alias("rel"),
+            "neighbor_id",
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+    agg = topk.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("n_relevant"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "rnk",
+                            (
+                                F.col("rel").cast("double")
+                                / F.log2(F.col("rnk") + F.lit(1.0))
+                            ).alias("g"),
+                        )
+                    )
+                ),
+                lambda s: s["g"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("dcg"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel"),
+    )
+    idcg = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_relevant").cast("int")),
+            lambda i: F.lit(1.0) / F.log2(i.cast("double") + F.lit(1.0)),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return agg.select(
+        "query_id",
+        "n_relevant",
+        F.when(F.col("n_relevant") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("dcg") / idcg, 6))
+        .alias("ndcg"),
+        F.when(F.col("n_relevant") == 0, F.lit(0.0))
+        .otherwise(F.round(F.lit(1.0) / F.col("first_rel"), 6))
+        .alias("mrr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal calibration (integer nonconformity scores)
+# ---------------------------------------------------------------------------
+
+#: conformal target coverage and the fixed "model" (chars-per-word)
+CONFORMAL_LEVEL = 0.9
+CHARS_PER_WORD = 6
+
+_CONF_SPLIT_MOD = 5  # hash % 5 == 0 -> calibration split (~20%)
+
+
+def _conformal_oracle() -> str:
+    from atlassian_confluence_data_pipeline_spark.functions.text import (
+        ROLLING_BASE,
+        ROLLING_MOD,
+    )
+
+    rh = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(regexp_split_to_array(CAST(doc_id AS VARCHAR), ''), "
+        "c -> CAST(ascii(c) AS BIGINT))), "
+        f"(h, c) -> (h * {ROLLING_BASE} + c) % {ROLLING_MOD})"
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         abs(n_chars - {CHARS_PER_WORD}
+             * len(regexp_split_to_array(trim(text), '\\s+'))) AS score,
+         {rh} % {_CONF_SPLIT_MOD} = 0 AS is_calib
+  FROM documents
+), calib AS (SELECT score FROM s WHERE is_calib),
+test AS (SELECT score FROM s WHERE NOT is_calib),
+n AS (SELECT count(*) AS c FROM calib),
+ranked AS (
+  SELECT score, row_number() OVER (ORDER BY score) AS r FROM calib
+), qh AS (
+  SELECT max(score) AS qhat FROM ranked
+  WHERE r <= ceil({CONFORMAL_LEVEL} * ((SELECT c FROM n) + 1))
+)
+SELECT (SELECT CAST(c AS BIGINT) FROM n) AS n_calib,
+       (SELECT CAST(count(*) AS BIGINT) FROM test) AS n_test,
+       (SELECT CAST(qhat AS BIGINT) FROM qh) AS qhat,
+       round((SELECT CAST(sum(CASE WHEN score <= (SELECT qhat FROM qh)
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+              FROM test) / (SELECT count(*) FROM test), 6) AS coverage
+"""
+
+
+@query(
+    "conformal_length_calibration",
+    oracle=_conformal_oracle(),
+    tags=("evaluation", "calibration", "conformal"),
+)
+def conformal_length_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration — the distribution-free uncertainty
+    wrapper an eval pipeline puts around any point predictor: a
+    portable-hash 20% calibration split, INTEGER nonconformity scores
+    ``|n_chars - 6·n_words|`` (a fixed chars-per-word model, so the
+    whole chain is float-free until the final coverage ratio), the
+    ceil((n+1)·0.9)-th order statistic as the conformal quantile, and
+    the empirical coverage of ``score <= qhat`` on the held-out split —
+    which the conformal guarantee lower-bounds by 0.9 in expectation.
+
+    Scale shape: the order statistic is TakeOrderedAndProject (top-k by
+    score, k from one count — never an unpartitioned ranking window on
+    the Spark side); coverage is one aggregate of integers."""
+    from atlassian_confluence_data_pipeline_spark.functions.text import (
+        rolling_hash,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.textops import _words
+
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        F.abs(
+            F.col("n_chars")
+            - F.lit(CHARS_PER_WORD) * F.size(_words(F.col("text")))
+        ).alias("score"),
+        (
+            rolling_hash(F.col("doc_id").cast("string")) % _CONF_SPLIT_MOD == 0
+        ).alias("is_calib"),
+    ).localCheckpoint(eager=True)
+    calib = s.filter("is_calib").select("score")
+    test = s.filter("NOT is_calib").select("score")
+    n_calib = calib.count()
+    k = int(math.ceil(CONFORMAL_LEVEL * (n_calib + 1)))
+    qhat = calib.orderBy("score").limit(k).agg(F.max("score")).collect()[0][0]
+    cov = test.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.round(
+            F.sum(F.when(F.col("score") <= qhat, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("coverage"),
+    )
+    return cov.select(
+        F.lit(n_calib).cast("bigint").alias("n_calib"),
+        "n_test",
+        F.lit(int(qhat)).cast("bigint").alias("qhat"),
+        "coverage",
+    )
