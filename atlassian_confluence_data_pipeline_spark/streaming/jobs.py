@@ -1030,3 +1030,77 @@ def foreach_batch_video_dedup(
             )
 
     return videos.writeStream.foreachBatch(dedup_batch)
+
+
+#: index schema for the streaming preference (duel) state
+_DUEL_INDEX_SCHEMA = "i string, j string, n bigint, w bigint"
+
+
+def foreach_batch_preference_state(duels, index_store):  # noqa: ANN001
+    """Cross-batch streaming PREFERENCE ingestion — the online form of
+    the preference_winrate_matrix duel aggregation (plans/preference.py):
+    each micro-batch of raw duels ``(s_a, s_b, winner)``
+
+    1. is emitted in both orientations and reduced to its per-matchup
+       increments ``(i, j, n, w)`` — a pure function of the batch;
+    2. lands as ONE AppendIndexStore batch partition — O(batch) state
+       I/O per trigger, replay-idempotent by layout (a replayed batch
+       overwrites its own partition with identical rows).
+
+    Readers re-aggregate the partitions (counts are an additive
+    monoid) via :func:`read_preference_state`, recovering exactly the
+    batch matchup matrix for the same duel multiset no matter how the
+    stream was chopped."""
+    from pyspark.sql import functions as F
+
+    def ingest_batch(batch_df, batch_id: int) -> None:
+        both = batch_df.select(
+            F.col("s_a").alias("i"), F.col("s_b").alias("j"), "winner"
+        ).unionByName(
+            batch_df.select(
+                F.col("s_b").alias("i"), F.col("s_a").alias("j"), "winner"
+            )
+        )
+        inc = both.groupBy("i", "j").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("winner") == F.col("i"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("w"),
+        )
+        index_store.write_batch(inc, batch_id)
+
+    return duels.writeStream.foreachBatch(ingest_batch)
+
+
+def read_preference_state(spark, index_store):  # noqa: ANN001
+    """Aggregate the persisted duel partitions into the live win-rate
+    matrix: (src, opponent, n_duels, n_wins, winrate, wilson_lb) — the
+    same columns and Wilson bound as the batch query."""
+    from pyspark.sql import functions as F
+
+    from atlassian_confluence_data_pipeline_spark.plans.preference import (
+        WILSON_Z,
+    )
+
+    m = (
+        index_store.read(spark, _DUEL_INDEX_SCHEMA)
+        .groupBy(F.col("i").alias("src"), F.col("j").alias("opponent"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n_duels"),
+            F.sum("w").cast("bigint").alias("n_wins"),
+        )
+    )
+    p = F.col("n_wins").cast("double") / F.col("n_duels")
+    n = F.col("n_duels").cast("double")
+    z = F.lit(WILSON_Z)
+    wilson = (
+        p + z * z / (2 * n) - z * F.sqrt((p * (1 - p) + z * z / (4 * n)) / n)
+    ) / (1 + z * z / n)
+    return m.select(
+        "src",
+        "opponent",
+        "n_duels",
+        "n_wins",
+        F.round(p, 6).alias("winrate"),
+        F.round(wilson, 6).alias("wilson_lb"),
+    )
