@@ -96,6 +96,10 @@ INTENTIONAL_BNLJ = {
     "burrows_delta_sources",  # |sources| x 30-marker-word grid built by
     # crossing the source totals with the TakeOrdered marker list —
     # both sides bounded (the zero-count cells must exist for z-scores)
+    "retrieval_ndcg_mrr",  # the same 10-row broadcast probe frame
+    # under != (cosine_topk pattern); metric folds on k rows/query
+    "preference_cycle_audit",  # four 1-row count scalars crossed into
+    # the single audit row (edge/cycle joins themselves are equi-joins)
 }
 
 #: queries whose plans legitimately carry many HOF folds (k parallel
