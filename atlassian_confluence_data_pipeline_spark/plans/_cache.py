@@ -102,25 +102,27 @@ def _fixture_fingerprint(sf_dir: str) -> str:
     """sha256 over (relative name, size, mtime_ns) of every parquet
     file under ``sf_dir`` plus the chain CODE fingerprint. Any
     regenerated/edited fixture or edited builder module changes the
-    digest. Memoized per-process keyed by (sf_dir, root mtime_ns) — the
-    coarse freshness probe means an in-process fixture regeneration
-    (which recreates files under the root) falls out of the memo
-    instead of serving the stale digest (round-9 ADVICE)."""
+    digest. Memoized per-process keyed by the full rglob stat profile
+    (name, size, mtime_ns per file) — NOT just the root mtime, which a
+    regeneration inside a nested subdir leaves unchanged (round-9/10
+    ADVICE). The walk IS the digest's input, so the memo only skips the
+    redundant sha256, but it keeps the memo-hit test semantics honest:
+    any in-place file rewrite falls out of the memo."""
     root = Path(sf_dir)
-    try:
-        root_mtime = root.stat().st_mtime_ns
-    except OSError:
-        root_mtime = -1
-    memo_key = (sf_dir, root_mtime)
+    lines = []
+    for p in sorted(root.rglob("*.parquet")):
+        try:
+            st = p.stat()
+        except OSError:
+            continue
+        lines.append(f"{p.relative_to(root)}|{st.st_size}|{st.st_mtime_ns}\n")
+    memo_key = (sf_dir, hash(tuple(lines)))
     cached = _FP_CACHE.get(memo_key)
     if cached is not None:
         return cached
     h = hashlib.sha256(_code_fingerprint().encode())
-    for p in sorted(root.rglob("*.parquet")):
-        st = p.stat()
-        h.update(
-            f"{p.relative_to(root)}|{st.st_size}|{st.st_mtime_ns}\n".encode()
-        )
+    for line in lines:
+        h.update(line.encode())
     digest = h.hexdigest()[:16]
     _FP_CACHE[memo_key] = digest
     return digest
@@ -194,15 +196,21 @@ def _reap_stale(entry_dir: Path) -> None:
 
         root = entry_dir.parent.parent
         prefix = entry_dir.parent.name.rsplit("-", 1)[0] + "-"
-        # pre-round-9 dirs lack the 8-hex path key — nothing writes that
-        # format anymore, so age them out regardless of identity
+        # pre-round-9 dirs lack the 8-hex path key; reap them ONLY when
+        # they share this entry's sf_dir basename (`{base}-…`) — a
+        # still-running old-format session on a DIFFERENT fixture root
+        # must never lose its warm cache to us (round-10 ADVICE). The
+        # age gate still applies on top.
         legacy = re.compile(r"-[0-9a-f]{16}$")
         current = re.compile(r"-[0-9a-f]{8}-[0-9a-f]{16}$")
+        base_prefix = current.sub("", entry_dir.parent.name) + "-"
         for p in root.iterdir():
             if not (p.is_dir() and p != entry_dir.parent and old(p)):
                 continue
             if p.name.startswith(prefix) or (
-                legacy.search(p.name) and not current.search(p.name)
+                p.name.startswith(base_prefix)
+                and legacy.search(p.name)
+                and not current.search(p.name)
             ):
                 shutil.rmtree(p, ignore_errors=True)
     except OSError:

@@ -19,13 +19,16 @@ normalization) is a fixed-order fold inside one row's arrays. DS_ITERS
 iterations therefore reproduce bit-for-bit in the oracle's unrolled
 materialized-CTE chain.
 
-Scale shape (the textbook EM-on-Spark form): posteriors live as one
-wide array column per document; each round is ONE corpus pass — the
-M-step is a decimal hash aggregate whose result is MODEL-sized (K·C² +
-C cells, collected to the driver like the kmeans centroids) and the
-E-step re-broadcasts the model as literals and normalizes row-locally
-(no shuffle for the partition function). The per-iteration posterior
-frame is checkpointed so plan depth stays O(1) per round.
+Scale shape (round-10: sufficient-statistics compression): a document
+enters the likelihood only through its k-ordered observation vector,
+so the corpus collapses to a C^K-bounded pattern histogram (125 cells
+here) in ONE distributed hash aggregate; every EM round then runs over
+the histogram on the driver with exact-decimal weighted M-steps
+(count × per-pattern posterior — bit-equal to the old per-doc
+DECIMAL(38,18) hash aggregate) and IEEE-double E-steps in the oracle's
+fold order. Total Spark jobs: one class scan + one histogram pass,
+independent of DS_ITERS (was one M-step collect + one checkpoint per
+round).
 
 Reference analog: none — §2.11 LLM-pipeline extension mandate (label
 quality for supervised fine-tuning data).
@@ -255,144 +258,123 @@ def dawid_skene_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Π_k conf_k(c, obs_kd)``, M-step priors and smoothed confusion
     matrices. Output: every annotator's fitted 5x5 confusion matrix.
 
-    Execution shape (the 100 TB EM-on-Spark form): posteriors live as
-    ONE wide array column per document; the model state (π + the K·C²
-    confusion cells) is collected to the driver each round and
-    re-broadcast as literals, so every round is a single corpus pass —
-    one groupBy(doc_id) with a class-ordered array fold and a row-LOCAL
-    normalization (no second shuffle for the partition function).
-    Driver-side reductions replicate the oracle's ORDER BY folds
-    exactly (IEEE doubles, same order), so all DS_ITERS rounds
-    reproduce bit-for-bit in the unrolled-CTE oracle."""
+    Execution shape (round-10 fusion — sufficient-statistics
+    compression, the 100 TB EM form): two documents with the same
+    k-ordered observation vector have IDENTICAL posteriors at every
+    iteration, so the corpus collapses to a C^K-bounded histogram of
+    observation patterns (125 cells here) in ONE distributed hash
+    aggregate; all DS_ITERS EM rounds then run over the pattern
+    histogram on the driver — zero per-round Spark jobs vs the old
+    loop's one M-step collect per round. The M-step stays EXACT: each
+    pattern's posterior is cast to DECIMAL(38,18) with Spark's own
+    shortest-repr + HALF_UP semantics (verified bitwise against the
+    engine's cast) and multiplied by the integer pattern count — the
+    same value the old per-doc decimal hash aggregate summed doc by
+    doc, since decimal arithmetic is exact. The E-step replicates the
+    oracle's ORDER BY folds in IEEE doubles (product over k order,
+    partition function over class order), so all DS_ITERS rounds
+    reproduce the unrolled-CTE oracle to the bit, pattern by pattern."""
     cls = _class_list(spark, sf_dir)
     C = len(cls)
     K = len(ANNOTATORS)
     cls_arr = F.array(*[F.lit(c) for c in cls])
-    labels = (
-        _annotator_labels(spark, sf_dir)
-        .select(
-            "doc_id",
-            "k",
-            "obs",
-            (F.array_position(cls_arr, F.col("obs")) - 1).alias("oi"),
-        )
-        .localCheckpoint(eager=True)
+    labels = _annotator_labels(spark, sf_dir).select(
+        "doc_id",
+        "k",
+        (F.array_position(cls_arr, F.col("obs")) - 1).alias("oi"),
     )
-    n_docs = labels.select("doc_id").distinct().count()
-
-    # one wide row per doc: class-ordered posterior array, k-ordered obs
+    # one row per doc (k-ordered obs vector), then the C^K-bounded
+    # pattern histogram — the fit's ONLY corpus-sized work
     per_doc = labels.groupBy("doc_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("k", "oi"))),
             lambda st: st["oi"],
         ).alias("ois")
     )
-    qv0 = F.transform(
-        F.sequence(F.lit(0), F.lit(C - 1)),
-        lambda c: F.size(F.filter("ois", lambda o: o == c)).cast("double")
-        / F.lit(float(K)),
+    hist = (
+        per_doc.groupBy("ois")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .collect()
     )
-    # docs x (K+C) narrow columns — small enough that one partition
-    # beats 32-task scheduling for the per-round aggregate + checkpoint
-    q = (
-        per_doc.select("doc_id", "ois", qv0.alias("qv"))
-        .coalesce(1)
-        .localCheckpoint(eager=True)
-    )
+    patterns = [
+        ([int(o) for o in r["ois"]], int(r["cnt"])) for r in hist
+    ]
+    n_docs = sum(cnt for _, cnt in patterns)
 
-    def collect_model(qf):
-        """Distributed M-step: π and confusion numerators as EXACT
-        DECIMAL(38,18) hash aggregates (order-free, engine-exact — the
-        poisson_bootstrap DECIMAL-moment idiom), then only the
-        MODEL-sized result (K·C² + C cells) comes to the driver, where
-        the smoothed divisions run in double like the oracle's."""
-        from decimal import Decimal
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
 
-        dec = "decimal(38,18)"
-        flat = qf.select(
-            F.explode(
-                F.zip_with(
-                    F.sequence(F.lit(1), F.lit(K)),
-                    F.col("ois"),
-                    lambda k, oi: F.struct(k.alias("k"), oi.alias("oi")),
-                )
-            ).alias("ko"),
-            "qv",
-        ).select(
-            F.col("ko.k").alias("k"),
-            F.col("ko.oi").alias("oi"),
-            F.posexplode("qv").alias("c", "qc"),
-        )
-        num_rows = (
-            flat.groupBy("k", "oi", "c")
-            .agg(F.sum(F.col("qc").cast(dec)).alias("s"))
-            .collect()
-        )
-        zero = Decimal(0)
-        num = {(k + 1, o, c): zero for k in range(K) for o in range(C) for c in range(C)}
-        for r in num_rows:
-            num[(int(r["k"]), int(r["oi"]), int(r["c"]))] = r["s"]
-        # π falls out of the numerators for free: every doc contributes
-        # q_d(c) to exactly one (k=1, obs) cell, and decimal addition is
-        # exact, so Σ_o num[(1,o,c)] == Σ_d q_d(c) to the bit — no
-        # second corpus aggregate needed
-        pi = [
-            float(sum(num[(1, o, c)] for o in range(C))) / n_docs
-            for c in range(C)
-        ]
-        conf = {}
-        for k in range(1, K + 1):
-            for c in range(C):
-                den = float(sum(num[(k, o, c)] for o in range(C)))
-                for o in range(C):
-                    conf[(k, o, c)] = (float(num[(k, o, c)]) + DS_ALPHA) / (
-                        den + DS_ALPHA * C
-                    )
+    _Q18 = Decimal(1).scaleb(-18)
+
+    def collect_model(qvs):
+        """M-step over the pattern histogram: π and confusion
+        numerators as exact decimal sums (count × per-pattern
+        posterior), matching the old per-doc DECIMAL(38,18) hash
+        aggregate bit-for-bit; the smoothed divisions run in double
+        like the oracle's."""
+        with localcontext() as ctx:
+            ctx.prec = 60  # keep count×quantized products exact
+            zero = Decimal(0)
+            num = {
+                (k + 1, o, c): zero
+                for k in range(K)
+                for o in range(C)
+                for c in range(C)
+            }
+            for (ois, cnt), qv in zip(patterns, qvs):
+                for c in range(C):
+                    # Spark's double->decimal cast goes through the
+                    # SHORTEST decimal repr (Double.toString), then
+                    # setScale(18, HALF_UP) — repr() is the same
+                    # shortest-roundtrip value in Python
+                    qdec = Decimal(repr(qv[c])).quantize(
+                        _Q18, rounding=ROUND_HALF_UP
+                    ) * cnt
+                    for k in range(K):
+                        num[(k + 1, ois[k], c)] += qdec
+            # π falls out of the numerators for free: every doc
+            # contributes q_d(c) to exactly one (k=1, obs) cell, and
+            # decimal addition is exact
+            pi = [
+                float(sum(num[(1, o, c)] for o in range(C))) / n_docs
+                for c in range(C)
+            ]
+            conf = {}
+            for k in range(1, K + 1):
+                for c in range(C):
+                    den = float(sum(num[(k, o, c)] for o in range(C)))
+                    for o in range(C):
+                        conf[(k, o, c)] = (
+                            float(num[(k, o, c)]) + DS_ALPHA
+                        ) / (den + DS_ALPHA * C)
         return pi, conf
 
+    # majority-vote soft init, per pattern (identical for every doc
+    # sharing the pattern)
+    qvs = [
+        [ois.count(c) / float(K) for c in range(C)] for ois, _ in patterns
+    ]
     for _ in range(DS_ITERS):
-        pi, conf = collect_model(q)
-        # E-step: per doc, per class c: pi_c * prod_k conf[k, obs_k, c],
-        # normalized row-locally with the class-ordered left fold
-        conf_arrs = F.array(
-            *[
-                F.array(
-                    *[
-                        F.array(
-                            *[F.lit(conf[(k, o, c)]) for c in range(C)]
-                        )
-                        for o in range(C)
-                    ]
-                )
-                for k in range(1, K + 1)
-            ]
-        )
-        pi_arr = F.array(*[F.lit(p) for p in pi])
-        ones = F.array(*[F.lit(1.0)] * C)
-        # ois is k-ordered, so a left fold over it is ORDER BY k
-        prod = F.aggregate(
-            F.zip_with(
-                F.sequence(F.lit(0), F.lit(K - 1)),
-                F.col("ois"),
-                lambda ki, oi: F.element_at(
-                    F.element_at(conf_arrs, ki + 1), oi.cast("int") + 1
-                ),
-            ),
-            ones,
-            lambda acc, arr: F.zip_with(acc, arr, lambda a, b: a * b),
-        )
-        v = F.zip_with(prod, pi_arr, lambda a, b: a * b)
-        z = F.aggregate(v, F.lit(0.0), lambda a, b: a + b)
-        q = q.select(
-            "doc_id",
-            "ois",
-            F.transform(v, lambda x: x / z).alias("qv"),
-        ).localCheckpoint(eager=True)  # already 1 partition (narrow)
+        pi, conf = collect_model(qvs)
+        # E-step per pattern: pi_c * prod_k conf[k, obs_k, c] (k-ordered
+        # product), normalized with the class-ordered left fold — the
+        # exact op sequence of the oracle's row-local expressions
+        new_qvs = []
+        for ois, _cnt in patterns:
+            prod = [1.0] * C
+            for k in range(K):
+                kc = [conf[(k + 1, ois[k], c)] for c in range(C)]
+                prod = [prod[c] * kc[c] for c in range(C)]
+            v = [prod[c] * pi[c] for c in range(C)]
+            z = 0.0
+            for c in range(C):
+                z = z + v[c]
+            new_qvs.append([v[c] / z for c in range(C)])
+        qvs = new_qvs
 
     from atlassian_confluence_data_pipeline_spark import iterstats
 
     iterstats.record("dawid_skene_confusion", DS_ITERS)
-    _, conf = collect_model(q)
+    _, conf = collect_model(qvs)
     out_rows = [
         (k, cls[c], cls[o], conf[(k, o, c)])
         for k in range(1, K + 1)

@@ -524,3 +524,161 @@ def bigram_nll_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+#: full BPE training loop: number of successive merges learned
+BPE_MERGES = 8
+
+#: sentinel delimiter for the merge-apply string rewrite — chr(1)
+#: never occurs in the corpus' whitespace-split words (and words that
+#: do contain it are excluded in BOTH engines)
+_BPE_D = "\x01"
+
+
+def _bpe_oracle() -> str:
+    d = "chr(1)"
+    blocks = [
+        """toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+wf AS MATERIALIZED (
+  SELECT word, count(*) AS freq FROM toks
+  WHERE strpos(word, chr(1)) = 0 GROUP BY 1
+),
+it0 AS MATERIALIZED (
+  SELECT word, freq,
+         list_transform(generate_series(1, len(word)),
+                        i -> substr(word, CAST(i AS INT), 1)) AS seq
+  FROM wf
+)"""
+    ]
+    for k in range(1, BPE_MERGES + 1):
+        km1 = k - 1
+        blocks.append(f"""pc{k} AS MATERIALIZED (
+  SELECT pr.s1 AS s1, pr.s2 AS s2, CAST(sum(freq) AS BIGINT) AS w
+  FROM (
+    SELECT freq,
+           unnest(list_transform(generate_series(1, len(seq) - 1),
+                  i -> struct_pack(s1 := seq[CAST(i AS INT)],
+                                   s2 := seq[CAST(i AS INT) + 1]))) AS pr
+    FROM it{km1} WHERE len(seq) >= 2) t
+  GROUP BY 1, 2
+), b{k} AS MATERIALIZED (
+  SELECT s1, s2, w FROM pc{k} ORDER BY w DESC, s1 ASC, s2 ASC LIMIT 1
+), it{k} AS MATERIALIZED (
+  SELECT word, freq,
+         string_split(
+           trim(replace({d} || array_to_string(seq, {d} || {d}) || {d},
+                        {d} || (SELECT s1 FROM b{k}) || {d} || {d}
+                            || (SELECT s2 FROM b{k}) || {d},
+                        {d} || (SELECT s1 || s2 FROM b{k}) || {d}),
+                {d}),
+           {d} || {d}) AS seq
+  FROM it{km1}
+)""")
+    steps = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, s1 AS left_sym, s2 AS right_sym,"
+        f" s1 || s2 AS merged, w AS weight FROM b{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f"\nSELECT CAST(step AS INT) AS step, left_sym, right_sym,"
+        f" merged, weight FROM ({steps}) s ORDER BY step\n"
+    )
+
+
+@query(
+    "bpe_merge_iterations",
+    oracle=_bpe_oracle(),
+    tags=("curation", "bpe", "tokenizer", "fitting", "iterative"),
+)
+def bpe_merge_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer-training loop (Sennrich et al. 2016):
+    BPE_MERGES successive merges over the corpus word-frequency table —
+    each round counts freq-weighted adjacent symbol pairs, picks the
+    max (ties broken lexicographically), and greedily rewrites every
+    word's symbol sequence left-to-right. Output: the learned merge
+    table (step, pair, merged token, pair weight).
+
+    Scale shape (the standard tokenizer-training reduction): the corpus
+    is touched ONCE by the word-count aggregate; the loop then runs
+    over the vocab-sized (word, freq, symbols) table — checkpointed to
+    one partition — so each round is one small aggregate job
+    (collect-model: the argmax row only). The merge-apply is a pure
+    string rewrite (sentinel-join + replace + split) with identical
+    greedy non-overlapping left-to-right semantics in Spark and DuckDB,
+    which is what lets the unrolled-CTE oracle reproduce the rewrites
+    exactly; pair weights are integer sums (order-free). New-pair
+    counts after a merge are bounded by the merged pair's count, so the
+    learned weights are non-increasing — the pytest pins that
+    invariant plus a planted-corpus merge order."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.trim("text"), WS), lambda x: x != F.lit(""))
+        ).alias("word")
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    wf = (
+        toks.filter(~F.col("word").contains(_BPE_D))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("word", "freq", chars.alias("seq"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    cur = wf
+    merges = []
+    for step in range(1, BPE_MERGES + 1):
+        pairs = cur.filter(F.size("seq") >= 2).select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("seq"), 1, F.size("seq") - 1),
+                    F.slice(F.col("seq"), 2, F.size("seq") - 1),
+                    lambda a, b: F.struct(a.alias("s1"), b.alias("s2")),
+                )
+            ).alias("pr"),
+        )
+        best = (
+            pairs.groupBy(F.col("pr.s1").alias("s1"), F.col("pr.s2").alias("s2"))
+            .agg(F.sum("freq").cast("bigint").alias("w"))
+            .orderBy(F.desc("w"), F.asc("s1"), F.asc("s2"))
+            .limit(1)
+            .collect()[0]
+        )
+        s1, s2, w = best["s1"], best["s2"], int(best["w"])
+        merges.append((step, s1, s2, s1 + s2, w))
+        joined = F.concat(
+            F.lit(_BPE_D), F.array_join("seq", _BPE_D + _BPE_D), F.lit(_BPE_D)
+        )
+        rewritten = F.replace(
+            joined,
+            F.lit(_BPE_D + s1 + _BPE_D + _BPE_D + s2 + _BPE_D),
+            F.lit(_BPE_D + s1 + s2 + _BPE_D),
+        )
+        # lazy chain over the checkpointed vocab table: round t redoes
+        # t-1 row-local string rewrites (vocab-sized, trivial) instead
+        # of paying a checkpoint job per round
+        cur = cur.select(
+            "word",
+            "freq",
+            F.split(F.btrim(rewritten, F.lit(_BPE_D)), _BPE_D + _BPE_D).alias(
+                "seq"
+            ),
+        )
+    from atlassian_confluence_data_pipeline_spark import iterstats
+
+    iterstats.record("bpe_merge_iterations", BPE_MERGES)
+    return spark.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, merged string,"
+        " weight bigint",
+    )

@@ -102,6 +102,75 @@ _SUBDIM = _DIM // _SUBS
 _CODEBOOK = 8  # centroids per subspace (seeded from the first 8 vectors)
 
 
+def pq_subdist_sql_duck(a: str, b: str, s: int) -> str:
+    """DuckDB fold: squared L2 distance between subvector ``s`` of two
+    list expressions — the shared distance kernel of ``pq_codes`` and
+    ``pq_adc_topk`` (quantization.py), kept in ONE place so the two
+    oracles can never drift."""
+    lo = s * _SUBDIM
+    diff = f"({a}[{lo} + k]::DOUBLE - {b}[{lo} + k]::DOUBLE)"
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {_SUBDIM}), "
+        f"k -> {diff} * {diff})), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def pq_subdist_sql_spark(cents: dict, s: int, cid: int, vec: str) -> str:
+    """Spark-side flat literal form of the same kernel: sum of
+    {_SUBDIM} squared diffs against centroid ``cid``'s subvector,
+    inlined as shortest-round-trip double literals (bitwise-equal to
+    the oracle's 0.0-seeded fold — squared terms are never -0.0)."""
+    lo = s * _SUBDIM
+    terms = []
+    for k in range(1, _SUBDIM + 1):
+        c = repr(cents[cid][lo + k - 1])
+        e = (
+            f"(CAST(element_at({vec}, {lo + k}) AS DOUBLE)"
+            f" - CAST('{c}' AS DOUBLE))"
+        )
+        terms.append(f"{e} * {e}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def pq_collect_codebook(emb) -> dict:
+    """The deterministic PQ codebook: the first _CODEBOOK vectors,
+    collected (seed rows only — the kmeans-codebook literal pattern)."""
+    seeds = (
+        emb.filter(F.col("vec_id") < _CODEBOOK)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds}
+
+
+def pq_code_columns(cents: dict, vec: str = "embedding") -> list:
+    """Stage-2 argmin code columns over the stage-1 distance columns —
+    see pq_codes for why the two stages are flat SQL, not HOF folds.
+    Returns (dist_cols, code_cols): select dist_cols first, then
+    code_cols over the bound names."""
+    dist_cols = [
+        F.expr(pq_subdist_sql_spark(cents, s, cid, vec)).alias(f"__d_{s}_{cid}")
+        for s in range(_SUBS)
+        for cid in range(_CODEBOOK)
+    ]
+    code_cols = []
+    for s in range(_SUBS):
+        names = [f"__d_{s}_{cid}" for cid in range(_CODEBOOK)]
+        m = "least(" + ", ".join(names) + ")"
+        case = (
+            "CASE "
+            + " ".join(
+                f"WHEN {names[cid]} = {m} THEN CAST({cid} AS BIGINT)"
+                for cid in range(_CODEBOOK)
+            )
+            + " END"
+        )
+        code_cols.append(F.expr(case).alias(f"code{s}"))
+    return dist_cols, code_cols
+
+
 def _pq_oracle() -> str:
     # centroid c of subspace s = subvector s of seed row c; distance =
     # left-to-right double fold of squared diffs over the 16 subdims
@@ -109,19 +178,10 @@ def _pq_oracle() -> str:
     # centroid) distances come from one cross join with the 8-row
     # codebook, then an ordered-first aggregate picks each subspace's
     # argmin with the lowest-cid tie-break.
-    dist_cols = []
-    for s in range(_SUBS):
-        lo = s * _SUBDIM  # 0-based offset of subspace s
-        diff = (
-            f"(e.embedding[{lo} + k]::DOUBLE - c.embedding[{lo} + k]::DOUBLE)"
-        )
-        dist_cols.append(
-            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            f"list_transform(generate_series(1, {_SUBDIM}), "
-            f"k -> {diff} * {diff})), "
-            f"(acc, x) -> acc + x) AS d{s}"
-        )
-    dists = ",\n         ".join(dist_cols)
+    dists = ",\n         ".join(
+        f"{pq_subdist_sql_duck('e.embedding', 'c.embedding', s)} AS d{s}"
+        for s in range(_SUBS)
+    )
     codes = ",\n       ".join(
         f"first(cid ORDER BY d{s} ASC, cid ASC) AS code{s}"
         for s in range(_SUBS)
@@ -158,14 +218,8 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bit-identical across engines); ties break to the lowest
     centroid id."""
     emb = load_table(spark, sf_dir, "embeddings")
-    seeds = (
-        emb.filter(F.col("vec_id") < _CODEBOOK)
-        .select("vec_id", "embedding")
-        .collect()
-    )  # 8 seed rows — same tiny-literal pattern as the k-means codebook
-    cents = {
-        int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds
-    }
+    # 8 seed rows — same tiny-literal pattern as the k-means codebook
+    cents = pq_collect_codebook(emb)
 
     # Two staged projections of FLAT arithmetic (no HOF): stage 1
     # computes all 32 subspace distances as named columns — each a
@@ -180,35 +234,6 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expressions run inside whole-stage codegen. The flat sum
     # t1 + t2 + ... is bitwise-equal to the oracle's 0.0-seeded fold
     # (squared terms are never -0.0, so the leading 0.0 + t1 == t1).
-    def dist_sql(s: int, cid: int) -> str:
-        lo = s * _SUBDIM
-        terms = []
-        for k in range(1, _SUBDIM + 1):
-            c = repr(cents[cid][lo + k - 1])
-            e = (
-                f"(CAST(element_at(embedding, {lo + k}) AS DOUBLE)"
-                f" - CAST('{c}' AS DOUBLE))"
-            )
-            terms.append(f"{e} * {e}")
-        return "(" + " + ".join(terms) + ")"
-
-    dist_cols = [
-        F.expr(dist_sql(s, cid)).alias(f"__d_{s}_{cid}")
-        for s in range(_SUBS)
-        for cid in range(_CODEBOOK)
-    ]
+    dist_cols, code_cols = pq_code_columns(cents)
     staged = emb.select("vec_id", *dist_cols)
-    code_cols = []
-    for s in range(_SUBS):
-        names = [f"__d_{s}_{cid}" for cid in range(_CODEBOOK)]
-        m = "least(" + ", ".join(names) + ")"
-        case = (
-            "CASE "
-            + " ".join(
-                f"WHEN {names[cid]} = {m} THEN CAST({cid} AS BIGINT)"
-                for cid in range(_CODEBOOK)
-            )
-            + " END"
-        )
-        code_cols.append(F.expr(case).alias(f"code{s}"))
     return staged.select("vec_id", *code_cols)

@@ -529,10 +529,15 @@ def conformal_length_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_calib = calib.count()
     k = int(math.ceil(CONFORMAL_LEVEL * (n_calib + 1)))
     qhat = calib.orderBy("score").limit(k).agg(F.max("score")).collect()[0][0]
+    # Empty calibration split -> qhat is None; mirror the oracle's
+    # scalar-subquery semantics (NULL qhat, `score <= NULL` never true
+    # so coverage collapses to 0) instead of raising on int(None).
+    qhat_cmp = F.lit(int(qhat)) if qhat is not None else F.lit(None).cast("int")
     cov = test.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_test"),
         F.round(
-            F.sum(F.when(F.col("score") <= qhat, 1).otherwise(0)).cast("double")
+            F.sum(F.when(F.col("score") <= qhat_cmp, 1).otherwise(0))
+            .cast("double")
             / F.count(F.lit(1)),
             6,
         ).alias("coverage"),
@@ -540,6 +545,6 @@ def conformal_length_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cov.select(
         F.lit(n_calib).cast("bigint").alias("n_calib"),
         "n_test",
-        F.lit(int(qhat)).cast("bigint").alias("qhat"),
+        qhat_cmp.cast("bigint").alias("qhat"),
         "coverage",
     )

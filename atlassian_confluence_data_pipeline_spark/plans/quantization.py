@@ -227,3 +227,206 @@ def grouped_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("bigint").alias("n_rows"),
         )
     )
+
+
+#: PQ-ADC search parameters (mirror cosine_topk's fixture shape)
+ADC_QUERIES = 10
+ADC_TOPK = 5
+
+
+def _adc_oracle() -> str:
+    from atlassian_confluence_data_pipeline_spark.plans.embeddings2 import (
+        _CODEBOOK,
+        _SUBS,
+        pq_subdist_sql_duck,
+    )
+
+    enc_dists = ",\n         ".join(
+        f"{pq_subdist_sql_duck('e.embedding', 'c.embedding', s)} AS d{s}"
+        for s in range(_SUBS)
+    )
+    lut_dists = ",\n         ".join(
+        f"{pq_subdist_sql_duck('q.embedding', 'c.embedding', s)} AS d{s}"
+        for s in range(_SUBS)
+    )
+    codes = ",\n       ".join(
+        f"first(cid ORDER BY d{s} ASC, cid ASC) AS code{s}"
+        for s in range(_SUBS)
+    )
+    lut_joins = "\n  ".join(
+        f"JOIN lut l{s} ON l{s}.query_id = q.query_id"
+        f" AND l{s}.cid = db.code{s}"
+        for s in range(_SUBS)
+    )
+    adc = " + ".join(f"l{s}.d{s}" for s in range(_SUBS))
+    exd = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(generate_series(1, len(q.embedding)), "
+        "i -> (q.embedding[i]::DOUBLE - db.embedding[i]::DOUBLE)"
+        " * (q.embedding[i]::DOUBLE - db.embedding[i]::DOUBLE))), "
+        "(acc, x) -> acc + x)"
+    )
+    return f"""
+WITH cb AS (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {_CODEBOOK}
+),
+d AS (
+  SELECT e.vec_id, c.cid,
+         {enc_dists}
+  FROM embeddings e CROSS JOIN cb c
+),
+codes AS (
+  SELECT vec_id,
+       {codes}
+  FROM d GROUP BY vec_id
+),
+q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings
+  WHERE vec_id < {ADC_QUERIES}
+),
+lut AS (
+  SELECT q.query_id, c.cid,
+         {lut_dists}
+  FROM q CROSS JOIN cb c
+),
+db AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding, c.*
+  FROM embeddings e JOIN codes c ON e.vec_id = c.vec_id
+),
+pairs AS (
+  SELECT q.query_id, db.neighbor_id,
+         {adc} AS adc,
+         {exd} AS exd
+  FROM q JOIN db ON q.query_id <> db.neighbor_id
+  {lut_joins}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, neighbor_id) AS r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY exd ASC, neighbor_id) AS rx
+  FROM pairs
+)
+SELECT query_id, neighbor_id, CAST(r AS INT) AS rank,
+       round(adc, 6) AS adc_dist,
+       CAST(CASE WHEN rx <= {ADC_TOPK} THEN 1 ELSE 0 END AS INT) AS exact_hit
+FROM ranked WHERE r <= {ADC_TOPK}
+"""
+
+
+@query(
+    "pq_adc_topk",
+    oracle=_adc_oracle(),
+    tags=("similarity", "vector", "quantization", "ann", "scalepath"),
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-{K} search with an in-query
+    recall audit — the memory-resident ANN deployment of the
+    ``pq_codes`` index (X3 at 100 TB: the corpus lives as 4 bytes of
+    codes per vector, never as floats). Each query builds a
+    {SUBS}x{CB} lookup table of EXACT squared subspace distances to
+    the codebook (query side keeps its floats — that's the asymmetry),
+    then every database vector's approximate distance is four LUT
+    lookups summed; the exact squared-L2 ranking is carried in the
+    same plan and each reported neighbor is flagged ``exact_hit`` if
+    it appears in the exact top-{K}, so ADC's quality cost is measured
+    in-engine (the int8_topk_recall discipline).
+
+    Scale shape: codes and LUTs are flat literal/codegen arithmetic
+    (no HOF in the encode path — the pq_codes two-stage form, shared
+    kernels in embeddings2.py); search is the cosine_topk
+    broadcast-BNLJ shape ({Q}-row query side under the != condition,
+    documented in PLANS.md); ranking windows are PARTITIONED by
+    query_id. At scale the LUT-sum scan replaces a 64-mult float dot
+    per pair with 4 array lookups over 16x less memory traffic; the
+    exact audit leg is dropped and sampled offline instead (it exists
+    here to grade the index, the ivf_recall_audit pattern)."""
+    from atlassian_confluence_data_pipeline_spark.plans.embeddings2 import (
+        _CODEBOOK,
+        _SUBS,
+        pq_code_columns,
+        pq_collect_codebook,
+        pq_subdist_sql_spark,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = pq_collect_codebook(emb)
+    dist_cols, code_cols = pq_code_columns(cents)
+    db = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("nv"),
+            *dist_cols,
+        )
+        .select("neighbor_id", "nv", *code_cols)
+    )
+    # per-query LUT: one 8-slot array per subspace of exact squared
+    # subspace distances query->centroid (flat literal arithmetic)
+    lut_cols = [
+        F.array(
+            *[
+                F.expr(pq_subdist_sql_spark(cents, s, cid, "embedding"))
+                for cid in range(_CODEBOOK)
+            ]
+        ).alias(f"lut{s}")
+        for s in range(_SUBS)
+    ]
+    q = emb.filter(F.col("vec_id") < ADC_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        *lut_cols,
+    )
+    adc = None
+    for s in range(_SUBS):
+        term = F.element_at(F.col(f"lut{s}"), F.col(f"code{s}").cast("int") + 1)
+        adc = term if adc is None else adc + term
+    exd = F.aggregate(
+        F.sequence(F.lit(1), F.size("qv")),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (
+            F.element_at(F.col("qv"), i).cast("double")
+            - F.element_at(F.col("nv"), i).cast("double")
+        )
+        * (
+            F.element_at(F.col("qv"), i).cast("double")
+            - F.element_at(F.col("nv"), i).cast("double")
+        ),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(db, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            adc.alias("adc"),
+            exd.alias("exd"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id")
+    )
+    w_ex = Window.partitionBy("query_id").orderBy(
+        F.asc("exd"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.select(
+            "query_id",
+            "neighbor_id",
+            "adc",
+            F.row_number().over(w_adc).alias("r"),
+            F.row_number().over(w_ex).alias("rx"),
+        )
+        .filter(F.col("r") <= ADC_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("r").cast("int").alias("rank"),
+            F.round("adc", 6).alias("adc_dist"),
+            F.when(F.col("rx") <= ADC_TOPK, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("exact_hit"),
+        )
+    )

@@ -236,7 +236,21 @@ def append_shard_batch(
     if bid in man["batches"]:
         return man  # committed replay -> no-op
 
-    packed = shard_packed_frame(accepted.select("doc_id", "text", "tok"))
+    accepted = accepted.select("doc_id", "text", "tok")
+    if accepted.isEmpty():
+        # An all-rejected micro-batch must still COMMIT: a zero-row
+        # partitioned write leaves only _SUCCESS behind and the staged
+        # read-back raises UNABLE_TO_INFER_SCHEMA, which would
+        # crash-loop every replay. Record the batch id (so replays
+        # no-op) and flip the manifest without a data dir.
+        man["batches"].append(bid)
+        tmp = os.path.join(out_path, f".ptr-{bid}")
+        with open(tmp, "w") as fh:
+            json.dump(man, fh, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(out_path, MANIFEST))
+        return man
+
+    packed = shard_packed_frame(accepted)
     offsets = {int(k): int(v["n_tokens"]) for k, v in man["shards"].items()}
     if offsets:
         off_df = spark.createDataFrame(

@@ -100,6 +100,8 @@ INTENTIONAL_BNLJ = {
     # under != (cosine_topk pattern); metric folds on k rows/query
     "preference_cycle_audit",  # four 1-row count scalars crossed into
     # the single audit row (edge/cycle joins themselves are equi-joins)
+    "pq_adc_topk",  # 10-row broadcast query frame under the != self
+    # condition (cosine_topk pattern); ADC + exact rankings in one plan
 }
 
 #: queries whose plans legitimately carry many HOF folds (k parallel
