@@ -63,6 +63,30 @@ def _hmac_sha256_udf(sign_key: bytes):
     return _mac
 
 
+def _sign_and_concat_udf(sign_key: bytes):
+    """head -> head || HMAC-SHA256(head). The tag is appended INSIDE
+    the UDF so the (possibly random-IV, i.e. NON-DETERMINISTIC) head
+    expression is referenced exactly once in the plan — a separate
+    ``concat(head, mac(head))`` evaluates ``head`` twice (projection +
+    Arrow-UDF input are different plan nodes, no CSE across them),
+    drawing two different IVs and producing tokens whose MAC never
+    verifies (round-10 bug, caught by the fernet_roundtrip_docs
+    oracle)."""
+
+    @F.pandas_udf("binary")
+    def _signed(head: pd.Series) -> pd.Series:
+        import hmac as _hmac
+
+        return head.map(
+            lambda b: bytes(b)
+            + _hmac.new(sign_key, bytes(b), hashlib.sha256).digest()
+            if b is not None
+            else None
+        )
+
+    return _signed
+
+
 def fernet_encrypt(
     data: Column, key32: bytes, ts: int, iv: bytes | None = None
 ) -> Column:
@@ -83,7 +107,7 @@ def fernet_encrypt(
     head = F.concat(
         F.lit(bytes([FERNET_VERSION]) + struct.pack(">Q", ts)), ivct
     )
-    return F.concat(head, _hmac_sha256_udf(sign_key)(head))
+    return _sign_and_concat_udf(sign_key)(head)
 
 
 def fernet_decrypt(

@@ -1488,7 +1488,11 @@ def quality_gate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _full_pipeline_oracle() -> str:
+def _full_pipeline_ctes() -> str:
+    """The text curation chain (gates -> exact dedup -> LSH pairs ->
+    components -> `final` survivor CTE) as a reusable CTE chunk, shared
+    by full_curation_pipeline's census and the round-10 cross-modal
+    composition's text leg."""
     # the near-dup stage reads the exact+quality survivor CTE; its own
     # nested WITH is legal as a CTE body and sees the outer CTEs
     from atlassian_confluence_data_pipeline_spark.plans.multimodal import (
@@ -1496,8 +1500,7 @@ def _full_pipeline_oracle() -> str:
     )
 
     pairs_sql = _neardup_lsh_oracle(docs_src="survivors")
-    return f"""
-WITH RECURSIVE scored AS (
+    return f"""scored AS (
   SELECT doc_id, lang, source, text,
          len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
          CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
@@ -1529,12 +1532,78 @@ comp AS (
 final AS (
   SELECT s.* FROM survivors s LEFT JOIN comp c USING (doc_id)
   WHERE c.doc_id IS NULL OR c.rep = s.doc_id
-)
+)"""
+
+
+def _full_pipeline_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_full_pipeline_ctes()}
 SELECT lang,
        count(*) AS n_docs,
        CAST(sum(n_words) AS BIGINT) AS total_tokens
 FROM final GROUP BY lang
 """
+
+
+def _build_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and")])
+    canon = F.lower(F.regexp_replace("text", r"\s+", " "))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.md5(canon).alias("fp"),
+        _words(F.col("text")).alias("w"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        "fp",
+        F.size("w").alias("n_words"),
+        (
+            F.size(
+                F.filter(F.col("w"), lambda x: F.array_contains(stop, x))
+            ).cast("double")
+            / F.size("w")
+        ).alias("stop_ratio"),
+    )
+    gated = scored.filter(
+        (F.col("n_words") >= 20) & (F.col("stop_ratio") < 0.08)
+    )
+    exact_reps = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return gated.join(exact_reps, ["fp", "doc_id"], "left_semi").select(
+        "doc_id", "lang", "source", "text", "n_words"
+    )
+
+
+def _build_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        shared_pair_table,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.multimodal import (
+        neardup_lsh_pairs_frame,
+    )
+
+    survivors = shared_pair_table(
+        spark, sf_dir, "curation_survivors_exact", _build_survivors
+    )
+    return neardup_lsh_pairs_frame(survivors)
+
+
+def curated_survivor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text pipeline's fuzzy near-dup pair list (doc_a, doc_b) over
+    the exact+quality survivors — the warm-startable shared stage the
+    CC dedup and the cross-modal census both consume."""
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        shared_pair_table,
+    )
+
+    return shared_pair_table(
+        spark, sf_dir, "curation_survivor_neardup_pairs", _build_pairs
+    )
 
 
 def curated_survivor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1551,49 +1620,6 @@ def curated_survivor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared_pair_table,
     )
 
-    def _build_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
-        stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and")])
-        canon = F.lower(F.regexp_replace("text", r"\s+", " "))
-        scored = docs.select(
-            "doc_id",
-            "lang",
-            "source",
-            "text",
-            F.md5(canon).alias("fp"),
-            _words(F.col("text")).alias("w"),
-        ).select(
-            "doc_id",
-            "lang",
-            "source",
-            "text",
-            "fp",
-            F.size("w").alias("n_words"),
-            (
-                F.size(
-                    F.filter(F.col("w"), lambda x: F.array_contains(stop, x))
-                ).cast("double")
-                / F.size("w")
-            ).alias("stop_ratio"),
-        )
-        gated = scored.filter(
-            (F.col("n_words") >= 20) & (F.col("stop_ratio") < 0.08)
-        )
-        exact_reps = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-        return gated.join(exact_reps, ["fp", "doc_id"], "left_semi").select(
-            "doc_id", "lang", "source", "text", "n_words"
-        )
-
-    def _build_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from atlassian_confluence_data_pipeline_spark.plans.multimodal import (
-            neardup_lsh_pairs_frame,
-        )
-
-        survivors = shared_pair_table(
-            spark, sf_dir, "curation_survivors_exact", _build_survivors
-        )
-        return neardup_lsh_pairs_frame(survivors)
-
     # Both stages ride the session+disk shared cache: the survivor
     # frame (the gates + exact dedup — deterministic given the fixture)
     # and the fuzzy pair list over it (the expensive LSH chain — the
@@ -1603,9 +1629,7 @@ def curated_survivor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = shared_pair_table(
         spark, sf_dir, "curation_survivors_exact", _build_survivors
     )
-    pairs = shared_pair_table(
-        spark, sf_dir, "curation_survivor_neardup_pairs", _build_pairs
-    )
+    pairs = curated_survivor_pairs(spark, sf_dir)
     comp = connected_components(pairs, "doc_a", "doc_b")
     dropped = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from atlassian_confluence_data_pipeline_spark.catalog import load_table
 from atlassian_confluence_data_pipeline_spark.plans.registry import query
 
 #: minimum bit-exact shared frames for "near-duplicate video": planted
@@ -315,4 +316,194 @@ def perceptual_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(F.when(F.col("in_aud") & ~F.col("in_img"), t).otherwise(0))
         .cast("bigint")
         .alias("n_audio_only"),
+    )
+
+
+def _mm_pipeline_oracle() -> str:
+    """Cross-modal curation census: the TEXT leg reuses the
+    full_curation_pipeline CTE chain verbatim (shared chunk in
+    plans/curation.py); each perceptual leg nests that modality's
+    self-contained near-dup-pair oracle as a CTE body (the
+    dedup_aware_sample_weights nesting pattern — no string surgery)
+    plus a recursive reachability closure for its cluster drop."""
+    from atlassian_confluence_data_pipeline_spark.plans.curation import (
+        _full_pipeline_ctes,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.registry import (
+        QUERIES,
+    )
+
+    def leg(tag: str, pairs_query: str, items_query: str) -> str:
+        return f"""{tag}_pairs AS ({QUERIES[pairs_query].oracle}),
+{tag}_items AS (
+  SELECT count(DISTINCT doc_id) AS c FROM ({QUERIES[items_query].oracle})
+),
+{tag}_edges AS (
+  SELECT id_a AS s, id_b AS d FROM {tag}_pairs
+  UNION SELECT id_b, id_a FROM {tag}_pairs
+),
+{tag}_reach(n, m) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM {tag}_edges)
+  UNION
+  SELECT e.s, r.m FROM {tag}_edges e JOIN {tag}_reach r ON e.d = r.n
+),
+{tag}_comp AS (SELECT n AS doc_id, min(m) AS rep FROM {tag}_reach GROUP BY 1)"""
+
+    def row(tag: str, name: str) -> str:
+        items = f"(SELECT CAST(c AS BIGINT) FROM {tag}_items)"
+        dropped = (
+            f"(SELECT CAST(count(*) AS BIGINT) FROM {tag}_comp"
+            " WHERE doc_id <> rep)"
+        )
+        return f"""SELECT '{name}' AS modality,
+       {items} AS n_items,
+       (SELECT CAST(count(*) AS BIGINT) FROM {tag}_pairs) AS n_dup_pairs,
+       {dropped} AS n_dropped,
+       {items} - {dropped} AS n_survivors"""
+
+    legs = ",\n".join(
+        [
+            leg("img", "image_near_dup_pairs", "image_dhash_fingerprints"),
+            leg("aud", "audio_near_dup_pairs", "audio_fingerprints"),
+            leg("vid", "video_near_dup_pairs", "video_frame_fingerprints"),
+        ]
+    )
+    text_row = """SELECT 'text' AS modality,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_items,
+       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_dup_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents)
+         - (SELECT CAST(count(*) AS BIGINT) FROM final) AS n_dropped,
+       (SELECT CAST(count(*) AS BIGINT) FROM final) AS n_survivors"""
+    rows = "\nUNION ALL\n".join(
+        [
+            text_row,
+            row("img", "image"),
+            row("aud", "audio"),
+            row("vid", "video"),
+        ]
+    )
+    return (
+        f"WITH RECURSIVE {_full_pipeline_ctes()},\n{legs}\n{rows}\n"
+    )
+
+
+@query(
+    "full_curation_pipeline_mm",
+    oracle=_mm_pipeline_oracle(),
+    tags=("multimodal", "curation", "dedup", "pipeline", "flagship"),
+)
+def full_curation_pipeline_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CROSS-MODAL CURATION RUN (round-10 VERDICT item 4): the text
+    pipeline (quality gate -> exact dedup -> banded-MinHash fuzzy dedup)
+    composed with the image/audio/video perceptual near-dup legs into
+    ONE unified savings census — per modality: item count, near-dup
+    pair count, cluster-dropped count (connected components, keep each
+    cluster's min id), and survivors. The report a multimodal
+    pretraining-data team reads to see what dedup bought per modality
+    BEFORE shipping shards.
+
+    Every leg rides its existing warm-started shared stage (text
+    survivor + pair stages, image dHash / audio energy / video frame
+    fingerprint tables in plans/_cache.py), so a warm session runs
+    this composition with ZERO fingerprint rebuilds — plan-gated by
+    tools/plan_snapshot.py --check-warm. Per-modality drops are CC
+    over the banded pair lists only (star-contraction, O(log n)
+    rounds); the four census rows are 1-row broadcast crosses
+    (INTENTIONAL_BNLJ, the scalar-attach pattern)."""
+    from atlassian_confluence_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from atlassian_confluence_data_pipeline_spark.operators.lsh import (
+        simhash_near_pairs,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        audio_fp64,
+        image_dhash_fp,
+        video_frame_fp,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.curation import (
+        curated_survivor_docs,
+        curated_survivor_pairs,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.multimodal2 import (
+        DHASH_CHUNKS,
+        DHASH_MAX_HAMMING,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.multimodal3 import (
+        AFP_CHUNKS,
+        AFP_MAX_HAMMING,
+    )
+
+    def census_row(name: str, items: DataFrame, pairs: DataFrame,
+                   a: str, b: str) -> DataFrame:
+        comp = connected_components(pairs, a, b)
+        n_items = items.agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_items")
+        )
+        n_pairs = pairs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs")
+        )
+        n_drop = comp.agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("node") != F.col("component"), 1).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_dropped")
+        )
+        return (
+            n_items.crossJoin(F.broadcast(n_pairs))
+            .crossJoin(F.broadcast(n_drop))
+            .select(
+                F.lit(name).alias("modality"),
+                "n_items",
+                "n_dup_pairs",
+                "n_dropped",
+                (F.col("n_items") - F.col("n_dropped")).alias("n_survivors"),
+            )
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t_items = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_items"))
+    t_pairs = curated_survivor_pairs(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs")
+    )
+    t_surv = curated_survivor_docs(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_survivors")
+    )
+    text_row = (
+        t_items.crossJoin(F.broadcast(t_pairs))
+        .crossJoin(F.broadcast(t_surv))
+        .select(
+            F.lit("text").alias("modality"),
+            "n_items",
+            "n_dup_pairs",
+            (F.col("n_items") - F.col("n_survivors")).alias("n_dropped"),
+            "n_survivors",
+        )
+    )
+    ifp = image_dhash_fp(spark, sf_dir)
+    img_pairs = simhash_near_pairs(
+        ifp.select("doc_id", F.col("dhash").alias("simhash")),
+        "doc_id",
+        max_hamming=DHASH_MAX_HAMMING,
+        chunks=DHASH_CHUNKS,
+    )
+    afp = audio_fp64(spark, sf_dir)
+    aud_pairs = simhash_near_pairs(
+        afp.select("doc_id", F.col("afp").alias("simhash")),
+        "doc_id",
+        max_hamming=AFP_MAX_HAMMING,
+        chunks=AFP_CHUNKS,
+    )
+    vfp = video_frame_fp(spark, sf_dir)
+    vid_pairs = video_near_dup_pairs(spark, sf_dir)
+    return (
+        text_row.unionByName(
+            census_row("image", ifp, img_pairs, "id_a", "id_b")
+        )
+        .unionByName(census_row("audio", afp, aud_pairs, "id_a", "id_b"))
+        .unionByName(census_row("video", vfp, vid_pairs, "id_a", "id_b"))
     )

@@ -169,8 +169,13 @@ def preference_winrate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bt_oracle() -> str:
-    blocks = [_DUEL_CTE, "it0 AS MATERIALIZED (SELECT i, CAST(1.0 AS DOUBLE) AS wt FROM wins)"]
+def _bt_blocks() -> tuple[list[str], str]:
+    """The unrolled Bradley-Terry MM CTE chain (assumes _DUEL_CTE's
+    `matchups`/`wins` are in scope); returns (blocks, final weight
+    table) so dpo_pair_construction's oracle can reuse the fit."""
+    blocks = [
+        "it0 AS MATERIALIZED (SELECT i, CAST(1.0 AS DOUBLE) AS wt FROM wins)"
+    ]
     prev = "it0"
     term = _OFOLD.format(x="p.n / (wi.wt + wj.wt)", k="p.j")
     for k in range(1, BT_ITERS + 1):
@@ -188,9 +193,14 @@ def _bt_oracle() -> str:
   FROM raw{k}
 )""")
         prev = f"it{k}"
+    return blocks, prev
+
+
+def _bt_oracle() -> str:
+    blocks, prev = _bt_blocks()
     return (
         "WITH "
-        + ",\n".join(blocks)
+        + ",\n".join([_DUEL_CTE] + blocks)
         + f"""
 SELECT w.i AS source, w.w AS n_wins, w.n AS n_duels,
        round(t.wt, 6) AS strength
@@ -426,4 +436,165 @@ def preference_cycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         ).alias("cycle_rate"),
+    )
+
+
+#: DPO pair gate: keep only duels whose matchup's Wilson LOWER bound on
+#: the chosen side's win rate clears this — a pair from a matchup the
+#: data can't distinguish from a coin flip teaches a reward model noise
+DPO_WILSON_MIN = 0.5
+
+
+def _dpo_oracle() -> str:
+    from atlassian_confluence_data_pipeline_spark.plans.registry import (
+        QUERIES,
+    )
+
+    bt_blocks, bt_final = _bt_blocks()
+    pairs_sql = QUERIES["near_dup_pairs_lsh"].oracle
+    z = WILSON_Z
+    p = "CAST(m.w_i AS DOUBLE) / m.n"
+    wilson = (
+        f"({p} + {z} * {z} / (2 * m.n)"
+        f" - {z} * sqrt(({p} * (1 - {p}) + {z} * {z} / (4 * m.n)) / m.n))"
+        f" / (1 + {z} * {z} / m.n)"
+    )
+    return (
+        f"WITH RECURSIVE {_DUEL_CTE},\n"
+        + ",\n".join(bt_blocks)
+        + f""",
+ndpairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM ndpairs
+  UNION SELECT doc_b, doc_a FROM ndpairs
+),
+reach(n, m) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n
+),
+comp AS (SELECT n AS doc_id, min(m) AS rep FROM reach GROUP BY 1),
+sz AS (SELECT rep, CAST(count(*) AS BIGINT) AS size FROM comp GROUP BY 1),
+dw AS (
+  SELECT d.doc_id, round(1.0 / coalesce(s.size, 1), 6) AS weight
+  FROM documents d
+  LEFT JOIN comp c ON d.doc_id = c.doc_id
+  LEFT JOIN sz s ON c.rep = s.rep
+),
+wl AS (
+  SELECT m.i, m.j, round({wilson}, 6) AS wilson_lb FROM matchups m
+),
+bt AS (
+  SELECT i, round(wt, 6) AS strength FROM {bt_final}
+),
+dpo AS (
+  SELECT CASE WHEN winner = s_a THEN id_a ELSE id_b END AS chosen_doc_id,
+         CASE WHEN winner = s_a THEN id_b ELSE id_a END AS rejected_doc_id,
+         winner AS chosen_source,
+         CASE WHEN winner = s_a THEN s_b ELSE s_a END AS rejected_source
+  FROM cmp
+)
+SELECT d.chosen_doc_id, d.rejected_doc_id,
+       d.chosen_source, d.rejected_source,
+       round(bc.strength - br.strength, 6) AS margin,
+       wl.wilson_lb,
+       dw.weight
+FROM dpo d
+JOIN bt bc ON bc.i = d.chosen_source
+JOIN bt br ON br.i = d.rejected_source
+JOIN wl ON wl.i = d.chosen_source AND wl.j = d.rejected_source
+JOIN dw ON dw.doc_id = d.chosen_doc_id
+WHERE wl.wilson_lb > {DPO_WILSON_MIN}
+"""
+    )
+
+
+@query(
+    "dpo_pair_construction",
+    oracle=_dpo_oracle(),
+    tags=("preference", "rlhf", "dpo", "pipeline"),
+)
+def dpo_pair_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/preference training-pair construction — the consumer
+    artifact of the preference family: one (chosen, rejected) document
+    pair per duel, annotated with the Bradley-Terry strength margin,
+    gated on the matchup's Wilson lower bound (> DPO_WILSON_MIN — only
+    statistically supported preferences become training signal), and
+    weighted by the chosen document's dedup-aware sampling weight so
+    duplicated content doesn't overtrain the reward model.
+
+    Pure composition of oracle-green parts: the duel frame, the fused
+    Bradley-Terry fit (both strength joins are the 20-row broadcast),
+    the Wilson matchup bounds, and the shared near-dup cluster chain's
+    1/|cluster| weights (corpus-sized equi-join on chosen_doc_id). All
+    floats are rounded engine-side at the part boundaries, so the
+    composition is deterministic across engines."""
+    from atlassian_confluence_data_pipeline_spark.plans.curation import (
+        dedup_aware_sample_weights,
+    )
+
+    cmp = _duel_frame(spark, sf_dir)
+    chosen = F.when(F.col("winner") == F.col("s_a"), F.col("id_a")).otherwise(
+        F.col("id_b")
+    )
+    rejected = F.when(F.col("winner") == F.col("s_a"), F.col("id_b")).otherwise(
+        F.col("id_a")
+    )
+    rej_src = F.when(F.col("winner") == F.col("s_a"), F.col("s_b")).otherwise(
+        F.col("s_a")
+    )
+    dpo = cmp.select(
+        chosen.alias("chosen_doc_id"),
+        rejected.alias("rejected_doc_id"),
+        F.col("winner").alias("chosen_source"),
+        rej_src.alias("rejected_source"),
+    )
+    bt = bradley_terry_strengths(spark, sf_dir).select("source", "strength")
+    wl = preference_winrate_matrix(spark, sf_dir).select(
+        "src", "opponent", "wilson_lb"
+    )
+    dw = dedup_aware_sample_weights(spark, sf_dir).select("doc_id", "weight")
+    return (
+        dpo.join(
+            F.broadcast(
+                bt.select(
+                    F.col("source").alias("chosen_source"),
+                    F.col("strength").alias("__sc"),
+                )
+            ),
+            "chosen_source",
+        )
+        .join(
+            F.broadcast(
+                bt.select(
+                    F.col("source").alias("rejected_source"),
+                    F.col("strength").alias("__sr"),
+                )
+            ),
+            "rejected_source",
+        )
+        .join(
+            F.broadcast(
+                wl.select(
+                    F.col("src").alias("chosen_source"),
+                    F.col("opponent").alias("rejected_source"),
+                    "wilson_lb",
+                )
+            ),
+            ["chosen_source", "rejected_source"],
+        )
+        .join(
+            dw.select(F.col("doc_id").alias("chosen_doc_id"), "weight"),
+            "chosen_doc_id",
+        )
+        .filter(F.col("wilson_lb") > DPO_WILSON_MIN)
+        .select(
+            "chosen_doc_id",
+            "rejected_doc_id",
+            "chosen_source",
+            "rejected_source",
+            F.round(F.col("__sc") - F.col("__sr"), 6).alias("margin"),
+            "wilson_lb",
+            "weight",
+        )
     )

@@ -530,3 +530,60 @@ def variant_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("k").cast("bigint").alias("n_distinct_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F15 — crypto roundtrip under the driver gate (round-10 VERDICT item 7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fernet_roundtrip_docs",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_roundtrip_ok,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM documents
+""",
+    tags=("scalar", "crypto", "f15"),
+)
+def fernet_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 under driver_sim: encrypt every document's text into a
+    Fernet token (PBKDF2-derived key, spec-random IVs) and
+    verify-then-decrypt it in the SAME plan — the oracle pins that the
+    roundtrip loses nothing (ok == n_docs, mismatch == 0), which is
+    exactly what fails if the token layout, HMAC input span, TTL
+    arithmetic, or AES mode drifts. Byte-level Fernet semantics
+    (tamper, TTL expiry, cross-library compatibility) stay pinned in
+    tests/test_crypto_fernet.py.
+
+    Scale shape: two narrow per-row passes (JVM aes_encrypt/aes_decrypt
+    + the Arrow-batched HMAC pandas UDF) and one count aggregate — no
+    shuffle beyond the final 1-row agg. Cites reference
+    utilities/secure_cookie_manager.py:40-140 (save/load roundtrip)."""
+    from atlassian_confluence_data_pipeline_spark.functions.crypto import (
+        BASE_PASSPHRASE,
+        derive_fernet_key,
+        fernet_decrypt,
+        fernet_encrypt,
+    )
+
+    key = derive_fernet_key(BASE_PASSPHRASE, b"fernet-roundtrip-docs")
+    ts = 1_700_000_000
+    docs = load_table(spark, sf_dir, "documents")
+    tok = fernet_encrypt(F.encode(F.col("text"), "UTF-8"), key, ts)
+    plain = fernet_decrypt(F.col("__tok"), key, now=ts + 10, ttl=3600)
+    ok = F.decode(plain, "UTF-8") == F.col("text")
+    return (
+        docs.select("text", tok.alias("__tok"))
+        .select("text", ok.alias("__ok"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("__ok"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_roundtrip_ok"),
+            F.sum(F.when(F.col("__ok"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_mismatch"),
+        )
+    )

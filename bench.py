@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import sys
 import time
 from pathlib import Path
@@ -58,11 +59,21 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    # SHUFFLED sweep order (round-10 VERDICT item 6): the old sorted
+    # sweep put alphabetically adjacent queries into the same host-
+    # contention windows, so slow bands correlated with name prefixes
+    # and round-over-round per-query diffs confounded real movement
+    # with band position. A seeded shuffle decorrelates them; the seed
+    # is recorded so any run is reproducible.
+    seed = int(os.environ.get("SPARK_GRAFT_BENCH_SEED", time.time_ns() % 2**31))
+    order = sorted(QUERIES)
+    random.Random(seed).shuffle(order)
     timings: dict[str, float] = {}
-    for name in sorted(QUERIES):
+    for name in order:
         timings[name] = round(
             min(run_query(spark, name, SF_DIR) for _ in range(2)), 4
         )
+    timings = {name: timings[name] for name in sorted(timings)}
     total = round(sum(timings.values()), 4)
     line = json.dumps(
         {
@@ -73,6 +84,7 @@ def main() -> None:
             "sf": float(sf),
             "n_queries": len(timings),
             "cpus": CPUS,
+            "order_seed": seed,
         }
     )
     print(line)

@@ -102,3 +102,45 @@ def test_wrong_key_rejected(spark):
         fernet_decrypt(F.col("token"), other, now=TS, ttl=None).alias("p")
     ).first()
     assert row["p"] is None
+
+
+def test_roundtrip_with_random_iv(spark):
+    """Round-10 regression: spec-random IVs (no fixed iv) must still
+    produce SELF-CONSISTENT tokens — the old concat(head, mac(head))
+    evaluated the nondeterministic head twice (projection vs Arrow-UDF
+    input, no CSE across the boundary), drawing two different IVs so
+    the MAC never verified its own token."""
+    from pyspark.sql import functions as F
+
+    from atlassian_confluence_data_pipeline_spark.functions.crypto import (
+        BASE_PASSPHRASE,
+        derive_fernet_key,
+        fernet_decrypt,
+        fernet_encrypt,
+    )
+
+    key = derive_fernet_key(BASE_PASSPHRASE, b"random-iv-regression")
+    ts = 1_700_000_000
+    df = spark.createDataFrame(
+        [(i, f"payload number {i}") for i in range(20)], "i int, text string"
+    )
+    tok = fernet_encrypt(F.encode(F.col("text"), "UTF-8"), key, ts)
+    out = (
+        df.select("text", tok.alias("tok"))
+        .select(
+            "text",
+            "tok",
+            F.decode(
+                fernet_decrypt(F.col("tok"), key, now=ts + 1, ttl=3600),
+                "UTF-8",
+            ).alias("back"),
+        )
+        .collect()
+    )
+    assert all(r.back == r.text for r in out)
+    # IVs really are random: distinct tokens for identical plaintexts
+    dup = spark.createDataFrame([("same",), ("same",)], "text string")
+    toks = dup.select(
+        fernet_encrypt(F.encode(F.col("text"), "UTF-8"), key, ts).alias("t")
+    ).collect()
+    assert bytes(toks[0].t) != bytes(toks[1].t)

@@ -142,3 +142,74 @@ def test_pq_adc_topk_structure_and_audit(spark):
         }
         for r in rs:
             assert r.exact_hit == int(r.neighbor_id in exact5)
+
+
+def test_dpo_pairs_planted_preference(spark, tmp_path):
+    """Planted preference: source 'a' docs are strictly longer, so
+    every cross-source duel is won by 'a' — DPO pairs must all point
+    a-over-b, clear the Wilson gate, carry a positive strength margin,
+    and down-weight duplicated chosen content."""
+    from atlassian_confluence_data_pipeline_spark.plans.preference import (
+        DPO_WILSON_MIN,
+        dpo_pair_construction,
+    )
+
+    dup_text = " ".join(f"dup{i:02d}" for i in range(40))
+    short_u = "one two three four five six seven {}"
+    rows = []
+    for d in range(1, 41):
+        if d % 2 == 1:  # source a, long; doc_ids 21..29 odd share text
+            # unique docs use fully DISJOINT word sets (a shared prefix
+            # would near-dup-cluster them and shrink their weights)
+            t = dup_text if 20 < d < 30 else " ".join(
+                f"doc{d:02d}w{i:02d}" for i in range(40)
+            )
+            rows.append((d, t, "en", "a", len(t)))
+        else:
+            t = short_u.format(f"v{d}")
+            rows.append((d, t, "en", "b", len(t)))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    out = dpo_pair_construction(spark, str(sf)).collect()
+    assert out  # the planted preference survives the Wilson gate
+    for r in out:
+        assert r.chosen_source == "a" and r.rejected_source == "b"
+        assert r.chosen_doc_id % 2 == 1 and r.rejected_doc_id % 2 == 0
+        assert r.margin > 0
+        assert r.wilson_lb > DPO_WILSON_MIN
+    dup_ids = {d for d in range(21, 30, 2)}
+    w_dup = {r.weight for r in out if r.chosen_doc_id in dup_ids}
+    w_uniq = {r.weight for r in out if r.chosen_doc_id not in dup_ids}
+    assert w_dup and all(w < 1.0 for w in w_dup)
+    assert w_uniq and all(w == 1.0 for w in w_uniq)
+
+
+def test_mm_curation_census_invariants(spark):
+    """Cross-modal census: all four modalities present, arithmetic
+    consistent, and the text row agrees with the text-only pipeline's
+    census over the same fixture."""
+    from atlassian_confluence_data_pipeline_spark.catalog import load_table
+    from atlassian_confluence_data_pipeline_spark.plans.curation import (
+        full_curation_pipeline,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.multimodal4 import (
+        full_curation_pipeline_mm,
+    )
+
+    rows = {r.modality: r for r in full_curation_pipeline_mm(spark, SF).collect()}
+    assert set(rows) == {"text", "image", "audio", "video"}
+    n_docs = load_table(spark, SF, "documents").count()
+    for r in rows.values():
+        assert r.n_items == n_docs  # every doc has every modality fixture
+        assert r.n_survivors == r.n_items - r.n_dropped
+        assert 0 <= r.n_dropped <= r.n_items
+        if r.modality != "text":  # text drops include the quality gate
+            assert r.n_dup_pairs >= r.n_dropped  # each drop needs a pair
+
+    text_census = full_curation_pipeline(spark, SF).collect()
+    assert rows["text"].n_survivors == sum(r.n_docs for r in text_census)

@@ -102,6 +102,9 @@ INTENTIONAL_BNLJ = {
     # the single audit row (edge/cycle joins themselves are equi-joins)
     "pq_adc_topk",  # 10-row broadcast query frame under the != self
     # condition (cosine_topk pattern); ADC + exact rankings in one plan
+    "full_curation_pipeline_mm",  # four 1-row census scalars crossed
+    # per modality row (scalar-attach pattern); every dedup leg itself
+    # is a banded equi-join + CC
 }
 
 #: queries whose plans legitimately carry many HOF folds (k parallel
