@@ -68,6 +68,7 @@ _CODE_DEPS = (
     "../sources/binary.py",
     "textops.py",
     "substring.py",
+    "curation.py",  # survivor-gate thresholds + pair-stage builders
     "multimodal.py",
     "multimodal2.py",
     "multimodal3.py",

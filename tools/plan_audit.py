@@ -118,6 +118,11 @@ MANY_FOLD_OK = {
     "centroid_classifier_confusion",  # 10 centroid-distance folds (one
     # per label codebook entry) in the broadcast-codebook explode
     "centroid_silhouette_by_label",  # same 10-fold distance frame
+    "bradley_terry_strengths",  # round-10 fusion: 8 unrolled MM rounds,
+    # each one denominator fold + one normalization fold over the
+    # packed contestant² row — k parallel folds by construction
+    "dpo_pair_construction",  # embeds the fused Bradley-Terry chain
+    # (18 folds) plus the dedup-weight minhash chain's signature folds
 }
 
 FOLD_THRESHOLD = 8
