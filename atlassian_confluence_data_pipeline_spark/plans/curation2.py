@@ -535,7 +535,9 @@ BPE_MERGES = 8
 _BPE_D = "\x01"
 
 
-def _bpe_oracle() -> str:
+def _bpe_blocks() -> tuple[list, str]:
+    """The BPE training CTE chain; returns (blocks, final it-table) so
+    the census oracle can reuse the learned rewrites."""
     d = "chr(1)"
     blocks = [
         """toks AS (
@@ -578,6 +580,11 @@ it0 AS MATERIALIZED (
            {d} || {d}) AS seq
   FROM it{km1}
 )""")
+    return blocks, f"it{BPE_MERGES}"
+
+
+def _bpe_oracle() -> str:
+    blocks, _final = _bpe_blocks()
     steps = "\nUNION ALL\n".join(
         f"SELECT {k} AS step, s1 AS left_sym, s2 AS right_sym,"
         f" s1 || s2 AS merged, w AS weight FROM b{k}"
@@ -616,6 +623,18 @@ def bpe_merge_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts after a merge are bounded by the merged pair's count, so the
     learned weights are non-increasing — the pytest pins that
     invariant plus a planted-corpus merge order."""
+    _cur, merges = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, merged string,"
+        " weight bigint",
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the BPE training loop; returns (final (word, freq, seq)
+    frame with all learned merges applied, merge list) — shared by
+    bpe_merge_iterations and bpe_token_census."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(
@@ -677,8 +696,63 @@ def bpe_merge_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from atlassian_confluence_data_pipeline_spark import iterstats
 
     iterstats.record("bpe_merge_iterations", BPE_MERGES)
-    return spark.createDataFrame(
-        merges,
-        "step int, left_sym string, right_sym string, merged string,"
-        " weight bigint",
+    return cur, merges
+
+
+def _bpe_census_oracle() -> str:
+    blocks, final = _bpe_blocks()
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f""",
+tok AS (SELECT unnest(seq) AS symbol, freq FROM {final}),
+cnt AS (
+  SELECT symbol, CAST(sum(freq) AS BIGINT) AS n_occurrences
+  FROM tok GROUP BY 1
+)
+SELECT symbol, n_occurrences,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, symbol)
+            AS INT) AS rnk
+FROM cnt
+QUALIFY rnk <= {BPE_CENSUS_TOPK}
+"""
+    )
+
+
+#: symbols reported by the post-training census
+BPE_CENSUS_TOPK = 30
+
+
+@query(
+    "bpe_token_census",
+    oracle=_bpe_census_oracle(),
+    tags=("curation", "bpe", "tokenizer", "agg"),
+)
+def bpe_token_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-training BPE vocabulary census — what the learned tokenizer
+    ACTUALLY does to the corpus: apply all BPE_MERGES merges in order
+    (the _bpe_train rewrites), then report the top-{K} final symbols by
+    corpus occurrence count (freq-weighted, ties to the smaller
+    symbol). The symbols mix merged tokens with surviving single
+    characters, which is the fertility picture a tokenizer-training
+    run is judged on.
+
+    Scale shape: the training reduction (one corpus pass, vocab-sized
+    loop) plus one explode + hash aggregate over the vocab-sized symbol
+    table and a TakeOrdered top-{K}; the rank runs inside the bounded
+    {K}-row result (plan-audit measured bound)."""
+    cur, _merges = _bpe_train(spark, sf_dir)
+    cnt = (
+        cur.select(F.explode("seq").alias("symbol"), "freq")
+        .groupBy("symbol")
+        .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
+    )
+    top = cnt.orderBy(
+        F.desc("n_occurrences"), F.asc("symbol")
+    ).limit(BPE_CENSUS_TOPK)
+    return top.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_occurrences"), F.asc("symbol")))
+        .cast("int"),
     )

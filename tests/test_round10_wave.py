@@ -213,3 +213,34 @@ def test_mm_curation_census_invariants(spark):
 
     text_census = full_curation_pipeline(spark, SF).collect()
     assert rows["text"].n_survivors == sum(r.n_docs for r in text_census)
+
+
+def test_bpe_token_census_consistency(spark, tmp_path):
+    """The census over the trained symbol table must agree with the
+    reference BPE's final sequences on a planted corpus, and merged
+    tokens must appear with their expected corpus counts."""
+    from atlassian_confluence_data_pipeline_spark.plans.curation2 import (
+        bpe_token_census,
+    )
+
+    texts = [
+        "aaab aaab aab banana bandana",
+        "banana band banana ananas",
+        "low lower lowest low low",
+    ]
+    sf = _mk_docs(spark, tmp_path, texts)
+    wf = {}
+    for t in texts:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    _, seqs = _ref_bpe(wf, 8)
+    expected = {}
+    for w, f in wf.items():
+        for s in seqs[w]:
+            expected[s] = expected.get(s, 0) + f
+    top = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    got = [
+        (r.symbol, r.n_occurrences)
+        for r in bpe_token_census(spark, sf).orderBy("rnk").collect()
+    ]
+    assert got == top

@@ -145,6 +145,7 @@ BOUNDED_GLOBAL_WINDOW_OK: dict[str, tuple[int, str]] = {
         " (the exact-audit branch uses distributed_prefix_rank)",
     ),
     "bpe_merge_candidates": (24, "rank inside the 20-row TakeOrdered result"),
+    "bpe_token_census": (34, "rank inside the 30-row TakeOrdered result"),
     "rrf_hybrid_search": (
         220,
         "ranks inside the two 100-row TakeOrdered cuts"
