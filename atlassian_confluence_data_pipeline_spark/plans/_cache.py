@@ -60,6 +60,7 @@ _CHAIN_VERSION = "v2"
 #: under-invalidation is the bug — keep this list generous.
 _CODE_DEPS = (
     "_cache.py",
+    "../operators/graph.py",  # CC feeds persisted component stages
     "../operators/lsh.py",
     "../operators/similarity.py",
     "../functions/text.py",
@@ -68,6 +69,7 @@ _CODE_DEPS = (
     "../sources/binary.py",
     "textops.py",
     "substring.py",
+    "clustering.py",  # dbscan thresholds feed its staged components
     "curation.py",  # survivor-gate thresholds + pair-stage builders
     "multimodal.py",
     "multimodal2.py",

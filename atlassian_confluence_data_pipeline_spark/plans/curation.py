@@ -571,20 +571,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is super-linear (10.8x wall at 8x data, SCALING.md). Same verified
     similarity, near-linear candidate generation; the exact form stays
     registered as the sf-bounded oracle baseline."""
-    from atlassian_confluence_data_pipeline_spark.operators.graph import (
-        connected_components,
-    )
-    from atlassian_confluence_data_pipeline_spark.plans._cache import (
-        shared_pair_table,
-    )
-    from atlassian_confluence_data_pipeline_spark.plans.multimodal import (
-        near_dup_pairs_lsh,
-    )
-
-    pairs = shared_pair_table(
-        spark, sf_dir, "near_dup_pairs_lsh", near_dup_pairs_lsh
-    )
-    return connected_components(pairs, "doc_a", "doc_b").select(
+    return near_dup_components(spark, sf_dir).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
     )
 
@@ -1606,6 +1593,52 @@ def curated_survivor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curated_survivor_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, component) over the survivor near-dup pairs — staged
+    (round-10): connected components is a deterministic function of the
+    already-staged pair list, and the star-contraction driver loop was
+    the dominant warm cost of every pipeline census that consumed it
+    (graph.py joined _CODE_DEPS so a CC semantics edit rotates this)."""
+    from atlassian_confluence_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        shared_pair_table,
+    )
+
+    def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return connected_components(
+            curated_survivor_pairs(spark, sf_dir), "doc_a", "doc_b"
+        )
+
+    return shared_pair_table(
+        spark, sf_dir, "curation_survivor_components", _build
+    )
+
+
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, component) over the raw-corpus banded-MinHash near-dup
+    pairs — the staged CC consumed by dedup_clusters_lsh and the
+    dedup-aware sampling weights (and through them the DPO chain)."""
+    from atlassian_confluence_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        shared_pair_table,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.multimodal import (
+        near_dup_pairs_lsh,
+    )
+
+    def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        pairs = shared_pair_table(
+            spark, sf_dir, "near_dup_pairs_lsh", near_dup_pairs_lsh
+        )
+        return connected_components(pairs, "doc_a", "doc_b")
+
+    return shared_pair_table(spark, sf_dir, "near_dup_components", _build)
+
+
 def curated_survivor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full_curation_pipeline survivor frame as a reusable stage:
     (doc_id, lang, source, text, n_words) after the quality gate, exact
@@ -1629,8 +1662,7 @@ def curated_survivor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = shared_pair_table(
         spark, sf_dir, "curation_survivors_exact", _build_survivors
     )
-    pairs = curated_survivor_pairs(spark, sf_dir)
-    comp = connected_components(pairs, "doc_a", "doc_b")
+    comp = curated_survivor_components(spark, sf_dir)
     dropped = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
@@ -1712,21 +1744,8 @@ def dedup_aware_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface variants available. Composes the shared near-dup cluster
     chain (banded-MinHash pairs -> connected components) with one
     cluster-size aggregate and a left join back onto the corpus."""
-    from atlassian_confluence_data_pipeline_spark.operators.graph import (
-        connected_components,
-    )
-    from atlassian_confluence_data_pipeline_spark.plans._cache import (
-        shared_pair_table,
-    )
-    from atlassian_confluence_data_pipeline_spark.plans.multimodal import (
-        near_dup_pairs_lsh,
-    )
-
     docs = load_table(spark, sf_dir, "documents")
-    pairs = shared_pair_table(
-        spark, sf_dir, "near_dup_pairs_lsh", near_dup_pairs_lsh
-    )
-    comp = connected_components(pairs, "doc_a", "doc_b").select(
+    comp = near_dup_components(spark, sf_dir).select(
         F.col("node").alias("doc_id"), F.col("component").alias("rep")
     )
     sz = comp.groupBy("rep").agg(

@@ -530,11 +530,16 @@ def dedup_cluster_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_pairs_lsh,
     )
 
+    from atlassian_confluence_data_pipeline_spark.plans.curation import (
+        near_dup_components,
+    )
+
     pairs = shared_pair_table(
         spark, sf_dir, "near_dup_pairs_lsh", near_dup_pairs_lsh
     ).select(F.col("doc_a"), F.col("doc_b")).localCheckpoint(eager=True)
     m = pairs.count()
-    comp = connected_components(pairs, "doc_a", "doc_b").select(
+    # staged CC (round-10): deterministic function of the staged pairs
+    comp = near_dup_components(spark, sf_dir).select(
         F.col("node"), F.col("component").alias("cluster")
     ).localCheckpoint(eager=True)
     edges = pairs.select(F.col("doc_a").alias("s")).unionByName(
