@@ -218,15 +218,50 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry latent strengths via BT_ITERS minorize-maximize
     iterations (Hunter 2004 MM update, regularized with BT_PRIOR
     pseudo-wins), normalized each round to mean 1 — the standard
-    model-ranking fit over pairwise preference data. Fully unrolled
-    lazy plan (the kmeans_iterations Lloyd-chain pattern, round-10
-    fusion): each round joins the matchup table to the current weight
-    frame twice (broadcast), folds the per-contestant denominator in
-    opponent order, and normalizes against a 1-row broadcast — all
-    BT_ITERS rounds execute as ONE Spark job instead of one collect per
-    round. Every float is an id-ordered fold, so the fixed-iteration
-    result reproduces bit-for-bit in the oracle's unrolled CTE chain."""
+    model-ranking fit over pairwise preference data.
+
+    Execution strategy is guarded by the contestant count (round-11
+    VERDICT item 2 — the guard the round-10 comment claimed): at or
+    under BT_PACKED_MAX_CONTESTANTS the whole fit runs as the fused
+    packed-row expression chain (_bt_fit_packed — zero per-round Spark
+    jobs); above it the contestant²-bounded matchup matrix would
+    outgrow a single packed row, so each MM round runs as one
+    broadcast-join + ordered-fold aggregate job over the distributed
+    matchup table (_bt_fit_joined). Both paths use identical IEEE fold
+    orders (denominator ORDER BY j, normalization ORDER BY i), so they
+    are bit-identical to each other and to the oracle's unrolled CTE
+    chain — pytest crosses the bound both ways and asserts equality."""
     duels = _duels_both(spark, sf_dir)
+    # cheap upper bound on the contestant count: contestants are
+    # sources, and the distinct-source census is a narrow pruned scan
+    # (model-sized collect — one integer)
+    n_contestants = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count_distinct("source"))
+        .first()[0]
+    )
+    from atlassian_confluence_data_pipeline_spark import iterstats
+
+    iterstats.record("bradley_terry_strengths", BT_ITERS)
+    if n_contestants <= BT_PACKED_MAX_CONTESTANTS:
+        return _bt_fit_packed(duels)
+    return _bt_fit_joined(duels)
+
+
+#: above this contestant count the packed matchup row (contestant²
+#: structs in ONE row) stops being the right shape — the fit falls back
+#: to the per-round broadcast-join aggregate over the distributed
+#: matchup table. 128 contestants packs <= 16384 structs/row (~0.5 MB),
+#: comfortably row-sized; the fixtures' 20 sources sit far below it.
+BT_PACKED_MAX_CONTESTANTS = 128
+
+
+def _bt_fit_packed(duels: DataFrame) -> DataFrame:
+    """Fused packed-row Bradley-Terry fit (round-10 fusion): the
+    matchup matrix packs into a single (i,j)-sorted struct-array row
+    and all BT_ITERS MM rounds run as one row-local expression chain —
+    zero per-round Spark jobs. Correct only while the matrix is
+    row-sized; bradley_terry_strengths guards the dispatch."""
 
     def _let(val, body):
         """let-binding as an expression: bind ``val`` ONCE as a lambda
@@ -240,18 +275,15 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Round-10 fusion (VERDICT item 1): ALL BT_ITERS MM rounds run as
     # ONE row-local expression chain. The matchup matrix is
-    # contestant²-bounded (the same bound under which the old loop
-    # checkpointed it to one partition), so the DISTRIBUTED part of the
-    # fit is the corpus->duels->matchup hash aggregate; the matrix then
-    # packs into a single row (sorted struct array) and every MM round
-    # is a pure array expression over it — zero per-round Spark
-    # jobs/stages vs the old loop's 8 collect jobs (~0.6 s floor each).
+    # contestant²-bounded (<= BT_PACKED_MAX_CONTESTANTS² structs — the
+    # dispatcher guarantees it), so the DISTRIBUTED part of the fit is
+    # the corpus->duels->matchup hash aggregate; the matrix then packs
+    # into a single row (sorted struct array) and every MM round is a
+    # pure array expression over it — zero per-round Spark jobs/stages
+    # vs the joined fallback's one job per round (~0.6 s floor each).
     # Fold orders are unchanged (denominator ORDER BY j via the (i,j)-
     # sorted pack; normalization ORDER BY i), every op is the same IEEE
-    # double op, so the unrolled-CTE oracle stays byte-identical. At
-    # contestant counts where the matrix outgrows a row, each round
-    # falls back to the broadcast-join + ordered-fold aggregate shape
-    # (preference_winrate_matrix's) with one job per round.
+    # double op, so the unrolled-CTE oracle stays byte-identical.
     mg = duels.groupBy("i", "j").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.when(F.col("winner") == F.col("i"), 1).otherwise(0))
@@ -317,9 +349,6 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = F.transform(ws, lambda s: F.lit(1.0))
     for _ in range(BT_ITERS):
         wt = _round(wt)
-    from atlassian_confluence_data_pipeline_spark import iterstats
-
-    iterstats.record("bradley_terry_strengths", BT_ITERS)
     return (
         row.select(
             F.explode(
@@ -339,6 +368,104 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r")
         )
         .select("r.*")
+    )
+
+
+def _bt_fit_joined(duels: DataFrame) -> DataFrame:
+    """Per-round broadcast-join Bradley-Terry fit — the fallback shape
+    for contestant counts where the packed matchup row would outgrow a
+    single row (> BT_PACKED_MAX_CONTESTANTS). One Spark job per MM
+    round (the pre-fusion kmeans/hierarchy loop pattern): each round
+    joins the checkpointed matchup table to the current weight frame
+    twice (both weight frames are contestant-sized broadcasts), folds
+    the per-contestant denominator in opponent order (ORDER BY j — the
+    identical IEEE fold order of _bt_fit_packed and the oracle), and
+    normalizes against a 1-row broadcast whose sum folds ORDER BY i.
+    Bit-identical to the packed path on any input by construction:
+    same fold orders, same double ops, only the execution strategy
+    differs — tests/test_preference_wave.py crosses the bound both
+    ways and asserts row-level equality."""
+    mg = (
+        duels.groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("winner") == F.col("i"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wins = mg.groupBy("i").agg(
+        F.sum("w").cast("bigint").alias("n_wins"),
+        F.sum("n").cast("bigint").alias("n_duels"),
+    )
+    wt = wins.select("i", F.lit(1.0).alias("wt"))
+    for _ in range(BT_ITERS):
+        raw = (
+            mg.join(
+                F.broadcast(wt.select("i", F.col("wt").alias("wt_i"))), "i"
+            )
+            .join(
+                F.broadcast(
+                    wt.select(
+                        F.col("i").alias("j"), F.col("wt").alias("wt_j")
+                    )
+                ),
+                "j",
+            )
+            .groupBy("i")
+            .agg(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("j").alias("k"),
+                                    (
+                                        F.col("n").cast("double")
+                                        / (F.col("wt_i") + F.col("wt_j"))
+                                    ).alias("x"),
+                                )
+                            )
+                        ),
+                        lambda s: s["x"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                ).alias("den"),
+            )
+            .join(F.broadcast(wins.select("i", "n_wins")), "i")
+            .select(
+                "i",
+                (
+                    (F.col("n_wins").cast("double") + F.lit(BT_PRIOR))
+                    / F.col("den")
+                ).alias("wraw"),
+            )
+        )
+        tot = raw.agg(
+            F.count(F.lit(1)).cast("double").alias("cnt"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "wraw"))),
+                    lambda s: s["wraw"],
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("s"),
+        )
+        wt = (
+            raw.crossJoin(F.broadcast(tot))
+            .select(
+                "i", (F.col("wraw") * F.col("cnt") / F.col("s")).alias("wt")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return wins.join(wt, "i").select(
+        F.col("i").alias("source"),
+        "n_wins",
+        "n_duels",
+        F.round("wt", 6).alias("strength"),
     )
 
 

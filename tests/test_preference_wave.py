@@ -84,6 +84,37 @@ def test_cycle_audit_counts_planted_cycle(spark, tmp_path):
         assert 0.0 <= r.cycle_rate <= 1.0
 
 
+def test_bt_packed_vs_joined_paths_identical(spark, tmp_path):
+    """Round-11 VERDICT item 2: the packed-row fit and the per-round
+    broadcast-join fallback must be bit-identical on the SAME duel set
+    at a contestant count that crosses BT_PACKED_MAX_CONTESTANTS, and
+    the dispatcher must pick the joined path above the bound."""
+    from atlassian_confluence_data_pipeline_spark.plans import (
+        preference as P,
+    )
+
+    # 200 distinct sources -> above the 128-contestant packed bound
+    rows = [
+        (d, "t", "en", f"S{d % 200}", 50 + (d * 37) % 101)
+        for d in range(400)
+    ]
+    sf = _mk_docs(spark, tmp_path, rows)
+    duels = P._duels_both(spark, sf)
+    packed = {r.source: r for r in P._bt_fit_packed(duels).collect()}
+    joined = {r.source: r for r in P._bt_fit_joined(duels).collect()}
+    assert packed.keys() == joined.keys() and len(packed) > P.BT_PACKED_MAX_CONTESTANTS
+    for s in packed:
+        assert packed[s] == joined[s], s
+    # dispatcher: >128 contestants -> the joined path's rows, exactly
+    out = {
+        r.source: r for r in P.bradley_terry_strengths(spark, sf).collect()
+    }
+    assert out == joined
+    # sanity: strengths are positive and normalized to mean ~1
+    mean = sum(r.strength for r in out.values()) / len(out)
+    assert abs(mean - 1.0) < 1e-3
+
+
 def test_bt_iteration_count_recorded(spark, tmp_path):
     from atlassian_confluence_data_pipeline_spark import iterstats
 
