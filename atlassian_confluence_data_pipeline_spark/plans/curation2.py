@@ -756,3 +756,186 @@ def bpe_token_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.desc("n_occurrences"), F.asc("symbol")))
         .cast("int"),
     )
+
+
+def _tokenized_pack_oracle() -> str:
+    from atlassian_confluence_data_pipeline_spark.plans.packing import (
+        CTX_TOKENS,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.pretrain import (
+        _bucket_case_sql,
+    )
+
+    blocks, final = _bpe_blocks()
+    pad_ws = f"{_bucket_case_sql('tok_ws')} - least(tok_ws, {_bucket_case_sql('tok_ws')})"
+    pad_bpe = f"{_bucket_case_sql('tok_bpe')} - least(tok_bpe, {_bucket_case_sql('tok_bpe')})"
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f""",
+lens AS (SELECT word, CAST(len(seq) AS BIGINT) AS bpe_len FROM {final}),
+dw AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+bp AS (
+  SELECT dw.doc_id, CAST(sum(l.bpe_len) AS BIGINT) AS tok_bpe
+  FROM dw JOIN lens l USING (word) GROUP BY 1
+),
+t AS (
+  SELECT d.doc_id,
+         CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
+           AS tok_ws,
+         coalesce(bp.tok_bpe, 0) AS tok_bpe
+  FROM documents d LEFT JOIN bp USING (doc_id)
+),
+c AS (
+  SELECT doc_id, tok_ws, tok_bpe,
+         sum(tok_ws) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_ws,
+         sum(tok_bpe) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_bpe
+  FROM t
+)
+SELECT CAST({CTX_TOKENS} AS BIGINT) AS ctx_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok_ws) AS BIGINT) AS ws_tokens,
+       CAST(sum(tok_bpe) AS BIGINT) AS bpe_tokens,
+       round(CAST(sum(tok_bpe) AS DOUBLE) / sum(tok_ws), 6) AS fertility,
+       CAST((sum(tok_ws) + {CTX_TOKENS} - 1) // {CTX_TOKENS} AS BIGINT)
+         AS n_windows_ws,
+       CAST((sum(tok_bpe) + {CTX_TOKENS} - 1) // {CTX_TOKENS} AS BIGINT)
+         AS n_windows_bpe,
+       CAST(sum(CASE WHEN (cum_ws - 1) // {CTX_TOKENS}
+                        > (cum_ws - tok_ws) // {CTX_TOKENS}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_chopped_ws,
+       CAST(sum(CASE WHEN (cum_bpe - 1) // {CTX_TOKENS}
+                        > (cum_bpe - tok_bpe) // {CTX_TOKENS}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_chopped_bpe,
+       round(CAST(sum(CASE WHEN (cum_bpe - 1) // {CTX_TOKENS}
+                             > (cum_bpe - tok_bpe) // {CTX_TOKENS}
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS chop_rate_bpe,
+       CAST(sum({pad_ws}) AS BIGINT) AS padded_tokens_ws,
+       CAST(sum({pad_bpe}) AS BIGINT) AS padded_tokens_bpe
+FROM c
+"""
+    )
+
+
+@query(
+    "tokenized_pack_stats",
+    oracle=_tokenized_pack_oracle(),
+    tags=("curation", "bpe", "tokenizer", "packing", "pipeline"),
+)
+def tokenized_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned tokenizer COMPOSED into the packing pipeline
+    (round-11 VERDICT item 1): train the BPE_MERGES-merge vocabulary
+    (the _bpe_train reduction), tokenize the WHOLE corpus under it —
+    each document's real token count is the sum of its words' final
+    symbol-sequence lengths, a vocab-sized broadcast-joinable lookup,
+    NOT a per-document re-segmentation — and feed the packing and
+    padding-waste censuses with the REAL counts next to the whitespace
+    budget they previously ran on. One row: corpus fertility
+    (BPE/whitespace token ratio), context-window counts and chop rates
+    under both budgets (the pack_sequences concat-and-chop semantics),
+    and padded-token waste under the PAD_BUCKETS bucketing ladder for
+    both. This is the read that converts 'packing plan by whitespace
+    proxy' into 'packing plan by what the trained tokenizer actually
+    emits' — the artifact a pretraining data team ships.
+
+    Scale shape: the corpus is touched twice — once by the BPE training
+    word-frequency aggregate, once by the tokenize pass (explode words
+    -> equi-join the vocab-sized length table -> per-doc hash
+    aggregate); the loop stays vocab-sized; global chop accounting
+    rides ONE distributed_prefix_rank pass carrying BOTH cumulative
+    sums (no unpartitioned window); everything else is a single hash
+    aggregate to one row. Cross-engine parity is all-integer except
+    fertility/chop_rate, rounded engine-side."""
+    from atlassian_confluence_data_pipeline_spark.operators.windows import (
+        distributed_prefix_rank,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.packing import (
+        CTX_TOKENS,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.pretrain import (
+        PAD_BUCKETS,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.textops import _words
+
+    cur, _merges = _bpe_train(spark, sf_dir)
+    vocab = cur.select("word", F.size("seq").cast("bigint").alias("bpe_len"))
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.trim("text"), WS), lambda x: x != F.lit(""))
+        ).alias("word"),
+    )
+    bpe_per_doc = words.join(vocab, "word").groupBy("doc_id").agg(
+        F.sum("bpe_len").cast("bigint").alias("tok_bpe")
+    )
+    t = (
+        docs.select(
+            "doc_id", F.size(_words(F.col("text"))).cast("bigint").alias("tok_ws")
+        )
+        .join(bpe_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "tok_ws",
+            F.coalesce("tok_bpe", F.lit(0)).cast("bigint").alias("tok_bpe"),
+        )
+    )
+    c = distributed_prefix_rank(
+        t.localCheckpoint(eager=True),
+        ["doc_id"],
+        sums={"cum_ws": "tok_ws", "cum_bpe": "tok_bpe"},
+    )
+
+    def _split(cum: str, tok: str):
+        win = F.expr(f"({cum} - {tok}) DIV {CTX_TOKENS}")
+        endw = F.expr(f"({cum} - 1) DIV {CTX_TOKENS}")
+        return F.when(endw > win, 1).otherwise(0)
+
+    def _bucket(tok: str):
+        n = F.col(tok)
+        b = F.lit(PAD_BUCKETS[-1] * 2)
+        for edge in reversed(PAD_BUCKETS):
+            b = F.when(n <= edge, edge).otherwise(b)
+        return b - F.least(n, b)
+
+    agg = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tok_ws").cast("bigint").alias("ws_tokens"),
+        F.sum("tok_bpe").cast("bigint").alias("bpe_tokens"),
+        F.sum(_split("cum_ws", "tok_ws")).cast("bigint").alias("n_chopped_ws"),
+        F.sum(_split("cum_bpe", "tok_bpe"))
+        .cast("bigint")
+        .alias("n_chopped_bpe"),
+        F.sum(_bucket("tok_ws")).cast("bigint").alias("padded_tokens_ws"),
+        F.sum(_bucket("tok_bpe")).cast("bigint").alias("padded_tokens_bpe"),
+    )
+    return agg.select(
+        F.lit(CTX_TOKENS).cast("bigint").alias("ctx_tokens"),
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        F.round(
+            F.col("bpe_tokens").cast("double") / F.col("ws_tokens"), 6
+        ).alias("fertility"),
+        F.expr(f"(ws_tokens + {CTX_TOKENS - 1}) DIV {CTX_TOKENS}")
+        .cast("bigint")
+        .alias("n_windows_ws"),
+        F.expr(f"(bpe_tokens + {CTX_TOKENS - 1}) DIV {CTX_TOKENS}")
+        .cast("bigint")
+        .alias("n_windows_bpe"),
+        "n_chopped_ws",
+        "n_chopped_bpe",
+        F.round(
+            F.col("n_chopped_bpe").cast("double") / F.col("n_docs"), 6
+        ).alias("chop_rate_bpe"),
+        "padded_tokens_ws",
+        "padded_tokens_bpe",
+    )
