@@ -234,7 +234,24 @@ ADC_QUERIES = 10
 ADC_TOPK = 5
 
 
-def _adc_oracle() -> str:
+#: hash-sampling rule for the audit's exact leg: a query is audited
+#: iff (A * query_id + B) % MOD is even — deterministic, engine-exact
+#: integer arithmetic (the LSH-family affine-hash discipline). At the
+#: fixture's 10 queries this samples 5; at scale the exact leg's cost
+#: is half the query load instead of all of it (and the divisor is the
+#: knob).
+ADC_AUDIT_A = 1_000_003
+ADC_AUDIT_B = 17
+ADC_AUDIT_MOD = 2_147_483_647
+
+
+def _adc_sampled_sql(qid: str) -> str:
+    return f"({ADC_AUDIT_A} * {qid} + {ADC_AUDIT_B}) % {ADC_AUDIT_MOD} % 2 = 0"
+
+
+def _adc_core_ctes() -> str:
+    """Shared CTE prefix of the two ADC oracles: codebook, codes, query
+    LUTs, and the ADC-ranked pair list (NO exact leg)."""
     from atlassian_confluence_data_pipeline_spark.plans.embeddings2 import (
         _CODEBOOK,
         _SUBS,
@@ -259,13 +276,6 @@ def _adc_oracle() -> str:
         for s in range(_SUBS)
     )
     adc = " + ".join(f"l{s}.d{s}" for s in range(_SUBS))
-    exd = (
-        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        "list_transform(generate_series(1, len(q.embedding)), "
-        "i -> (q.embedding[i]::DOUBLE - db.embedding[i]::DOUBLE)"
-        " * (q.embedding[i]::DOUBLE - db.embedding[i]::DOUBLE))), "
-        "(acc, x) -> acc + x)"
-    )
     return f"""
 WITH cb AS (
   SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {_CODEBOOK}
@@ -295,53 +305,74 @@ db AS (
 ),
 pairs AS (
   SELECT q.query_id, db.neighbor_id,
-         {adc} AS adc,
-         {exd} AS exd
+         {adc} AS adc
   FROM q JOIN db ON q.query_id <> db.neighbor_id
   {lut_joins}
 ),
 ranked AS (
   SELECT query_id, neighbor_id, adc,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY adc ASC, neighbor_id) AS r,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY exd ASC, neighbor_id) AS rx
+                            ORDER BY adc ASC, neighbor_id) AS r
   FROM pairs
-)
+)"""
+
+
+def _adc_search_oracle() -> str:
+    return (
+        _adc_core_ctes()
+        + f"""
 SELECT query_id, neighbor_id, CAST(r AS INT) AS rank,
-       round(adc, 6) AS adc_dist,
-       CAST(CASE WHEN rx <= {ADC_TOPK} THEN 1 ELSE 0 END AS INT) AS exact_hit
+       round(adc, 6) AS adc_dist
 FROM ranked WHERE r <= {ADC_TOPK}
 """
+    )
 
 
-@query(
-    "pq_adc_topk",
-    oracle=_adc_oracle(),
-    tags=("similarity", "vector", "quantization", "ann", "scalepath"),
+def _adc_oracle() -> str:
+    exd = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(generate_series(1, len(q.embedding)), "
+        "i -> (q.embedding[i]::DOUBLE - db.embedding[i]::DOUBLE)"
+        " * (q.embedding[i]::DOUBLE - db.embedding[i]::DOUBLE))), "
+        "(acc, x) -> acc + x)"
+    )
+    return (
+        _adc_core_ctes()
+        + f""",
+expairs AS (
+  SELECT q.query_id, db.neighbor_id,
+         {exd} AS exd
+  FROM q JOIN db ON q.query_id <> db.neighbor_id
+  WHERE {_adc_sampled_sql('q.query_id')}
+),
+extop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY exd ASC, neighbor_id) AS rx
+    FROM expairs
+  ) WHERE rx <= {ADC_TOPK}
 )
-def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ asymmetric-distance (ADC) top-{K} search with an in-query
-    recall audit — the memory-resident ANN deployment of the
-    ``pq_codes`` index (X3 at 100 TB: the corpus lives as 4 bytes of
-    codes per vector, never as floats). Each query builds a
-    {SUBS}x{CB} lookup table of EXACT squared subspace distances to
-    the codebook (query side keeps its floats — that's the asymmetry),
-    then every database vector's approximate distance is four LUT
-    lookups summed; the exact squared-L2 ranking is carried in the
-    same plan and each reported neighbor is flagged ``exact_hit`` if
-    it appears in the exact top-{K}, so ADC's quality cost is measured
-    in-engine (the int8_topk_recall discipline).
+SELECT r.query_id, r.neighbor_id, CAST(r.r AS INT) AS rank,
+       round(r.adc, 6) AS adc_dist,
+       CASE WHEN {_adc_sampled_sql('r.query_id')}
+            THEN CAST(CASE WHEN e.neighbor_id IS NOT NULL
+                           THEN 1 ELSE 0 END AS INT)
+            ELSE NULL END AS exact_hit
+FROM ranked r
+LEFT JOIN extop e
+  ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+WHERE r.r <= {ADC_TOPK}
+"""
+    )
 
-    Scale shape: codes and LUTs are flat literal/codegen arithmetic
-    (no HOF in the encode path — the pq_codes two-stage form, shared
-    kernels in embeddings2.py); search is the cosine_topk
-    broadcast-BNLJ shape ({Q}-row query side under the != condition,
-    documented in PLANS.md); ranking windows are PARTITIONED by
-    query_id. At scale the LUT-sum scan replaces a 64-mult float dot
-    per pair with 4 array lookups over 16x less memory traffic; the
-    exact audit leg is dropped and sampled offline instead (it exists
-    here to grade the index, the ivf_recall_audit pattern)."""
+
+def _adc_frames(spark: SparkSession, sf_dir: str):
+    """Shared builders for the ADC pair: (q, db, adc_expr) where q is
+    the query frame (query_id, qv, lut0..lutS) with one exact-distance
+    LUT array per subspace, db is (neighbor_id, nv, code0..codeS), and
+    adc_expr sums the S LUT lookups. Callers drop qv/nv when the plan
+    must not carry floats (the production search)."""
     from atlassian_confluence_data_pipeline_spark.plans.embeddings2 import (
         _CODEBOOK,
         _SUBS,
@@ -353,16 +384,14 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = pq_collect_codebook(emb)
     dist_cols, code_cols = pq_code_columns(cents)
-    db = (
-        emb.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("nv"),
-            *dist_cols,
-        )
-        .select("neighbor_id", "nv", *code_cols)
-    )
-    # per-query LUT: one 8-slot array per subspace of exact squared
-    # subspace distances query->centroid (flat literal arithmetic)
+    db = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nv"),
+        *dist_cols,
+    ).select("neighbor_id", "nv", *code_cols)
+    # per-query LUT: one CODEBOOK-slot array per subspace of exact
+    # squared subspace distances query->centroid (flat literal
+    # arithmetic)
     lut_cols = [
         F.array(
             *[
@@ -381,6 +410,106 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in range(_SUBS):
         term = F.element_at(F.col(f"lut{s}"), F.col(f"code{s}").cast("int") + 1)
         adc = term if adc is None else adc + term
+    return q, db, adc
+
+
+def _adc_sampled_expr(qid) -> "F.Column":  # noqa: ANN001
+    return (
+        (F.lit(ADC_AUDIT_A) * qid + F.lit(ADC_AUDIT_B))
+        % F.lit(ADC_AUDIT_MOD)
+        % 2
+        == 0
+    )
+
+
+@query(
+    "pq_adc_search",
+    oracle=_adc_search_oracle(),
+    tags=("similarity", "vector", "quantization", "ann", "scalepath"),
+)
+def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-{K} search — the PRODUCTION
+    deployment of the ``pq_codes`` index (X3 at 100 TB: the corpus
+    lives as {SUBS} bytes of codes per vector, never as floats). Each
+    query builds a {SUBS}x{CB} lookup table of EXACT squared subspace
+    distances to the codebook (query side keeps its floats — that's
+    the asymmetry); every database vector's approximate distance is
+    {SUBS} LUT lookups summed, and the per-query top-{K} comes off a
+    PARTITIONED rank window. No exact leg anywhere in the plan — the
+    quality audit is the hash-sampled sibling ``pq_adc_topk`` (the
+    ivf_ann_topk / ivf_recall_audit split, round-11 VERDICT item 5).
+
+    Scale shape: codes and LUTs are flat literal/codegen arithmetic
+    (no HOF in the encode path — the pq_codes two-stage form, shared
+    kernels in embeddings2.py); search is the cosine_topk
+    broadcast-BNLJ shape ({Q}-row query side under the != condition,
+    documented in PLANS.md). The LUT-sum scan replaces a 64-mult
+    float dot per pair with {SUBS} array lookups over 16x less memory
+    traffic, and the scan's input projection carries ONLY ids + codes."""
+    q, db, adc = _adc_frames(spark, sf_dir)
+    pairs = (
+        F.broadcast(q.drop("qv"))
+        .join(db.drop("nv"), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.select(
+            "query_id",
+            "neighbor_id",
+            "adc",
+            F.row_number().over(w_adc).alias("r"),
+        )
+        .filter(F.col("r") <= ADC_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("r").cast("int").alias("rank"),
+            F.round("adc", 6).alias("adc_dist"),
+        )
+    )
+
+
+@query(
+    "pq_adc_topk",
+    oracle=_adc_oracle(),
+    tags=("similarity", "vector", "quantization", "ann", "calibration"),
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-{K} with the SAMPLED exact-recall audit — the
+    calibration sibling of ``pq_adc_search`` (round-11 VERDICT item 5:
+    the audit leg is no longer carried per pair for every query). The
+    ADC ranking is identical to the production search; additionally,
+    for the hash-SAMPLED queries ((A*query_id+B) % MOD even — half the
+    query load at the fixture, the knob at scale) the exact squared-L2
+    top-{K} is computed and each reported neighbor is flagged
+    ``exact_hit``; unsampled queries carry NULL. This is the
+    ivf_recall_audit discipline: the index is graded continuously on a
+    deterministic sample instead of paying the full float scan per
+    query.
+
+    Scale shape: the ADC leg is the production shape (codes-only
+    projection); the exact leg's broadcast query side is the sampled
+    half, and its ranking window is PARTITIONED by query_id. Sampling
+    is affine-hash integer arithmetic — engine-exact."""
+    q, db, adc = _adc_frames(spark, sf_dir)
+    pairs = (
+        F.broadcast(q.drop("qv"))
+        .join(db.drop("nv"), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id")
+    )
+    ranked = pairs.select(
+        "query_id",
+        "neighbor_id",
+        "adc",
+        F.row_number().over(w_adc).alias("r"),
+    ).filter(F.col("r") <= ADC_TOPK)
+    # exact leg: sampled queries only, floats confined to this branch
     exd = F.aggregate(
         F.sequence(F.lit(1), F.size("qv")),
         F.lit(0.0),
@@ -394,39 +523,37 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.element_at(F.col("nv"), i).cast("double")
         ),
     )
-    pairs = (
-        F.broadcast(q)
-        .join(db, F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            adc.alias("adc"),
-            exd.alias("exd"),
-        )
-    )
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.asc("adc"), F.asc("neighbor_id")
+    qs = q.select("query_id", "qv").filter(
+        _adc_sampled_expr(F.col("query_id"))
     )
     w_ex = Window.partitionBy("query_id").orderBy(
         F.asc("exd"), F.asc("neighbor_id")
     )
-    return (
-        pairs.select(
-            "query_id",
-            "neighbor_id",
-            "adc",
-            F.row_number().over(w_adc).alias("r"),
-            F.row_number().over(w_ex).alias("rx"),
+    extop = (
+        F.broadcast(qs)
+        .join(
+            db.select("neighbor_id", "nv"),
+            F.col("query_id") != F.col("neighbor_id"),
         )
-        .filter(F.col("r") <= ADC_TOPK)
+        .select("query_id", "neighbor_id", exd.alias("exd"))
         .select(
             "query_id",
             "neighbor_id",
-            F.col("r").cast("int").alias("rank"),
-            F.round("adc", 6).alias("adc_dist"),
-            F.when(F.col("rx") <= ADC_TOPK, 1)
-            .otherwise(0)
-            .cast("int")
-            .alias("exact_hit"),
+            F.row_number().over(w_ex).alias("rx"),
         )
+        .filter(F.col("rx") <= ADC_TOPK)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return ranked.join(extop, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        "neighbor_id",
+        F.col("r").cast("int").alias("rank"),
+        F.round("adc", 6).alias("adc_dist"),
+        F.when(
+            _adc_sampled_expr(F.col("query_id")),
+            F.coalesce(F.col("hit"), F.lit(0)),
+        )
+        .otherwise(F.lit(None))
+        .cast("int")
+        .alias("exact_hit"),
     )

@@ -106,20 +106,41 @@ def test_pq_adc_topk_structure_and_audit(spark):
         pq_adc_topk,
     )
 
+    from atlassian_confluence_data_pipeline_spark.plans.quantization import (
+        ADC_AUDIT_A,
+        ADC_AUDIT_B,
+        ADC_AUDIT_MOD,
+        pq_adc_search,
+    )
+
+    def sampled(qid: int) -> bool:
+        return (ADC_AUDIT_A * qid + ADC_AUDIT_B) % ADC_AUDIT_MOD % 2 == 0
+
     rows = pq_adc_topk(spark, SF).collect()
     by_q = {}
     for r in rows:
         by_q.setdefault(r.query_id, []).append(r)
     assert len(by_q) == ADC_QUERIES
+    # the hash sample hits some queries and spares others
+    assert any(sampled(q) for q in by_q) and not all(sampled(q) for q in by_q)
     for q, rs in by_q.items():
         rs = sorted(rs, key=lambda r: r.rank)
         assert [r.rank for r in rs] == list(range(1, ADC_TOPK + 1))
         dists = [r.adc_dist for r in rs]
         assert all(a <= b for a, b in zip(dists, dists[1:]))
-        assert all(r.exact_hit in (0, 1) for r in rs)
+        if sampled(q):
+            assert all(r.exact_hit in (0, 1) for r in rs)
+        else:
+            assert all(r.exact_hit is None for r in rs)
         assert all(r.neighbor_id != q for r in rs)
 
-    # exact_hit flags agree with a numpy brute-force exact top-k
+    # the production search returns the SAME ADC ranking, no audit col
+    srows = pq_adc_search(spark, SF).collect()
+    assert {tuple(r)[:4] for r in rows} == {tuple(r) for r in srows}
+    assert "exact_hit" not in srows[0].asDict()
+
+    # exact_hit flags agree with a numpy brute-force exact top-k on
+    # the SAMPLED queries
     import numpy as np
 
     from atlassian_confluence_data_pipeline_spark.catalog import load_table
@@ -129,6 +150,8 @@ def test_pq_adc_topk_structure_and_audit(spark):
         for r in load_table(spark, SF, "embeddings").collect()
     }
     for q, rs in by_q.items():
+        if not sampled(q):
+            continue
         d = {
             nid: float(((emb[q] - v) ** 2).sum())
             for nid, v in emb.items()

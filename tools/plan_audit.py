@@ -101,7 +101,10 @@ INTENTIONAL_BNLJ = {
     "preference_cycle_audit",  # four 1-row count scalars crossed into
     # the single audit row (edge/cycle joins themselves are equi-joins)
     "pq_adc_topk",  # 10-row broadcast query frame under the != self
-    # condition (cosine_topk pattern); ADC + exact rankings in one plan
+    # condition (cosine_topk pattern); ADC ranking + the hash-SAMPLED
+    # exact audit leg (round 11: half the queries, codes-only ADC scan)
+    "pq_adc_search",  # the production ADC-only sibling: same 10-row
+    # broadcast query frame under !=, codes-only projection, no exact leg
     "full_curation_pipeline_mm",  # four 1-row census scalars crossed
     # per modality row (scalar-attach pattern); every dedup leg itself
     # is a banded equi-join + CC
