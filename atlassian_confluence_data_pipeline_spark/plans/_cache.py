@@ -63,6 +63,7 @@ _CODE_DEPS = (
     "../operators/graph.py",  # CC feeds persisted component stages
     "../operators/lsh.py",
     "../operators/similarity.py",
+    "../operators/windows.py",  # distributed prefix feeds packed_doc_prefix
     "../functions/text.py",
     "../functions/imaging.py",
     "../functions/audio.py",
@@ -71,6 +72,8 @@ _CODE_DEPS = (
     "substring.py",
     "clustering.py",  # dbscan thresholds feed its staged components
     "curation.py",  # survivor-gate thresholds + pair-stage builders
+    "governance.py",  # entity-resolution pair stage (round 11)
+    "packing.py",  # packed_doc_prefix stage builder
     "multimodal.py",
     "multimodal2.py",
     "multimodal3.py",

@@ -65,7 +65,23 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``diagnostic`` tag, round-9 item 5): the sf-bounded exact-recall
     baseline the SRP path is audited against, not a pipeline stage —
     the production pair enumeration is the SRP-banded sibling
-    ``embedding_lsh_pairs``."""
+    ``embedding_lsh_pairs``.
+
+    The verified pair table is STAGED in the warm chain cache
+    (round-11 VERDICT item 3, the dedup_clusters treatment): it is a
+    deterministic function of the fixture + builder code, so a warm
+    session reads the persisted parquet instead of re-running the
+    rank + window join + cosine verify."""
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        shared_pair_table,
+    )
+
+    return shared_pair_table(
+        spark, sf_dir, "emb_cos_pairs", _build_emb_cos_pairs
+    )
+
+
+def _build_emb_cos_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from atlassian_confluence_data_pipeline_spark.operators.similarity import (
         dot,
         l2_norm,

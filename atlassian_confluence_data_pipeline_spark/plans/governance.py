@@ -198,7 +198,22 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair volume grows linearly with parts. Oracle runs the literal
     quadratic blocked join; identical output proves the band-join
     rewrite. Integer distances + 2-decimal price gaps: cross-engine
-    exact."""
+    exact.
+
+    The scored candidate table is STAGED in the warm chain cache
+    (round-11 VERDICT item 3): deterministic in fixture + builder
+    code, so a warm session skips the two block joins + Levenshtein
+    verify and reads the persisted pair parquet."""
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        shared_pair_table,
+    )
+
+    return shared_pair_table(
+        spark, sf_dir, "entity_resolution_pairs", _build_entity_pairs
+    )
+
+
+def _build_entity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_size", "p_retailprice",
         F.split(F.col("p_name"), " ").getItem(1).alias("noun"),
