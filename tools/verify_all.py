@@ -18,6 +18,9 @@ Runs, in order, and stops at the first failure (exit code 1):
    with the chain cache fully populated, a fresh session must take the
    persisted parquet reads — zero builder re-runs — and the warm plan
    shapes must match PLAN_SNAPSHOT_WARM.json)
+6. ``python tools/qcheck.py --rotation``        (seeded 28-query
+   rotation over the registry tail the driver's CORRECTNESS sample
+   missed recently — sha256(name:rN) draw, rule in BASELINE.md)
 
 ``--fast`` skips step 1 (the pytest suite) for quick mid-edit loops;
 a commit-worthy tree must pass all three.
@@ -42,6 +45,11 @@ STEPS = [
         "plan_snapshot_warm",
         [sys.executable, "tools/plan_snapshot.py", "--check-warm"],
     ),
+    # 6. seeded rotation re-proof of the registry's long tail: 28
+    #    queries NOT in the last two driver CORRECTNESS samples, drawn
+    #    by sha256(name:rN) — makes driver-sample staleness harmless
+    #    (round-11 VERDICT item 4; seed rule documented in BASELINE.md)
+    ("rotation_qcheck", [sys.executable, "tools/qcheck.py", "--rotation"]),
 ]
 
 
