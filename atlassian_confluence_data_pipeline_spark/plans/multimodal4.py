@@ -160,11 +160,12 @@ def video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _modality_agreement_oracle() -> str:
-    """Image-dHash and audio-fingerprint chains re-derived under
-    prefixed CTE names (no string surgery on the sibling modules'
-    rendered SQL — the round-7 ADVICE lesson), then a FULL OUTER join
-    of the two pair sets and one summary row."""
+def _perc_pairs_ctes() -> str:
+    """Shared CTE block (idims..ip, ap): the image-dHash and
+    audio-fingerprint near-dup pair chains re-derived under prefixed
+    CTE names (no string surgery on the sibling modules' rendered SQL
+    — the round-7 ADVICE lesson). Used by the pair-level agreement
+    oracle and the component-level one."""
     from atlassian_confluence_data_pipeline_spark.functions.audio import (
         FP_WINDOWS,
     )
@@ -202,8 +203,7 @@ def _modality_agreement_oracle() -> str:
         cmp="gm[i // 8 + 1][i % 8 + 1] > gm[i // 8 + 1][i % 8 + 2]"
     )
     aud_bits = pack.format(cmp="e_arr[i + 2] > e_arr[i + 1]")
-    return f"""
-WITH idims AS (
+    return f"""idims AS (
   SELECT doc_id, doc_id // 4 AS gg, doc_id % 4 AS vv FROM documents
 ), igm AS (
   SELECT doc_id,
@@ -236,7 +236,14 @@ WITH idims AS (
   FROM afp a JOIN afp b
     ON a.doc_id < b.doc_id AND ({chunk_eq("afp", AFP_CHUNKS)})
   WHERE bit_count(xor(a.afp, b.afp)) <= {AFP_MAX_HAMMING}
-), u AS (
+)"""
+
+
+def _modality_agreement_oracle() -> str:
+    """Pair-level agreement: a FULL OUTER join of the two pair sets
+    and one summary row over the shared chains."""
+    return f"""
+WITH {_perc_pairs_ctes()}, u AS (
   SELECT coalesce(ip.id_a, ap.id_a) AS id_a,
          coalesce(ip.id_b, ap.id_b) AS id_b,
          (ip.id_a IS NOT NULL) AS in_img,
@@ -316,6 +323,90 @@ def perceptual_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(F.when(F.col("in_aud") & ~F.col("in_img"), t).otherwise(0))
         .cast("bigint")
         .alias("n_audio_only"),
+    )
+
+
+#: modality namespace tags for the fused connected-components run
+MODS = {"image": 1, "audio": 2, "video": 3}
+
+
+def _perceptual_pair_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(image, audio, video) banded near-dup pair frames, each riding
+    its warm-started fingerprint stage — shared by the mm census and
+    the component-agreement audit."""
+    from atlassian_confluence_data_pipeline_spark.operators.lsh import (
+        simhash_near_pairs,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        audio_fp64,
+        image_dhash_fp,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.multimodal2 import (
+        DHASH_CHUNKS,
+        DHASH_MAX_HAMMING,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.multimodal3 import (
+        AFP_CHUNKS,
+        AFP_MAX_HAMMING,
+    )
+
+    ifp = image_dhash_fp(spark, sf_dir)
+    img_pairs = simhash_near_pairs(
+        ifp.select("doc_id", F.col("dhash").alias("simhash")),
+        "doc_id",
+        max_hamming=DHASH_MAX_HAMMING,
+        chunks=DHASH_CHUNKS,
+    )
+    afp = audio_fp64(spark, sf_dir)
+    aud_pairs = simhash_near_pairs(
+        afp.select("doc_id", F.col("afp").alias("simhash")),
+        "doc_id",
+        max_hamming=AFP_MAX_HAMMING,
+        chunks=AFP_CHUNKS,
+    )
+    vid_pairs = video_near_dup_pairs(spark, sf_dir)
+    return img_pairs, aud_pairs, vid_pairs
+
+
+def _mm_perceptual_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE warm-staged connected-components run for all three
+    perceptual legs: node ids are namespaced (id * 4 + modality
+    index), so components can never cross modalities and each leg's
+    (node, component) pairs — and therefore its dropped count — are
+    bit-identical to a per-leg CC (min namespaced id == namespaced min
+    id within a modality). The driver-loop star-contraction round
+    floor is paid ONCE instead of three times (measured 7.3 -> ~4 s
+    warm at sf0.1); oracles keep their independent recursive
+    closures. Shared by full_curation_pipeline_mm and
+    modality_component_agreement."""
+    from atlassian_confluence_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        shared_pair_table,
+    )
+
+    def tag(pairs: DataFrame, m: int) -> DataFrame:
+        return pairs.select(
+            (F.col("id_a") * 4 + m).alias("na"),
+            (F.col("id_b") * 4 + m).alias("nb"),
+        )
+
+    def _build_comp_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+        img_pairs, aud_pairs, vid_pairs = _perceptual_pair_frames(
+            spark, sf_dir
+        )
+        tagged = (
+            tag(img_pairs, MODS["image"])
+            .unionByName(tag(aud_pairs, MODS["audio"]))
+            .unionByName(tag(vid_pairs.select("id_a", "id_b"), MODS["video"]))
+        )
+        return connected_components(tagged, "na", "nb")
+
+    return shared_pair_table(
+        spark, sf_dir, "mm_perceptual_components", _build_comp_all
     )
 
 
@@ -410,12 +501,6 @@ def full_curation_pipeline_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the banded pair lists only (star-contraction, O(log n)
     rounds); the four census rows are 1-row broadcast crosses
     (INTENTIONAL_BNLJ, the scalar-attach pattern)."""
-    from atlassian_confluence_data_pipeline_spark.operators.graph import (
-        connected_components,
-    )
-    from atlassian_confluence_data_pipeline_spark.operators.lsh import (
-        simhash_near_pairs,
-    )
     from atlassian_confluence_data_pipeline_spark.plans._cache import (
         audio_fp64,
         image_dhash_fp,
@@ -425,30 +510,6 @@ def full_curation_pipeline_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
         curated_survivor_docs,
         curated_survivor_pairs,
     )
-    from atlassian_confluence_data_pipeline_spark.plans.multimodal2 import (
-        DHASH_CHUNKS,
-        DHASH_MAX_HAMMING,
-    )
-    from atlassian_confluence_data_pipeline_spark.plans.multimodal3 import (
-        AFP_CHUNKS,
-        AFP_MAX_HAMMING,
-    )
-
-    # ONE connected-components run for all three perceptual legs: node
-    # ids are namespaced (id * 4 + modality index), so components can
-    # never cross modalities and each leg's (node, component) pairs —
-    # and therefore its dropped count — are bit-identical to a per-leg
-    # CC (min namespaced id == namespaced min id within a modality).
-    # The driver-loop star-contraction round floor is paid ONCE instead
-    # of three times (measured 7.3 -> ~4 s warm at sf0.1); the oracle
-    # keeps its three independent recursive closures.
-    MODS = {"image": 1, "audio": 2, "video": 3}
-
-    def tag(pairs: DataFrame, m: int) -> DataFrame:
-        return pairs.select(
-            (F.col("id_a") * 4 + m).alias("na"),
-            (F.col("id_b") * 4 + m).alias("nb"),
-        )
 
     def census_row(name: str, items: DataFrame, pairs: DataFrame,
                    comp_all: DataFrame) -> DataFrame:
@@ -501,41 +562,200 @@ def full_curation_pipeline_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ifp = image_dhash_fp(spark, sf_dir)
-    img_pairs = simhash_near_pairs(
-        ifp.select("doc_id", F.col("dhash").alias("simhash")),
-        "doc_id",
-        max_hamming=DHASH_MAX_HAMMING,
-        chunks=DHASH_CHUNKS,
-    )
     afp = audio_fp64(spark, sf_dir)
-    aud_pairs = simhash_near_pairs(
-        afp.select("doc_id", F.col("afp").alias("simhash")),
-        "doc_id",
-        max_hamming=AFP_MAX_HAMMING,
-        chunks=AFP_CHUNKS,
-    )
     vfp = video_frame_fp(spark, sf_dir)
-    vid_pairs = video_near_dup_pairs(spark, sf_dir)
-    tagged = (
-        tag(img_pairs, MODS["image"])
-        .unionByName(tag(aud_pairs, MODS["audio"]))
-        .unionByName(tag(vid_pairs.select("id_a", "id_b"), MODS["video"]))
-    )
-
-    def _build_comp_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return connected_components(tagged, "na", "nb")
-
-    from atlassian_confluence_data_pipeline_spark.plans._cache import (
-        shared_pair_table,
-    )
-
-    comp_all = shared_pair_table(
-        spark, sf_dir, "mm_perceptual_components", _build_comp_all
-    )
+    img_pairs, aud_pairs, vid_pairs = _perceptual_pair_frames(spark, sf_dir)
+    comp_all = _mm_perceptual_components(spark, sf_dir)
     return (
         text_row.unionByName(
             census_row("image", ifp, img_pairs, comp_all)
         )
         .unionByName(census_row("audio", afp, aud_pairs, comp_all))
         .unionByName(census_row("video", vfp, vid_pairs, comp_all))
+    )
+
+
+def _component_agreement_oracle() -> str:
+    """Cluster-level agreement: one recursive closure per modality
+    (image / audio), then the contingency of the two clusterings."""
+    closure = """{p}edges AS (
+  SELECT id_a AS s, id_b AS d FROM {pairs}
+  UNION SELECT id_b, id_a FROM {pairs}
+), {p}reach(n, m) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM {p}edges)
+  UNION
+  SELECT e.s, r.m FROM {p}edges e JOIN {p}reach r ON e.d = r.n
+), {p}comp AS (
+  SELECT n AS doc_id, min(m) AS rep FROM {p}reach GROUP BY 1
+)"""
+    return f"""
+WITH RECURSIVE {_perc_pairs_ctes()},
+{closure.format(p="i", pairs="ip")},
+{closure.format(p="a", pairs="ap")},
+j AS (
+  SELECT coalesce(i.doc_id, a.doc_id) AS doc_id,
+         i.rep AS img_rep, a.rep AS aud_rep
+  FROM icomp i FULL OUTER JOIN acomp a ON i.doc_id = a.doc_id
+), jj AS (
+  SELECT doc_id, img_rep, aud_rep,
+         coalesce(img_rep, -doc_id - 1) AS img_r,
+         coalesce(aud_rep, -doc_id - 1) AS aud_r
+  FROM j
+), istats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_image_components,
+         CAST(sum(CASE WHEN n_o = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_image_intact
+  FROM (SELECT img_rep, count(DISTINCT aud_r) AS n_o FROM jj
+        WHERE img_rep IS NOT NULL GROUP BY 1)
+), astats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_audio_components,
+         CAST(sum(CASE WHEN n_o = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_audio_intact
+  FROM (SELECT aud_rep, count(DISTINCT img_r) AS n_o FROM jj
+        WHERE aud_rep IS NOT NULL GROUP BY 1)
+), dstats AS (
+  SELECT CAST(sum(CASE WHEN img_rep IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_docs_image,
+         CAST(sum(CASE WHEN aud_rep IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_docs_audio,
+         CAST(sum(CASE WHEN img_rep IS NOT NULL AND aud_rep IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_both
+  FROM jj
+), ident AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_identical_components FROM (
+    SELECT b.img_rep
+    FROM (SELECT img_rep, aud_rep, count(*) AS n FROM jj
+          WHERE img_rep IS NOT NULL AND aud_rep IS NOT NULL
+          GROUP BY 1, 2) b
+    JOIN (SELECT img_rep, count(*) AS sz FROM jj
+          WHERE img_rep IS NOT NULL GROUP BY 1) si USING (img_rep)
+    JOIN (SELECT aud_rep, count(*) AS sz FROM jj
+          WHERE aud_rep IS NOT NULL GROUP BY 1) sa USING (aud_rep)
+    WHERE b.n = si.sz AND b.n = sa.sz
+  )
+)
+SELECT n_image_components, n_image_intact,
+       n_image_components - n_image_intact AS n_image_split,
+       n_audio_components, n_audio_intact,
+       n_audio_components - n_audio_intact AS n_audio_split,
+       n_docs_image, n_docs_audio, n_docs_both,
+       n_identical_components
+FROM istats, astats, dstats, ident
+"""
+
+
+@query(
+    "modality_component_agreement",
+    oracle=_component_agreement_oracle(),
+    tags=("multimodal", "dedup", "agreement", "graph", "audit"),
+)
+def modality_component_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup agreement at the CLUSTER level (round-11
+    VERDICT item 7 — perceptual_modality_agreement extended from pairs
+    to components): do image-dup clusters coincide with audio-dup
+    clusters over the same doc ids? Per modality: component count,
+    components INTACT under the other modality (every member falls in
+    ONE other-modality component, docs the other modality left
+    unclustered counting as their own singletons), components SPLIT
+    across several, plus doc-level overlap counts and the number of
+    components IDENTICAL as doc sets. At 100 TB this is the audit that
+    decides whether one modality's cluster representatives can stand
+    in for another's — pair-level agreement can look high while the
+    transitive closures still disagree, which is exactly what this
+    catches.
+
+    Scale shape: both clusterings come out of the ONE warm-staged
+    namespaced CC run (_mm_perceptual_components — no extra CC round
+    floor); everything downstream is pair-table-sized hash aggregates
+    on (doc, rep) plus a size-matched equi-join for the identical
+    census, and the 1-row stat frames cross via the scalar-attach
+    pattern (INTENTIONAL_BNLJ). All-integer output — engine-exact.
+    The oracle runs one WITH RECURSIVE closure per modality instead."""
+    comp_all = _mm_perceptual_components(spark, sf_dir)
+    img = comp_all.filter(F.col("node") % 4 == MODS["image"]).select(
+        (F.col("node") / 4).cast("bigint").alias("doc_id"),
+        (F.col("component") / 4).cast("bigint").alias("img_rep"),
+    )
+    aud = comp_all.filter(F.col("node") % 4 == MODS["audio"]).select(
+        (F.col("node") / 4).cast("bigint").alias("doc_id"),
+        (F.col("component") / 4).cast("bigint").alias("aud_rep"),
+    )
+    jj = img.join(aud, "doc_id", "full_outer").select(
+        "doc_id",
+        "img_rep",
+        "aud_rep",
+        F.coalesce("img_rep", -F.col("doc_id") - 1).alias("img_r"),
+        F.coalesce("aud_rep", -F.col("doc_id") - 1).alias("aud_r"),
+    )
+
+    def side(rep: str, other_r: str, comp_alias: str, intact_alias: str):
+        return (
+            jj.filter(F.col(rep).isNotNull())
+            .groupBy(rep)
+            .agg(F.count_distinct(other_r).alias("n_o"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias(comp_alias),
+                F.sum(F.when(F.col("n_o") == 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias(intact_alias),
+            )
+        )
+
+    istats = side("img_rep", "aud_r", "n_image_components", "n_image_intact")
+    astats = side("aud_rep", "img_r", "n_audio_components", "n_audio_intact")
+    dstats = jj.agg(
+        F.sum(F.when(F.col("img_rep").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_image"),
+        F.sum(F.when(F.col("aud_rep").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_audio"),
+        F.sum(
+            F.when(
+                F.col("img_rep").isNotNull() & F.col("aud_rep").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_docs_both"),
+    )
+    both = jj.filter(
+        F.col("img_rep").isNotNull() & F.col("aud_rep").isNotNull()
+    )
+    cells = both.groupBy("img_rep", "aud_rep").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    isz = jj.filter(F.col("img_rep").isNotNull()).groupBy("img_rep").agg(
+        F.count(F.lit(1)).alias("sz_i")
+    )
+    asz = jj.filter(F.col("aud_rep").isNotNull()).groupBy("aud_rep").agg(
+        F.count(F.lit(1)).alias("sz_a")
+    )
+    ident = (
+        cells.join(isz, "img_rep")
+        .join(asz, "aud_rep")
+        .filter((F.col("n") == F.col("sz_i")) & (F.col("n") == F.col("sz_a")))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_identical_components")
+        )
+    )
+    return (
+        istats.crossJoin(F.broadcast(astats))
+        .crossJoin(F.broadcast(dstats))
+        .crossJoin(F.broadcast(ident))
+        .select(
+            "n_image_components",
+            "n_image_intact",
+            (F.col("n_image_components") - F.col("n_image_intact")).alias(
+                "n_image_split"
+            ),
+            "n_audio_components",
+            "n_audio_intact",
+            (F.col("n_audio_components") - F.col("n_audio_intact")).alias(
+                "n_audio_split"
+            ),
+            "n_docs_image",
+            "n_docs_audio",
+            "n_docs_both",
+            "n_identical_components",
+        )
     )

@@ -87,3 +87,70 @@ def test_tokenized_pack_stats_planted_corpus(spark, tmp_path):
     # the budgets genuinely disagree on this corpus
     assert row.padded_tokens_bpe != row.padded_tokens_ws
     assert row.bpe_tokens > row.ws_tokens
+
+
+def test_modality_component_agreement_vs_union_find(spark):
+    """The cluster-level agreement census must equal a driver-side
+    union-find over the SAME image/audio pair lists."""
+    from atlassian_confluence_data_pipeline_spark.plans.multimodal4 import (
+        _perceptual_pair_frames,
+        modality_component_agreement,
+    )
+
+    img_pairs, aud_pairs, _vid = _perceptual_pair_frames(spark, SF)
+
+    def components(pairs) -> dict[int, int]:
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs.collect():
+            a, b = find(r.id_a), find(r.id_b)
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        # min-id representative per member
+        return {x: find(x) for x in list(parent)}
+
+    ic = components(img_pairs)
+    ac = components(aud_pairs)
+    docs = set(ic) | set(ac)
+    img_r = {d: ic.get(d, -d - 1) for d in docs}
+    aud_r = {d: ac.get(d, -d - 1) for d in docs}
+
+    def side(c: dict[int, int], other: dict[int, int]):
+        groups: dict[int, set[int]] = {}
+        for d, rep in c.items():
+            groups.setdefault(rep, set()).add(d)
+        intact = sum(
+            1
+            for mem in groups.values()
+            if len({other[d] for d in mem}) == 1
+        )
+        return len(groups), intact, groups
+
+    ni, ii, ig = side(ic, aud_r)
+    na, ia, ag = side(ac, img_r)
+    # identical = image groups whose members' audio reps form one group
+    # equal as a SET
+    ident = 0
+    for mem in ig.values():
+        reps = {ac[d] for d in mem if d in ac}
+        if len(reps) == 1 and ag.get(next(iter(reps))) == mem:
+            ident += 1
+
+    r = modality_component_agreement(spark, SF).collect()[0]
+    assert r.n_image_components == ni
+    assert r.n_image_intact == ii
+    assert r.n_image_split == ni - ii
+    assert r.n_audio_components == na
+    assert r.n_audio_intact == ia
+    assert r.n_audio_split == na - ia
+    assert r.n_docs_image == len(ic)
+    assert r.n_docs_audio == len(ac)
+    assert r.n_docs_both == len(set(ic) & set(ac))
+    assert r.n_identical_components == ident
+    assert r.n_identical_components <= min(r.n_image_intact, r.n_audio_intact)
