@@ -243,9 +243,10 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from atlassian_confluence_data_pipeline_spark import iterstats
 
     iterstats.record("bradley_terry_strengths", BT_ITERS)
+    mg = _matchup_matrix(duels)
     if n_contestants <= BT_PACKED_MAX_CONTESTANTS:
-        return _bt_fit_packed(duels)
-    return _bt_fit_joined(duels)
+        return _bt_fit_packed(mg)
+    return _bt_fit_joined(mg)
 
 
 #: above this contestant count the packed matchup row (contestant²
@@ -256,12 +257,35 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 BT_PACKED_MAX_CONTESTANTS = 128
 
 
-def _bt_fit_packed(duels: DataFrame) -> DataFrame:
-    """Fused packed-row Bradley-Terry fit (round-10 fusion): the
-    matchup matrix packs into a single (i,j)-sorted struct-array row
-    and all BT_ITERS MM rounds run as one row-local expression chain —
-    zero per-round Spark jobs. Correct only while the matrix is
-    row-sized; bradley_terry_strengths guards the dispatch."""
+def _matchup_matrix(duels: DataFrame) -> DataFrame:
+    """(i, j, n, w): duel counts and i-wins per ordered matchup — the
+    sufficient statistics BOTH Bradley-Terry fit paths (and the
+    streaming duel state) reduce to."""
+    return duels.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("winner") == F.col("i"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("w"),
+    )
+
+
+def _bt_fit(mg: DataFrame) -> DataFrame:
+    """Guarded fit over a prebuilt matchup matrix (the streaming
+    duel-state entry point): counts contestants from the matrix itself
+    (matchup-sized, model-scale collect) and dispatches."""
+    n = mg.select(F.count_distinct("i")).first()[0]
+    if n <= BT_PACKED_MAX_CONTESTANTS:
+        return _bt_fit_packed(mg)
+    return _bt_fit_joined(mg)
+
+
+def _bt_fit_packed(mg: DataFrame) -> DataFrame:
+    """Fused packed-row Bradley-Terry fit (round-10 fusion) over the
+    (i, j, n, w) matchup matrix: the matrix packs into a single
+    (i,j)-sorted struct-array row and all BT_ITERS MM rounds run as
+    one row-local expression chain — zero per-round Spark jobs.
+    Correct only while the matrix is row-sized; callers guard the
+    dispatch (bradley_terry_strengths / _bt_fit)."""
 
     def _let(val, body):
         """let-binding as an expression: bind ``val`` ONCE as a lambda
@@ -284,12 +308,6 @@ def _bt_fit_packed(duels: DataFrame) -> DataFrame:
     # Fold orders are unchanged (denominator ORDER BY j via the (i,j)-
     # sorted pack; normalization ORDER BY i), every op is the same IEEE
     # double op, so the unrolled-CTE oracle stays byte-identical.
-    mg = duels.groupBy("i", "j").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.when(F.col("winner") == F.col("i"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("w"),
-    )
     row = mg.agg(
         F.array_sort(F.collect_list(F.struct("i", "j", "n", "w"))).alias("ms")
     )
@@ -371,30 +389,22 @@ def _bt_fit_packed(duels: DataFrame) -> DataFrame:
     )
 
 
-def _bt_fit_joined(duels: DataFrame) -> DataFrame:
-    """Per-round broadcast-join Bradley-Terry fit — the fallback shape
-    for contestant counts where the packed matchup row would outgrow a
-    single row (> BT_PACKED_MAX_CONTESTANTS). One Spark job per MM
-    round (the pre-fusion kmeans/hierarchy loop pattern): each round
-    joins the checkpointed matchup table to the current weight frame
-    twice (both weight frames are contestant-sized broadcasts), folds
-    the per-contestant denominator in opponent order (ORDER BY j — the
+def _bt_fit_joined(mg: DataFrame) -> DataFrame:
+    """Per-round broadcast-join Bradley-Terry fit over the (i, j, n, w)
+    matchup matrix — the fallback shape for contestant counts where
+    the packed matchup row would outgrow a single row
+    (> BT_PACKED_MAX_CONTESTANTS). One Spark job per MM round (the
+    pre-fusion kmeans/hierarchy loop pattern): each round joins the
+    checkpointed matchup table to the current weight frame twice (both
+    weight frames are contestant-sized broadcasts), folds the
+    per-contestant denominator in opponent order (ORDER BY j — the
     identical IEEE fold order of _bt_fit_packed and the oracle), and
     normalizes against a 1-row broadcast whose sum folds ORDER BY i.
     Bit-identical to the packed path on any input by construction:
     same fold orders, same double ops, only the execution strategy
     differs — tests/test_preference_wave.py crosses the bound both
     ways and asserts row-level equality."""
-    mg = (
-        duels.groupBy("i", "j")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(F.when(F.col("winner") == F.col("i"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("w"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    mg = mg.localCheckpoint(eager=True)
     wins = mg.groupBy("i").agg(
         F.sum("w").cast("bigint").alias("n_wins"),
         F.sum("n").cast("bigint").alias("n_duels"),

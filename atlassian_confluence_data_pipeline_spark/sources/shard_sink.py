@@ -352,3 +352,81 @@ def read_incremental_shards(spark: SparkSession, out_path: str) -> DataFrame:
     for d in dirs[1:]:
         out = out.unionByName(spark.read.parquet(d))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Generic batch-keyed manifest-flip sink (round-11 VERDICT item 6): the
+# append_shard_batch commit protocol for arbitrary per-batch increment
+# tables — streaming DPO pairs use it; any foreachBatch emitter can.
+# ---------------------------------------------------------------------------
+
+def append_manifest_batch(
+    spark: SparkSession,
+    df: DataFrame,
+    out_path: str,
+    batch_id: int,
+    fmt: str = "increments",
+) -> dict:
+    """Append ONE micro-batch increment table under ``out_path`` behind
+    the manifest flip. Crash safety mirrors append_shard_batch: stage
+    to ``.tmp-batch-{id}``, rename to ``batch-{id}``, then flip the
+    manifest (tmp + ``os.replace``). Replays are idempotent at EVERY
+    crash point — a batch already in the manifest is a no-op; a
+    ``batch-{id}`` dir without a manifest entry is a crashed flip and
+    is rebuilt in place; an empty batch commits manifest-only (the
+    all-rejected-batch lesson, append_shard_batch)."""
+    os.makedirs(out_path, exist_ok=True)
+    man = read_manifest(out_path)
+    if man is None:
+        man = {"format": fmt, "batches": [], "dirs": [], "n_rows": 0}
+    if man.get("format") != fmt:
+        raise ValueError(
+            f"{out_path} holds a '{man.get('format', 'full')}' artifact;"
+            f" append requires format '{fmt}'"
+        )
+    bid = int(batch_id)
+    if bid in man["batches"]:
+        return man  # committed replay -> no-op
+
+    def _flip() -> None:
+        tmp = os.path.join(out_path, f".ptr-{bid}")
+        with open(tmp, "w") as fh:
+            json.dump(man, fh, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(out_path, MANIFEST))
+
+    if df.isEmpty():
+        man["batches"].append(bid)
+        _flip()
+        return man
+    staging = os.path.join(out_path, f".tmp-batch-{bid}")
+    shutil.rmtree(staging, ignore_errors=True)
+    df.write.mode("overwrite").parquet(staging)
+    n_rows = spark.read.parquet(staging).count()
+    data_dir = os.path.join(out_path, f"batch-{bid}")
+    # a data dir without a manifest entry is a crashed flip -> rebuild
+    shutil.rmtree(data_dir, ignore_errors=True)
+    os.rename(staging, data_dir)
+    man["batches"].append(bid)
+    man["dirs"].append(f"batch-{bid}")
+    man["n_rows"] += int(n_rows)
+    _flip()
+    return man
+
+
+def read_manifest_batches(
+    spark: SparkSession, out_path: str, schema: str, fmt: str = "increments"
+) -> DataFrame:
+    """Union of all committed increment batches under ``out_path`` —
+    only manifest-listed dirs are visible (orphaned crashed-flip data
+    is invisible); an empty/absent artifact reads as an empty frame of
+    ``schema``."""
+    man = read_manifest(out_path)
+    if man is not None and man.get("format") != fmt:
+        raise FileNotFoundError(
+            f"no committed '{fmt}' artifact under {out_path}"
+        )
+    if man is None or not man["dirs"]:
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(
+        *[os.path.join(out_path, d) for d in man["dirs"]]
+    )

@@ -1104,3 +1104,172 @@ def read_preference_state(spark, index_store):  # noqa: ANN001
         F.round(p, 6).alias("winrate"),
         F.round(wilson, 6).alias("wilson_lb"),
     )
+
+
+#: emitted DPO increment schema (the dpo_pair_construction columns)
+_DPO_PAIRS_SCHEMA = (
+    "chosen_doc_id bigint, rejected_doc_id bigint, chosen_source string,"
+    " rejected_source string, margin double, wilson_lb double,"
+    " weight double"
+)
+
+
+def foreach_batch_dpo_pairs(
+    duels,
+    index_store,
+    pairs_out_path: str,
+    weights_reader=None,
+):  # noqa: ANN001
+    """Cross-batch streaming DPO-pair construction (round-11 VERDICT
+    item 6) — the online form of ``dpo_pair_construction``: each
+    micro-batch of raw duels ``(id_a, id_b, s_a, s_b, winner)``
+
+    1. folds its per-matchup increments into the duel AppendIndexStore
+       (exactly foreach_batch_preference_state's ingestion — O(batch)
+       state I/O, replay-idempotent by layout);
+    2. re-fits Bradley-Terry strengths and Wilson bounds on the
+       CUMULATIVE matchup state (matchup-matrix-sized, never
+       duel-stream-sized — the sufficient-statistics reduction), so
+       every emitted pair carries the margin/gate the full duel history
+       supports at emission time;
+    3. emits this batch's (chosen, rejected, margin, wilson_lb, weight)
+       increments behind the generic manifest flip
+       (sources/shard_sink.py append_manifest_batch) — composable with
+       the streaming curation survivors by passing ``weights_reader``
+       (e.g. a reader of the maintained dedup-weight state; chosen docs
+       it does not cover weigh 1.0).
+
+    Equivalence contract (pytest): when the whole duel stream arrives
+    in ONE batch with the batch dedup weights as ``weights_reader``,
+    the emitted table equals the batch ``dpo_pair_construction``
+    row-for-row. Replays are idempotent at every crash point: the
+    index partition overwrite is byte-identical, a committed batch is
+    a manifest no-op, and a crashed flip's orphan ``batch-{id}`` dir
+    is rebuilt in place."""
+    from pyspark.sql import functions as F
+
+    from atlassian_confluence_data_pipeline_spark.plans.preference import (
+        DPO_WILSON_MIN,
+        WILSON_Z,
+        _bt_fit,
+    )
+    from atlassian_confluence_data_pipeline_spark.sources.shard_sink import (
+        append_manifest_batch,
+    )
+
+    def ingest_batch(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        both = batch_df.select(
+            F.col("s_a").alias("i"), F.col("s_b").alias("j"), "winner"
+        ).unionByName(
+            batch_df.select(
+                F.col("s_b").alias("i"), F.col("s_a").alias("j"), "winner"
+            )
+        )
+        inc = both.groupBy("i", "j").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("winner") == F.col("i"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("w"),
+        )
+        index_store.write_batch(inc, batch_id)
+        # cumulative matchup matrix INCLUDING this batch (counts are an
+        # additive monoid over the batch partitions)
+        m = (
+            index_store.read(spark, _DUEL_INDEX_SCHEMA)
+            .groupBy("i", "j")
+            .agg(
+                F.sum("n").cast("bigint").alias("n"),
+                F.sum("w").cast("bigint").alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        bt = _bt_fit(m).select("source", "strength")
+        p = F.col("w").cast("double") / F.col("n")
+        n = F.col("n").cast("double")
+        z = F.lit(WILSON_Z)
+        wilson = (
+            p
+            + z * z / (2 * n)
+            - z * F.sqrt((p * (1 - p) + z * z / (4 * n)) / n)
+        ) / (1 + z * z / n)
+        wl = m.select(
+            F.col("i").alias("chosen_source"),
+            F.col("j").alias("rejected_source"),
+            F.round(wilson, 6).alias("wilson_lb"),
+        )
+        chosen = F.when(
+            F.col("winner") == F.col("s_a"), F.col("id_a")
+        ).otherwise(F.col("id_b"))
+        rejected = F.when(
+            F.col("winner") == F.col("s_a"), F.col("id_b")
+        ).otherwise(F.col("id_a"))
+        rej_src = F.when(
+            F.col("winner") == F.col("s_a"), F.col("s_b")
+        ).otherwise(F.col("s_a"))
+        dpo = batch_df.select(
+            chosen.alias("chosen_doc_id"),
+            rejected.alias("rejected_doc_id"),
+            F.col("winner").alias("chosen_source"),
+            rej_src.alias("rejected_source"),
+        )
+        out = (
+            dpo.join(
+                F.broadcast(
+                    bt.select(
+                        F.col("source").alias("chosen_source"),
+                        F.col("strength").alias("__sc"),
+                    )
+                ),
+                "chosen_source",
+            )
+            .join(
+                F.broadcast(
+                    bt.select(
+                        F.col("source").alias("rejected_source"),
+                        F.col("strength").alias("__sr"),
+                    )
+                ),
+                "rejected_source",
+            )
+            .join(
+                F.broadcast(wl), ["chosen_source", "rejected_source"]
+            )
+            .filter(F.col("wilson_lb") > DPO_WILSON_MIN)
+        )
+        if weights_reader is not None:
+            dw = weights_reader(spark).select(
+                F.col("doc_id").alias("chosen_doc_id"), "weight"
+            )
+            out = out.join(dw, "chosen_doc_id", "left").withColumn(
+                "weight", F.coalesce("weight", F.lit(1.0))
+            )
+        else:
+            out = out.withColumn("weight", F.lit(1.0))
+        out = out.select(
+            "chosen_doc_id",
+            "rejected_doc_id",
+            "chosen_source",
+            "rejected_source",
+            F.round(F.col("__sc") - F.col("__sr"), 6).alias("margin"),
+            "wilson_lb",
+            "weight",
+        )
+        append_manifest_batch(
+            spark, out, pairs_out_path, batch_id, fmt="dpo_pairs"
+        )
+
+    return duels.writeStream.foreachBatch(ingest_batch)
+
+
+def read_dpo_pairs(spark, pairs_out_path: str):  # noqa: ANN001
+    """All committed streaming DPO-pair increments (manifest-listed
+    batches only; empty artifact reads as an empty frame)."""
+    from atlassian_confluence_data_pipeline_spark.sources.shard_sink import (
+        read_manifest_batches,
+    )
+
+    return read_manifest_batches(
+        spark, pairs_out_path, _DPO_PAIRS_SCHEMA, fmt="dpo_pairs"
+    )

@@ -99,9 +99,9 @@ def test_bt_packed_vs_joined_paths_identical(spark, tmp_path):
         for d in range(400)
     ]
     sf = _mk_docs(spark, tmp_path, rows)
-    duels = P._duels_both(spark, sf)
-    packed = {r.source: r for r in P._bt_fit_packed(duels).collect()}
-    joined = {r.source: r for r in P._bt_fit_joined(duels).collect()}
+    mg = P._matchup_matrix(P._duels_both(spark, sf))
+    packed = {r.source: r for r in P._bt_fit_packed(mg).collect()}
+    joined = {r.source: r for r in P._bt_fit_joined(mg).collect()}
     assert packed.keys() == joined.keys() and len(packed) > P.BT_PACKED_MAX_CONTESTANTS
     for s in packed:
         assert packed[s] == joined[s], s
