@@ -108,6 +108,9 @@ INTENTIONAL_BNLJ = {
     "full_curation_pipeline_mm",  # four 1-row census scalars crossed
     # per modality row (scalar-attach pattern); every dedup leg itself
     # is a banded equi-join + CC
+    "modality_component_agreement",  # four 1-row stat frames crossed
+    # into the single audit row (scalar-attach); the contingency and
+    # size censuses themselves are equi-joins on component reps
 }
 
 #: queries whose plans legitimately carry many HOF folds (k parallel
