@@ -939,3 +939,95 @@ def tokenized_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "padded_tokens_ws",
         "padded_tokens_bpe",
     )
+
+
+def _bpe_fertility_oracle() -> str:
+    blocks, final = _bpe_blocks()
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + """,
+lens AS (SELECT word, CAST(len(seq) AS BIGINT) AS bpe_len FROM {final}),
+dw AS (
+  SELECT doc_id, source,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+bp AS (
+  SELECT dw.source, CAST(sum(l.bpe_len) AS BIGINT) AS bpe_tokens
+  FROM dw JOIN lens l USING (word) GROUP BY 1
+),
+base AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS ws_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY 1
+)
+SELECT b.source, b.n_docs, b.ws_tokens,
+       coalesce(p.bpe_tokens, 0) AS bpe_tokens,
+       round(CAST(coalesce(p.bpe_tokens, 0) AS DOUBLE) / b.ws_tokens, 6)
+         AS fertility,
+       CASE WHEN coalesce(p.bpe_tokens, 0) = 0 THEN NULL
+            ELSE round(CAST(b.n_chars AS DOUBLE) / p.bpe_tokens, 4) END
+         AS chars_per_token
+FROM base b LEFT JOIN bp p USING (source)
+""".replace("{final}", final)
+    )
+
+
+@query(
+    "bpe_fertility_by_source",
+    oracle=_bpe_fertility_oracle(),
+    tags=("curation", "bpe", "tokenizer", "mixture"),
+)
+def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED-vocabulary fertility per SOURCE — the mixture-axis
+    companion of ``tokenizer_fertility_by_lang`` (which uses a regex
+    subword proxy): tokenize the corpus under the trained BPE merges
+    and report, per source, real tokens per whitespace word and
+    chars-per-token compression. This is the read a mixture designer
+    uses to see which sources are expensive under the tokenizer that
+    will actually ship — sources whose vocabulary resisted the learned
+    merges pay more context budget per document.
+
+    Scale shape: the _bpe_train reduction (one corpus pass +
+    vocab-sized loop), then one explode + vocab-length equi-join +
+    hash aggregate to the source axis; whitespace/char totals are one
+    narrow aggregate. Ratios rounded engine-side."""
+    cur, _merges = _bpe_train(spark, sf_dir)
+    vocab = cur.select("word", F.size("seq").cast("bigint").alias("bpe_len"))
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.trim("text"), WS), lambda x: x != F.lit(""))
+        ).alias("word"),
+    )
+    bp = words.join(vocab, "word").groupBy("source").agg(
+        F.sum("bpe_len").cast("bigint").alias("bpe_tokens")
+    )
+    from atlassian_confluence_data_pipeline_spark.plans.textops import _words
+
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(_words(F.col("text"))))
+        .cast("bigint")
+        .alias("ws_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    bpe = F.coalesce(F.col("bpe_tokens"), F.lit(0))
+    return base.join(bp, "source", "left").select(
+        "source",
+        "n_docs",
+        "ws_tokens",
+        bpe.alias("bpe_tokens"),
+        F.round(bpe.cast("double") / F.col("ws_tokens"), 6).alias(
+            "fertility"
+        ),
+        F.when(bpe == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("n_chars").cast("double") / bpe, 4))
+        .alias("chars_per_token"),
+    )

@@ -557,3 +557,43 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("exact_hit"),
     )
+
+
+def _adc_recall_oracle() -> str:
+    return f"""
+WITH audited AS ({_adc_oracle()})
+SELECT query_id,
+       CAST(sum(exact_hit) AS BIGINT) AS n_hits,
+       round(CAST(sum(exact_hit) AS DOUBLE) / {ADC_TOPK}, 6)
+         AS recall_at_k
+FROM audited
+WHERE exact_hit IS NOT NULL
+GROUP BY 1
+"""
+
+
+@query(
+    "pq_adc_recall",
+    oracle=_adc_recall_oracle(),
+    tags=("similarity", "quantization", "ann", "eval", "calibration"),
+)
+def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{K} of the PQ-ADC index on the hash-SAMPLED audit
+    queries, AS A QUERY — the rollup a retrieval pipeline alerts on
+    (the ivf_recall_audit shape applied to the sampled PQ audit): per
+    sampled query, how many of the ADC top-{K} fall in the exact
+    squared-L2 top-{K}. Continuous index-quality monitoring at the
+    cost of the sampled leg only; unsampled queries never enter.
+
+    Scale shape: one aggregate over the audit's <= K rows per sampled
+    query; all upstream shapes are pq_adc_topk's (codes-only ADC scan
+    + sampled exact leg)."""
+    audited = pq_adc_topk(spark, sf_dir).filter(
+        F.col("exact_hit").isNotNull()
+    )
+    return audited.groupBy("query_id").agg(
+        F.sum("exact_hit").cast("bigint").alias("n_hits"),
+        F.round(
+            F.sum("exact_hit").cast("double") / ADC_TOPK, 6
+        ).alias("recall_at_k"),
+    )

@@ -154,3 +154,58 @@ def test_modality_component_agreement_vs_union_find(spark):
     assert r.n_docs_both == len(set(ic) & set(ac))
     assert r.n_identical_components == ident
     assert r.n_identical_components <= min(r.n_image_intact, r.n_audio_intact)
+
+
+def test_bpe_fertility_by_source_planted(spark, tmp_path):
+    """Per-source learned-vocab fertility equals the _ref_bpe
+    reference on a planted corpus."""
+    from atlassian_confluence_data_pipeline_spark.plans.curation2 import (
+        BPE_MERGES,
+        bpe_fertility_by_source,
+    )
+
+    texts = [
+        "aaaa aaaa aaaa bb",       # src0
+        "zqxw vkjh aaaa",          # src1
+        "aaaa bb bb",              # src2
+        "zqxw zqxw bb aaaa aaaa",  # src0
+    ]
+    sf = _mk_docs(spark, tmp_path, texts)
+    freqs = Counter(w for t in texts for w in _bpe_words(t))
+    _m, seqs = _ref_bpe(dict(freqs), BPE_MERGES)
+    rows = {r.source: r for r in bpe_fertility_by_source(spark, sf).collect()}
+    by_src: dict[str, list[str]] = {}
+    for i, t in enumerate(texts):
+        by_src.setdefault(f"src{i % 3}", []).append(t)
+    for src, ts in by_src.items():
+        r = rows[src]
+        ws = sum(_ws_count(t) for t in ts)
+        bpe = sum(len(seqs[w]) for t in ts for w in _bpe_words(t))
+        chars = sum(len(t) for t in ts)
+        assert r.n_docs == len(ts)
+        assert r.ws_tokens == ws
+        assert r.bpe_tokens == bpe
+        assert r.fertility == round(bpe / ws, 6)
+        assert r.chars_per_token == round(chars / bpe, 4)
+
+
+def test_pq_adc_recall_consistent_with_audit(spark):
+    """The recall rollup equals the per-query sum of the audit's
+    exact_hit flags over the SAMPLED queries only."""
+    from atlassian_confluence_data_pipeline_spark.plans.quantization import (
+        ADC_TOPK,
+        pq_adc_recall,
+        pq_adc_topk,
+    )
+
+    audit = [
+        r for r in pq_adc_topk(spark, SF).collect() if r.exact_hit is not None
+    ]
+    want: dict[int, int] = {}
+    for r in audit:
+        want[r.query_id] = want.get(r.query_id, 0) + r.exact_hit
+    got = {r.query_id: r for r in pq_adc_recall(spark, SF).collect()}
+    assert set(got) == set(want) and len(got) > 0
+    for q, hits in want.items():
+        assert got[q].n_hits == hits
+        assert got[q].recall_at_k == round(hits / ADC_TOPK, 6)

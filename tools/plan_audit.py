@@ -105,6 +105,8 @@ INTENTIONAL_BNLJ = {
     # exact audit leg (round 11: half the queries, codes-only ADC scan)
     "pq_adc_search",  # the production ADC-only sibling: same 10-row
     # broadcast query frame under !=, codes-only projection, no exact leg
+    "pq_adc_recall",  # the sampled-audit rollup: rides pq_adc_topk's
+    # shapes, aggregates its <= K rows per sampled query
     "full_curation_pipeline_mm",  # four 1-row census scalars crossed
     # per modality row (scalar-attach pattern); every dedup leg itself
     # is a banded equi-join + CC
