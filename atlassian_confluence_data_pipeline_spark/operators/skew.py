@@ -168,3 +168,57 @@ def salted_join_skewed(
     # generators cannot be nested inside other expressions: explode bare
     small_replicated = small.withColumn("__salt", F.explode(salts))
     return big_salted.join(small_replicated, [key, "__salt"]).drop("__salt")
+
+
+#: (applicationId, defaultParallelism, source files) -> probed split
+#: count. Split planning is a pure function of these inputs, so the
+#: probe result is reusable across every query in a session.
+_SPREAD_MEMO: dict[tuple, int] = {}
+
+
+def spread_scan(df: DataFrame, min_ratio: int = 2) -> DataFrame:
+    """Round-robin repartition of a frame whose PHYSICAL source yields
+    fewer splits than the session's parallelism — the input-skew remedy
+    from the optimization playbook ("one huge unsplittable file …
+    repartition immediately after the read", guide §2.5). The driver's
+    fixtures are single-row-group parquet files, so every scan runs as
+    ONE task and any per-row expression work downstream (fan-out
+    Generates, decimal folds, hash chains) serializes onto one core.
+
+    Scale-adaptive by construction: when the source already provides at
+    least ``defaultParallelism / min_ratio`` splits (every real table at
+    cluster scale), the frame is returned UNCHANGED — no exchange is
+    added, so this can never introduce a full-table shuffle on a 100 TB
+    input. Only call it where the downstream per-row work outweighs one
+    narrow-row shuffle of the frame.
+
+    The split-count probe (an RDD materialization, ~0.1 s of driver
+    work) is memoized per (application, source files, parallelism):
+    split planning depends only on the file set and session confs, so
+    every later query over the same source skips the probe."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if target <= 1:
+        return df
+    memo_key = None
+    try:
+        files = df.inputFiles()
+        if files:
+            memo_key = (
+                spark.sparkContext.applicationId,
+                target,
+                tuple(sorted(files)),
+            )
+    except Exception:
+        pass
+    current = _SPREAD_MEMO.get(memo_key) if memo_key is not None else None
+    if current is None:
+        try:
+            current = df.rdd.getNumPartitions()
+        except Exception:
+            return df
+        if memo_key is not None:
+            _SPREAD_MEMO[memo_key] = current
+    if current * min_ratio >= target:
+        return df
+    return df.repartition(target)

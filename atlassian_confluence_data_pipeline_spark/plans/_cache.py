@@ -70,6 +70,8 @@ _CODE_DEPS = (
     "../sources/binary.py",
     "textops.py",
     "substring.py",
+    "embeddings2.py",  # PQ codebook/code/LUT kernels (round 11 opt)
+    "quantization.py",  # ADC query-count constant feeds pq_query_luts
     "clustering.py",  # dbscan thresholds feed its staged components
     "curation.py",  # survivor-gate thresholds + pair-stage builders
     "governance.py",  # entity-resolution pair stage (round 11)
@@ -652,3 +654,67 @@ def text_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         return simhash(toks, "doc_id", "toks")
 
     return shared_pair_table(spark, sf_dir, "text_simhash_fp", _build)
+
+
+def pq_code_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized PQ code table ``(vec_id, code0..codeS)`` — the
+    corpus-as-4-bytes-per-vector index every ADC consumer starts from
+    (``pq_adc_search``, ``pq_adc_topk``, ``pq_adc_recall``). The
+    encode stage is ~512 literal squared-diff terms per row; its cost
+    at bench scale is Catalyst + codegen of that expression tree,
+    re-paid by every consumer that inlines it (round-11 profile:
+    ~0.9 s per build, three builds per bench sweep). One narrow staged
+    table (id + S tiny longs) drops that to one build per session."""
+    from atlassian_confluence_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from atlassian_confluence_data_pipeline_spark.plans.embeddings2 import (
+            pq_code_columns,
+            pq_collect_codebook,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = pq_collect_codebook(emb)
+        dist_cols, code_cols = pq_code_columns(cents)
+        return emb.select("vec_id", *dist_cols).select("vec_id", *code_cols)
+
+    return shared_pair_table(spark, sf_dir, "pq_codes", _build)
+
+
+def pq_query_luts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized per-query ADC lookup tables ``(query_id,
+    lut0..lutS)`` — one CODEBOOK-slot array of exact squared subspace
+    distances per subspace for each of the fixed query rows. Same
+    literal-expression-planning cost profile as :func:`pq_code_table`,
+    shared by the three ADC consumers."""
+    from atlassian_confluence_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from atlassian_confluence_data_pipeline_spark.plans.embeddings2 import (
+            _CODEBOOK,
+            _SUBS,
+            pq_collect_codebook,
+            pq_subdist_sql_spark,
+        )
+        from atlassian_confluence_data_pipeline_spark.plans.quantization import (
+            ADC_QUERIES,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = pq_collect_codebook(emb)
+        lut_cols = [
+            F.array(
+                *[
+                    F.expr(pq_subdist_sql_spark(cents, s, cid, "embedding"))
+                    for cid in range(_CODEBOOK)
+                ]
+            ).alias(f"lut{s}")
+            for s in range(_SUBS)
+        ]
+        return emb.filter(F.col("vec_id") < ADC_QUERIES).select(
+            F.col("vec_id").alias("query_id"), *lut_cols
+        )
+
+    return shared_pair_table(spark, sf_dir, "pq_query_luts", _build)

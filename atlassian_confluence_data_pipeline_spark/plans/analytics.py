@@ -452,6 +452,12 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     At sf0.1 that is ~40x slower (98 s vs 2.5 s) and GC-poisons the JVM;
     at 100 TB it is an OOM. Two lean aggs + a 25-row broadcast join keep
     both plans in their fast shape."""
+    # NOTE on spread_scan: measured WORSE here (2.6 s -> 4.6 s). The
+    # rsd=0.01 HLL sketches keep a ~2^14-register buffer per (group,
+    # partition) partial, so multiplying input partitions multiplies
+    # partial-aggregate state and its merge traffic — the one aggregate
+    # family where more map-side parallelism is a net loss on a small
+    # group domain. Left on the single-split scan deliberately.
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(

@@ -304,10 +304,17 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     part's brand to lineitem without shuffling the fact side."""
     from pyspark.sql import Window
 
+    from atlassian_confluence_data_pipeline_spark.operators.skew import (
+        spread_scan,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     w = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        spread_scan(
+            li.select("l_partkey", "l_extendedprice", "l_quantity")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
         .groupBy("p_brand", F.col("l_extendedprice").alias("price"))
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("wt"))
     )

@@ -131,17 +131,26 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "lang", F.posexplode(_words(F.col("text"))).alias("pos", "word")
     )
+    # The hashed token stream feeds FOUR consumers (raw buckets, target
+    # buckets, two corpus scalars, final per-doc fold); materialize it
+    # once instead of re-running the regex explode + hash per pass
+    # (guide §1.2: don't recompute what you throw away — the checkpoint
+    # is narrow ints + the doc id).
     tb = tok.select(
         "doc_id", "lang", "pos", (rolling_hash(F.col("word")) % N_BUCKETS).alias("b")
-    )
+    ).localCheckpoint(eager=True)
     rawc = tb.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
     tgtc = (
         tb.filter(F.col("lang") == DSIR_TARGET_LANG)
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c_t"))
     )
-    n_r = tb.count()
-    n_t = tb.filter(F.col("lang") == DSIR_TARGET_LANG).count()
+    # both corpus cardinalities in ONE job instead of two count() passes
+    totals = tb.agg(
+        F.count(F.lit(1)).alias("n_r"),
+        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("n_t"),
+    ).first()
+    n_r, n_t = totals["n_r"], totals["n_t"]
     delta = F.log(
         (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double")
         / F.lit(float(n_t + N_BUCKETS))

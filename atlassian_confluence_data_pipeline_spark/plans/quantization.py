@@ -369,43 +369,28 @@ WHERE r.r <= {ADC_TOPK}
 
 def _adc_frames(spark: SparkSession, sf_dir: str):
     """Shared builders for the ADC pair: (q, db, adc_expr) where q is
-    the query frame (query_id, qv, lut0..lutS) with one exact-distance
-    LUT array per subspace, db is (neighbor_id, nv, code0..codeS), and
-    adc_expr sums the S LUT lookups. Callers drop qv/nv when the plan
-    must not carry floats (the production search)."""
+    the query frame (query_id, lut0..lutS) with one exact-distance LUT
+    array per subspace, db is (neighbor_id, code0..codeS), and adc_expr
+    sums the S LUT lookups. Both frames are STAGED in the warm chain
+    cache (round-11 optimization): the encode/LUT stages are ~512-term
+    literal expression trees whose bench-scale cost is Catalyst +
+    codegen, re-paid per consumer when inlined — the three ADC
+    consumers now share one build per session. Neither staged frame
+    carries floats; exact-leg consumers re-attach vectors from the
+    embeddings table themselves (ids + floats, a narrow scan)."""
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        pq_code_table,
+        pq_query_luts,
+    )
     from atlassian_confluence_data_pipeline_spark.plans.embeddings2 import (
-        _CODEBOOK,
         _SUBS,
-        pq_code_columns,
-        pq_collect_codebook,
-        pq_subdist_sql_spark,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = pq_collect_codebook(emb)
-    dist_cols, code_cols = pq_code_columns(cents)
-    db = emb.select(
+    db = pq_code_table(spark, sf_dir).select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("nv"),
-        *dist_cols,
-    ).select("neighbor_id", "nv", *code_cols)
-    # per-query LUT: one CODEBOOK-slot array per subspace of exact
-    # squared subspace distances query->centroid (flat literal
-    # arithmetic)
-    lut_cols = [
-        F.array(
-            *[
-                F.expr(pq_subdist_sql_spark(cents, s, cid, "embedding"))
-                for cid in range(_CODEBOOK)
-            ]
-        ).alias(f"lut{s}")
-        for s in range(_SUBS)
-    ]
-    q = emb.filter(F.col("vec_id") < ADC_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        *lut_cols,
+        *[F.col(f"code{s}") for s in range(_SUBS)],
     )
+    q = pq_query_luts(spark, sf_dir)
     adc = None
     for s in range(_SUBS):
         term = F.element_at(F.col(f"lut{s}"), F.col(f"code{s}").cast("int") + 1)
@@ -448,8 +433,8 @@ def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     traffic, and the scan's input projection carries ONLY ids + codes."""
     q, db, adc = _adc_frames(spark, sf_dir)
     pairs = (
-        F.broadcast(q.drop("qv"))
-        .join(db.drop("nv"), F.col("query_id") != F.col("neighbor_id"))
+        F.broadcast(q)
+        .join(db, F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", adc.alias("adc"))
     )
     w_adc = Window.partitionBy("query_id").orderBy(
@@ -496,8 +481,8 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is affine-hash integer arithmetic — engine-exact."""
     q, db, adc = _adc_frames(spark, sf_dir)
     pairs = (
-        F.broadcast(q.drop("qv"))
-        .join(db.drop("nv"), F.col("query_id") != F.col("neighbor_id"))
+        F.broadcast(q)
+        .join(db, F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", adc.alias("adc"))
     )
     w_adc = Window.partitionBy("query_id").orderBy(
@@ -509,7 +494,10 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "adc",
         F.row_number().over(w_adc).alias("r"),
     ).filter(F.col("r") <= ADC_TOPK)
-    # exact leg: sampled queries only, floats confined to this branch
+    # exact leg: sampled queries only, floats confined to this branch —
+    # vectors re-attached from the embeddings table (the staged ADC
+    # frames are codes/LUTs only)
+    emb = load_table(spark, sf_dir, "embeddings")
     exd = F.aggregate(
         F.sequence(F.lit(1), F.size("qv")),
         F.lit(0.0),
@@ -523,16 +511,19 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.element_at(F.col("nv"), i).cast("double")
         ),
     )
-    qs = q.select("query_id", "qv").filter(
-        _adc_sampled_expr(F.col("query_id"))
-    )
+    qs = emb.filter(F.col("vec_id") < ADC_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    ).filter(_adc_sampled_expr(F.col("query_id")))
     w_ex = Window.partitionBy("query_id").orderBy(
         F.asc("exd"), F.asc("neighbor_id")
     )
     extop = (
         F.broadcast(qs)
         .join(
-            db.select("neighbor_id", "nv"),
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("nv"),
+            ),
             F.col("query_id") != F.col("neighbor_id"),
         )
         .select("query_id", "neighbor_id", exd.alias("exd"))

@@ -297,7 +297,18 @@ def poisson_bootstrap_order_means(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale shape: orders x {R} via exploding a literal replicate array
     (Expand node, no join), ONE hash aggregate to {R} rows; exact
-    integer cents and weights, one double division at the boundary."""
+    integer cents and weights, one double division at the boundary.
+    The replicate fan-out is per-row expression work {R}x the input, so
+    the scan is spread first (guide §2.5 unsplittable-input remedy —
+    no-op when the source already has cluster-scale splits); the hash
+    chain is evaluated ONCE per row into ``u`` instead of once per CASE
+    branch, and cents accumulate as LONGS (the per-row value is an
+    exact integer already — summing it as decimal paid a slow wide-
+    decimal buffer for the same integers)."""
+    from atlassian_confluence_data_pipeline_spark.operators.skew import (
+        spread_scan,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     reps = F.explode(
         F.array(*[F.lit(r) for r in range(1, BOOT_REPS + 1)])
@@ -312,15 +323,18 @@ def poisson_bootstrap_order_means(spark: SparkSession, sf_dir: str) -> DataFrame
     ).cast("double") / F.lit(BOOT_MOD)
     wgt = F.lit(6)
     for k in range(len(_POIS_CDF) - 1, -1, -1):
-        wgt = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(wgt)
+        wgt = F.when(F.col("u") < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(wgt)
+    cents_row = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
     w = (
-        o.select("o_orderkey", "o_totalprice", reps)
-        .select("o_totalprice", "rep", wgt.alias("wgt"))
+        spread_scan(o.select("o_orderkey", "o_totalprice"))
+        .select("o_orderkey", "o_totalprice", reps)
+        .withColumn("u", u)
+        .select(cents_row.alias("cents_row"), "rep", wgt.alias("wgt"))
         .groupBy("rep")
         .agg(
-            F.sum(
-                F.col("o_totalprice").cast("decimal(18,2)") * 100 * F.col("wgt")
-            )
+            F.sum(F.col("cents_row") * F.col("wgt"))
             .cast("bigint")
             .alias("cents"),
             F.sum("wgt").cast("bigint").alias("n_eff"),

@@ -242,9 +242,19 @@ def brand_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     with map-side partials to |brands| rows, then constant per-group
     math. The same moments merge across batches (they are the
     incremental_agg monoid extended with cross-terms)."""
+    from atlassian_confluence_data_pipeline_spark.operators.skew import (
+        spread_scan,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+    # The five decimal(38,6) moment sums are BigDecimal-path per-row
+    # work; a single-split source serializes them onto one core, so the
+    # narrow (key, x, y) projection is spread first (guide §2.5 —
+    # no-op at cluster-scale split counts).
+    j = spread_scan(
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+    ).join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"]).select(
         "p_brand",
         F.col("l_quantity").alias("x"),
         F.col("l_extendedprice").alias("y"),
