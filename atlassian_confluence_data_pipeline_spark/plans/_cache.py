@@ -8,253 +8,40 @@ verify chain per consumer is pure waste when several consumers run in
 one session (the bench, a notebook, a pipeline run) — the round-3
 VERDICT flagged ``dedup_method_agreement`` for exactly this.
 
-``shared_pair_table`` memoizes the chain's localCheckpoint per
+``shared_pair_table`` memoizes the chain's eager localCheckpoint per
 (application, sf_dir, chain) so every consumer in a session reads the
-same materialized pair table. Only CONSUMERS go through the cache —
-each registry query's own ``fn`` still builds its full plan, so plan
+same materialized stage. Only CONSUMERS go through the cache — each
+registry query's own ``fn`` still builds its full plan, so plan
 snapshots/audits keep seeing the honest chain shape, and the first
 consumer to run pays the build exactly once.
 
 Most cached tables are pair lists (near-dup output scale, not corpus
-scale); the two corpus-cardinality ones (``minhash_doc_hashes``,
-``srp_fingerprints``) carry only narrow id + hash columns. At most
-|sf_dirs| x |chains| entries live per session.
+scale); the corpus-cardinality ones (``minhash_doc_hashes``,
+``srp_fingerprints``, ``pq_codes``) carry only narrow id + hash/code
+columns. At most |sf_dirs| x |chains| entries live per session.
 
-Cross-session warm start (round-7 item 8): every built stage is also
-persisted as parquet under ``spark-warehouse/_chain_cache/`` keyed by a
-FIXTURE FINGERPRINT (sha256 of every source parquet's name, size and
-mtime under the sf_dir, plus a builder-version constant). A fresh
-session — the driver's bench is one — reads the persisted stage back
-instead of rebuilding the fold/banding chain. The cache is invisible to
-correctness by construction: any change to the fixture files or to a
-builder (bump ``_CHAIN_VERSION``) changes the fingerprint and forces a
-rebuild; ``SPARK_GRAFT_NO_CHAIN_CACHE=1`` disables the disk layer
-entirely (tools/driver_sim.py correctness runs exercise both paths).
-Writes are atomic (tmp dir + rename) so concurrent sessions never see
-a partial stage; losers of the rename race read the winner's copy.
+The cache is strictly SESSION-SCOPED (round-11 optimization round):
+rounds 7-10 additionally persisted built stages as parquet under
+``spark-warehouse/_chain_cache/`` keyed by a fixture fingerprint, so a
+fresh session warm-started from a previous run's disk state. That
+cross-RUN layer was removed in round 11 — a benchmarked invocation must
+compute every stage from the parquet inputs (it also distorted
+cross-core-count scaling measurements, since warm-started runs skipped
+the stage builds entirely). Measured cost of the removal: the recorded
+disk-cold total (318.2 s) was already within host noise of the warm
+totals (311-331 s), i.e. the disk layer bought nothing the in-session
+memo doesn't. Checkpointed stages die with their SparkContext; a fresh
+session rebuilds from the fixtures by construction, so the fingerprint/
+invalidation machinery is gone too.
 """
 
 from __future__ import annotations
 
-import hashlib
-import os
-import shutil
-import uuid
 from collections.abc import Callable
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
 _PAIR_CACHE: dict[tuple[str, str, str], DataFrame] = {}
-
-# Manual escape hatch on top of the automatic code fingerprint below —
-# bump only for semantic changes that live OUTSIDE the _CODE_DEP
-# modules (e.g. a constants module reshuffle).
-_CHAIN_VERSION = "v2"
-
-#: modules whose source defines the SEMANTICS of every chain routed
-#: through shared_pair_table. Their bytes are hashed into the fixture
-#: fingerprint, so editing a builder or one of its helpers orphans the
-#: persisted stages automatically (round-9 ADVICE: _CHAIN_VERSION was
-#: correctness-by-discipline). Over-invalidation is safe (a rebuild);
-#: under-invalidation is the bug — keep this list generous.
-_CODE_DEPS = (
-    "_cache.py",
-    "../operators/graph.py",  # CC feeds persisted component stages
-    "../operators/lsh.py",
-    "../operators/similarity.py",
-    "../operators/windows.py",  # distributed prefix feeds packed_doc_prefix
-    "../functions/text.py",
-    "../functions/imaging.py",
-    "../functions/audio.py",
-    "../sources/binary.py",
-    "textops.py",
-    "substring.py",
-    "embeddings2.py",  # PQ codebook/code/LUT kernels (round 11 opt)
-    "quantization.py",  # ADC query-count constant feeds pq_query_luts
-    "clustering.py",  # dbscan thresholds feed its staged components
-    "curation.py",  # survivor-gate thresholds + pair-stage builders
-    "governance.py",  # entity-resolution pair stage (round 11)
-    "packing.py",  # packed_doc_prefix stage builder
-    "multimodal.py",
-    "multimodal2.py",
-    "multimodal3.py",
-    "multimodal4.py",
-)
-
-_CODE_FP_CACHE: list[str] = []
-
-_FP_CACHE: dict[tuple[str, int], str] = {}
-
-
-def _code_fingerprint() -> str:
-    """sha256 over the source bytes of every _CODE_DEPS module (plus
-    ``_CHAIN_VERSION``), memoized per-process — source files don't
-    change under a running interpreter we'd trust anyway."""
-    if _CODE_FP_CACHE:
-        return _CODE_FP_CACHE[0]
-    h = hashlib.sha256(_CHAIN_VERSION.encode())
-    here = Path(__file__).resolve().parent
-    for rel in _CODE_DEPS:
-        p = (here / rel).resolve()
-        try:
-            h.update(p.read_bytes())
-        except OSError:
-            h.update(f"missing:{rel}".encode())
-    digest = h.hexdigest()[:12]
-    _CODE_FP_CACHE.append(digest)
-    return digest
-
-
-def _fixture_fingerprint(sf_dir: str) -> str:
-    """sha256 over (relative name, size, mtime_ns) of every parquet
-    file under ``sf_dir`` plus the chain CODE fingerprint. Any
-    regenerated/edited fixture or edited builder module changes the
-    digest. Memoized per-process keyed by the full rglob stat profile
-    (name, size, mtime_ns per file) — NOT just the root mtime, which a
-    regeneration inside a nested subdir leaves unchanged (round-9/10
-    ADVICE). The walk IS the digest's input, so the memo only skips the
-    redundant sha256, but it keeps the memo-hit test semantics honest:
-    any in-place file rewrite falls out of the memo."""
-    root = Path(sf_dir)
-    lines = []
-    for p in sorted(root.rglob("*.parquet")):
-        try:
-            st = p.stat()
-        except OSError:
-            continue
-        lines.append(f"{p.relative_to(root)}|{st.st_size}|{st.st_mtime_ns}\n")
-    memo_key = (sf_dir, hash(tuple(lines)))
-    cached = _FP_CACHE.get(memo_key)
-    if cached is not None:
-        return cached
-    h = hashlib.sha256(_code_fingerprint().encode())
-    for line in lines:
-        h.update(line.encode())
-    digest = h.hexdigest()[:16]
-    _FP_CACHE[memo_key] = digest
-    return digest
-
-
-def _chain_cache_root() -> Path:
-    # Anchored to the repo root via __file__, not cwd — the bench and
-    # the driver launch from different working directories.
-    return (
-        Path(__file__).resolve().parents[2]
-        / "spark-warehouse"
-        / "_chain_cache"
-    )
-
-
-def _path_key(sf_dir: str) -> str:
-    """Short digest of the ABSOLUTE sf_dir path — the reap/eviction
-    identity. Two fixture roots that happen to share a basename (two
-    checkouts both holding an 'sf0.1') get disjoint keys, so neither
-    can ever reap the other's warm cache (round-9 ADVICE)."""
-    resolved = str(Path(sf_dir).resolve())
-    return hashlib.sha256(resolved.encode()).hexdigest()[:8]
-
-
-def _disk_dir(sf_dir: str, name: str) -> Path:
-    base = Path(sf_dir).name or "root"
-    return (
-        _chain_cache_root()
-        / f"{base}-{_path_key(sf_dir)}-{_fixture_fingerprint(sf_dir)}"
-        / name
-    )
-
-
-#: leftovers younger than this are presumed to belong to a live
-#: concurrent session and are never reaped (the state.py grace-period
-#: lesson: unconditional reaping can delete an in-flight write)
-_REAP_GRACE_SECONDS = 3600.0
-
-
-def _reap_stale(entry_dir: Path) -> None:
-    """Best-effort crash hygiene, age-gated: drop (a) `.tmp-*` staging
-    dirs from crashed writes inside this fingerprint's dir, and (b)
-    sibling fingerprint dirs for the SAME sf_dir identity orphaned by a
-    fixture regeneration or a builder-code change — both otherwise
-    accumulate forever on long-lived hosts.
-
-    Siblings are matched on the full `{base}-{pathkey}-` prefix (the
-    hash of the absolute sf_dir path), never on basename alone: a
-    different fixture root that shares the basename is a different
-    identity and is left untouched (round-9 ADVICE — basename matching
-    let two same-named roots perpetually evict each other, and could
-    rmtree a dir another live session was reading). Reads touch the
-    fingerprint dir's mtime (see shared_pair_table), so an actively
-    read same-identity dir — e.g. a long-lived session still on the
-    pre-regeneration fingerprint — stays inside the grace window."""
-    import time
-
-    now = time.time()
-
-    def old(p: Path) -> bool:
-        try:
-            return now - p.stat().st_mtime > _REAP_GRACE_SECONDS
-        except OSError:
-            return False
-
-    try:
-        for p in entry_dir.parent.iterdir():
-            if p.name.startswith(".tmp-") and old(p):
-                shutil.rmtree(p, ignore_errors=True)
-        import re
-
-        root = entry_dir.parent.parent
-        prefix = entry_dir.parent.name.rsplit("-", 1)[0] + "-"
-        # pre-round-9 dirs lack the 8-hex path key; reap them ONLY when
-        # they share this entry's sf_dir basename (`{base}-…`) — a
-        # still-running old-format session on a DIFFERENT fixture root
-        # must never lose its warm cache to us (round-10 ADVICE). The
-        # age gate still applies on top.
-        legacy = re.compile(r"-[0-9a-f]{16}$")
-        current = re.compile(r"-[0-9a-f]{8}-[0-9a-f]{16}$")
-        base_prefix = current.sub("", entry_dir.parent.name) + "-"
-        for p in root.iterdir():
-            if not (p.is_dir() and p != entry_dir.parent and old(p)):
-                continue
-            if p.name.startswith(prefix) or (
-                p.name.startswith(base_prefix)
-                and legacy.search(p.name)
-                and not current.search(p.name)
-            ):
-                shutil.rmtree(p, ignore_errors=True)
-    except OSError:
-        pass
-
-
-def _touch(p: Path) -> None:
-    """Advance a cache dir's mtime on READ — directory mtimes don't
-    move on reads by themselves, and the reaper's grace window keys on
-    mtime, so in-use entries must be refreshed explicitly."""
-    try:
-        os.utime(p)
-    except OSError:
-        pass
-
-
-def _persist_stage(df: DataFrame, target: Path) -> DataFrame | None:
-    """Best-effort atomic parquet persist of a built stage; returns the
-    re-read frame on success, None on any failure (read-only disk, race
-    lost to a concurrent session, ...). Failures degrade to the
-    in-memory checkpoint — never to an error."""
-    tmp = target.parent / f".tmp-{uuid.uuid4().hex}"
-    try:
-        target.parent.mkdir(parents=True, exist_ok=True)
-        df.write.mode("overwrite").parquet(str(tmp))
-        try:
-            os.rename(tmp, target)
-        except OSError:
-            # a concurrent session committed first — use its copy
-            shutil.rmtree(tmp, ignore_errors=True)
-        _reap_stale(target)
-        spark = df.sparkSession
-        return spark.read.parquet(str(target))
-    except Exception:
-        shutil.rmtree(tmp, ignore_errors=True)
-        return None
 
 
 def shared_pair_table(
@@ -263,26 +50,15 @@ def shared_pair_table(
     name: str,
     builder: Callable[[SparkSession, str], DataFrame],
 ) -> DataFrame:
-    """Memoized shared stage: in-session via an eager localCheckpoint,
-    cross-session via a fingerprint-keyed parquet copy on disk.
-
-    Session layer keyed by (applicationId, sf_dir, name): a restarted
-    session gets a fresh entry (checkpointed RDDs die with their
-    context) and falls through to the disk layer."""
+    """Memoized shared stage: built once per (applicationId, sf_dir,
+    name) via an eager localCheckpoint, reused by every later consumer
+    in the session. A restarted session gets a fresh entry (checkpointed
+    RDDs die with their context) and rebuilds from the fixtures."""
     key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _PAIR_CACHE.get(key)
-    if df is not None:
-        return df
-    use_disk = os.environ.get("SPARK_GRAFT_NO_CHAIN_CACHE", "") != "1"
-    disk = _disk_dir(sf_dir, name) if use_disk else None
-    if disk is not None and (disk / "_SUCCESS").exists():
-        df = spark.read.parquet(str(disk))
-        _touch(disk.parent)  # keep the in-use dir inside the reap grace
-    else:
+    if df is None:
         df = builder(spark, sf_dir).localCheckpoint(eager=True)
-        if disk is not None:
-            df = _persist_stage(df, disk) or df
-    _PAIR_CACHE[key] = df
+        _PAIR_CACHE[key] = df
     return df
 
 
@@ -521,11 +297,9 @@ def srp_candidate_cosines(
 # ---------------------------------------------------------------------------
 # Perceptual fingerprint stages (round-9 VERDICT item 1): the video /
 # image / audio chains each re-paid a ~1-3.5 s encode + decode +
-# fingerprint mapInPandas pass per cold session — the entire top of the
-# round-8 bench profile. Persist the narrow per-modality fingerprint
-# tables under the fingerprint-keyed disk cache; codec-constant changes
-# rotate the key via the _CODE_DEPS code fingerprint (imaging.py,
-# audio.py, binary.py, multimodal*.py are all hashed in).
+# fingerprint mapInPandas pass per consumer — the entire top of the
+# round-8 bench profile. The narrow per-modality fingerprint tables
+# are built once per session and shared by every consumer.
 # ---------------------------------------------------------------------------
 
 

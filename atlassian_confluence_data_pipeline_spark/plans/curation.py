@@ -1613,8 +1613,7 @@ def curated_survivor_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(node, component) over the survivor near-dup pairs — staged
     (round-10): connected components is a deterministic function of the
     already-staged pair list, and the star-contraction driver loop was
-    the dominant warm cost of every pipeline census that consumed it
-    (graph.py joined _CODE_DEPS so a CC semantics edit rotates this)."""
+    the dominant warm cost of every pipeline census that consumed it."""
     from atlassian_confluence_data_pipeline_spark.operators.graph import (
         connected_components,
     )

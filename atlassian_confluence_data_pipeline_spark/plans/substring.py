@@ -117,11 +117,10 @@ SELECT doc_a, doc_b, start_a, start_b, len_tokens FROM runs
 
 
 def overlap_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The maximal-run table as a session+disk-shared stage (the
+    """The maximal-run table as a session-shared stage (the
     ``_cache.py`` pattern) — consumed by the detection query, the
     apply-form dedup, the source overlap-mass report and the span-level
-    contamination report. ``substring.py`` is in ``_CODE_DEPS``, so
-    edits here rotate the persisted stage."""
+    contamination report."""
     from atlassian_confluence_data_pipeline_spark.plans._cache import (
         shared_pair_table,
     )

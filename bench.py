@@ -86,30 +86,17 @@ def main() -> None:
         "order_seed": seed,
     }
     here = Path(__file__).resolve().parent
-    # Cold-path discipline (round-11 VERDICT item 8): a run under
-    # SPARK_GRAFT_NO_CHAIN_CACHE=1 records BENCH_COLD.json; a normal
-    # (warm) run then embeds that cold total alongside its own numbers,
-    # so warm-cache wins can never mask a cold-path regression.
-    cold_mode = os.environ.get("SPARK_GRAFT_NO_CHAIN_CACHE", "") == "1"
-    if cold_mode:
-        record["mode"] = "cold"
-        (here / "BENCH_COLD.json").write_text(json.dumps(record) + "\n")
-    else:
-        cold_file = here / "BENCH_COLD.json"
-        if cold_file.exists():
-            try:
-                cold = json.loads(cold_file.read_text())
-                record["cold_total_sec"] = cold["value"]
-                record["cold_n_queries"] = cold["n_queries"]
-                record["cold_order_seed"] = cold.get("order_seed")
-            except (OSError, ValueError, KeyError):
-                pass
+    # NOTE (round 11): the cold/warm split recorded through round 10
+    # (SPARK_GRAFT_NO_CHAIN_CACHE=1 -> BENCH_COLD.json) measured the
+    # chain cache's cross-run DISK layer, which round 11 removed — every
+    # invocation now computes all shared stages from the parquet inputs
+    # (plans/_cache.py is session-scoped only), so there is exactly one
+    # honest mode and the env var is gone.
     line = json.dumps(record)
     print(line)
     # the driver captures only the stdout tail; persist the full record
     # so round-over-round diffs never depend on a truncated capture
-    if not cold_mode:
-        (here / "BENCH_LOCAL.json").write_text(line + "\n")
+    (here / "BENCH_LOCAL.json").write_text(line + "\n")
     # ... and end stdout with a COMPACT one-line summary (headline total
     # + the 10 slowest queries) that always fits inside a 2 KB tail
     # capture even when the full per-query JSON line truncates

@@ -1,15 +1,14 @@
-"""Round-10 ADVICE regression tests: empty-micro-batch shard append,
-conformal empty-calibration guard, nested-rewrite fingerprint
-freshness, and legacy-reap identity scoping."""
+"""Round-10 ADVICE regression tests: empty-micro-batch shard append and
+the conformal empty-calibration guard. (The fingerprint-freshness and
+legacy-reap tests left with the chain cache's cross-run disk layer in
+round 11.)"""
 
 from __future__ import annotations
 
 import os
-import time
 
 from pyspark.sql import functions as F
 
-from atlassian_confluence_data_pipeline_spark.plans import _cache
 from atlassian_confluence_data_pipeline_spark.sources.shard_sink import (
     append_shard_batch,
     read_manifest,
@@ -97,51 +96,6 @@ def test_conformal_empty_calibration_yields_null_qhat(spark, tmp_path):
     assert r.coverage == 0.0
 
 
-def test_fingerprint_rotates_on_nested_rewrite(spark, tmp_path):
-    """ADVICE (low): rewriting a parquet file inside a NESTED subdir
-    (root mtime unchanged) must still rotate the fingerprint — the memo
-    key is the full stat profile, not the root mtime."""
-    sf = tmp_path / "sf"
-    nested = sf / "documents.parquet"  # spark writes a dir of parts
-    sf.mkdir()
-    spark.range(5).select(F.col("id").alias("doc_id")).coalesce(1).write.parquet(
-        str(nested)
-    )
-    root_stat = sf.stat()
-    fp1 = _cache._fixture_fingerprint(str(sf))
-    assert _cache._fixture_fingerprint(str(sf)) == fp1  # memo stable
-
-    time.sleep(0.05)
-    # in-place rewrite of the part files, then pin the ROOT mtime back
-    spark.range(7).select(F.col("id").alias("doc_id")).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(str(nested))
-    os.utime(sf, ns=(root_stat.st_atime_ns, root_stat.st_mtime_ns))
-    assert _cache._fixture_fingerprint(str(sf)) != fp1
-
-
-def test_legacy_reap_scoped_to_same_basename(tmp_path):
-    """ADVICE (low): old-format (no 8-hex path key) cache dirs are only
-    reaped when they share this entry's sf_dir BASENAME — a pre-round-9
-    process on a different fixture root keeps its warm cache."""
-    root = tmp_path / "cc"
-    entry_parent = root / ("sf0.1-" + "a" * 8 + "-" + "b" * 16)
-    entry = entry_parent / "stage"
-    entry.mkdir(parents=True)
-
-    same_base_legacy = root / ("sf0.1-" + "c" * 16)
-    other_base_legacy = root / ("sf0.01-" + "d" * 16)
-    same_base_current = root / ("sf0.1-" + "e" * 8 + "-" + "f" * 16)
-    for p in (same_base_legacy, other_base_legacy, same_base_current):
-        p.mkdir(parents=True)
-        (p / "marker").write_text("x")
-        past = time.time() - 2 * _cache._REAP_GRACE_SECONDS
-        os.utime(p, (past, past))
-
-    _cache._reap_stale(entry)
-
-    assert not same_base_legacy.exists()  # our identity's legacy: reaped
-    assert other_base_legacy.exists()  # other fixture root: spared
-    # current-format sibling of ANOTHER identity (different path key,
-    # same basename) is also spared — identity is the full prefix
-    assert same_base_current.exists()
+# (round-11: the fixture-fingerprint and legacy-reap tests were removed
+# with the chain cache's cross-run disk layer — plans/_cache.py is
+# session-scoped now and has no fingerprint or reaping machinery.)

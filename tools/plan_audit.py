@@ -38,15 +38,8 @@ Exit code 1 if anything is flagged, so CI can gate on it.
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 from pathlib import Path
-
-# Pin the plan shape: snapshots/audits must see the honest cold chain
-# regardless of what the cross-session disk cache (plans/_cache.py)
-# happens to hold — a warm parquet read would otherwise swap every
-# shared-stage subtree for a scan and make the diff state-dependent.
-os.environ["SPARK_GRAFT_NO_CHAIN_CACHE"] = "1"
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))

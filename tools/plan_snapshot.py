@@ -3,8 +3,7 @@
 
     python tools/plan_snapshot.py --write        # regenerate PLAN_SNAPSHOT.json
     python tools/plan_snapshot.py --check        # diff current plans vs snapshot
-    python tools/plan_snapshot.py --write-warm   # regenerate PLAN_SNAPSHOT_WARM.json
-    python tools/plan_snapshot.py --check-warm   # warm-path diff + zero-rebuild gate
+    python tools/plan_snapshot.py --check-warm   # session-memo zero-rebuild gate
 
 For every registered query, count the plan nodes that define its scale
 posture (exchanges, join strategies, window forms, aggregates, Python
@@ -16,14 +15,12 @@ changes made ON PURPOSE are recorded by re-running ``--write`` and
 committing the new snapshot — the diff then documents itself in the
 PR.
 
-Cold modes pin ``SPARK_GRAFT_NO_CHAIN_CACHE=1`` so the diff sees the
-honest chain regardless of disk-cache state. WARM modes (round-9 item
-8) pin the other contract: with the chain cache fully populated, a
-fresh session constructing every query plan must take the persisted
-parquet reads — the tool pre-warms the cache, clears the session layer,
-instruments the builder path, and FAILS if any builder re-runs
-(accidental rebuild) or any consumer-side plan shape drifts from
-PLAN_SNAPSHOT_WARM.json (e.g. a cached read that stopped pruning).
+``--check-warm`` gates the chain cache's one contract (the disk layer
+was removed in round 11 — plans/_cache.py is session-scoped now): with
+the session memo populated by a first full plan-construction pass, a
+second pass over every query must invoke ZERO stage builders — any
+builder re-run means a consumer bypassed the memo (a keying bug or a
+consumer inlining its own copy of a shared chain).
 
 The snapshot complements tools/plan_audit.py: the audit flags known
 anti-patterns anywhere; the snapshot freezes the EXACT current shape,
@@ -33,7 +30,6 @@ catching regressions the audit's allow-lists would tolerate.
 from __future__ import annotations
 
 import argparse
-import os
 import json
 import sys
 from pathlib import Path
@@ -42,7 +38,6 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 SNAPSHOT = REPO / "PLAN_SNAPSHOT.json"
-SNAPSHOT_WARM = REPO / "PLAN_SNAPSHOT_WARM.json"
 
 #: node-name substrings that define a plan's scale posture
 MARKERS = {
@@ -92,15 +87,13 @@ def collect(sf: str) -> dict[str, dict[str, int]]:
 
 
 def collect_warm(sf: str) -> tuple[dict[str, dict[str, int]], list[str]]:
-    """Two passes: pass 1 populates the disk chain cache (builders run
-    or disk-hit), then the SESSION layer is cleared — the second pass
-    is what a fresh session sees over a warm disk cache. Pass 2 runs
-    with the builder path instrumented: any builder invocation is an
-    accidental rebuild and is reported for the gate."""
+    """Two passes in ONE session: pass 1 populates the session memo
+    (builders run once each), pass 2 runs with the builder path
+    instrumented — any builder invocation on pass 2 means a consumer
+    bypassed the memo and is reported for the gate."""
     import atlassian_confluence_data_pipeline_spark.plans._cache as _c
 
-    collect(sf)  # pass 1: warm the disk layer
-    _c._PAIR_CACHE.clear()  # simulate a fresh session over warm disk
+    collect(sf)  # pass 1: populate the session memo
 
     rebuilt: list[str] = []
     real = _c.shared_pair_table
@@ -125,41 +118,31 @@ def main() -> int:
     mode = ap.add_mutually_exclusive_group(required=True)
     mode.add_argument("--write", action="store_true")
     mode.add_argument("--check", action="store_true")
-    mode.add_argument("--write-warm", action="store_true")
     mode.add_argument("--check-warm", action="store_true")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     args = ap.parse_args()
 
-    warm = args.write_warm or args.check_warm
-    if warm:
-        # warm modes need the disk layer ON; also rotate nothing — the
-        # fixture fingerprint decides the cache key as in production
-        os.environ.pop("SPARK_GRAFT_NO_CHAIN_CACHE", None)
-        shapes, rebuilt = collect_warm(args.sf)
-    else:
-        # Pin the plan shape: cold snapshots/audits must see the honest
-        # cold chain regardless of what the cross-session disk cache
-        # (plans/_cache.py) happens to hold — a warm parquet read would
-        # otherwise swap every shared-stage subtree for a scan and make
-        # the diff state-dependent.
-        os.environ["SPARK_GRAFT_NO_CHAIN_CACHE"] = "1"
-        shapes, rebuilt = collect(args.sf), []
+    if args.check_warm:
+        _shapes, rebuilt = collect_warm(args.sf)
+        if rebuilt:
+            print(f"MEMO BYPASS ({len(rebuilt)} stages re-ran their "
+                  "builders against a populated session memo):")
+            for n in rebuilt:
+                print(" -", n)
+            return 1
+        print("OK: zero builder re-runs against the populated session memo.")
+        return 0
 
-    snap = SNAPSHOT_WARM if warm else SNAPSHOT
-    if warm and rebuilt:
-        print(f"WARM REBUILD ({len(rebuilt)} stages re-ran their builders "
-              "against a fully warm disk cache):")
-        for n in rebuilt:
-            print(" -", n)
-        return 1
+    shapes = collect(args.sf)
 
-    if args.write or args.write_warm:
+    snap = SNAPSHOT
+    if args.write:
         snap.write_text(json.dumps(shapes, indent=1, sort_keys=True) + "\n")
         print(f"wrote {snap.name}: {len(shapes)} query shapes")
         return 0
 
     if not snap.exists():
-        print(f"{snap.name} missing - run --write{'-warm' if warm else ''} first")
+        print(f"{snap.name} missing - run --write first")
         return 1
     want = json.loads(snap.read_text())
     drift: list[str] = []
@@ -175,12 +158,9 @@ def main() -> int:
         print(f"PLAN DRIFT ({len(drift)} queries):")
         for d in drift:
             print(" -", d)
-        print("\nIf intentional: rerun with --write"
-              f"{'-warm' if warm else ''} and commit the diff.")
+        print("\nIf intentional: rerun with --write and commit the diff.")
         return 1
-    mode_name = "warm" if warm else "cold"
-    print(f"OK: {len(shapes)} {mode_name} query plan shapes match the snapshot."
-          + (" Zero warm rebuilds." if warm else ""))
+    print(f"OK: {len(shapes)} query plan shapes match the snapshot.")
     return 0
 
 

@@ -14,10 +14,10 @@ Runs, in order, and stops at the first failure (exit code 1):
 4. ``python tools/plan_snapshot.py --check``    (physical-plan shape
    regression diff vs the committed PLAN_SNAPSHOT.json; intentional
    shape changes are recorded with --write)
-5. ``python tools/plan_snapshot.py --check-warm`` (warm-path gate:
-   with the chain cache fully populated, a fresh session must take the
-   persisted parquet reads — zero builder re-runs — and the warm plan
-   shapes must match PLAN_SNAPSHOT_WARM.json)
+5. ``python tools/plan_snapshot.py --check-warm`` (session-memo gate:
+   with the session memo populated by a first plan-construction pass,
+   a second pass must invoke ZERO stage builders — no consumer may
+   bypass the shared-stage memo)
 6. ``python tools/qcheck.py --rotation``        (seeded 28-query
    rotation over the registry tail the driver's CORRECTNESS sample
    missed recently — sha256(name:rN) draw, rule in BASELINE.md)
