@@ -407,11 +407,34 @@ def top_k_per_group(
     return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
 
 
+def equal_width_bucketizer(lo: float, hi: float, n: int, transform=None):
+    """O(1) monotone bucketizer for :func:`kth_smallest`'s
+    ``bucket_of``: clamped ``floor((t(v) - lo) / width)`` over ``n``
+    equal-width ranges, where ``t`` is an optional MONOTONE transform
+    (e.g. ``F.asinh`` to spread heavy-centered values) and ``lo``/``hi``
+    bound the TRANSFORMED domain. Degenerate ``hi <= lo`` collapses to
+    one bucket — still monotone, still correct."""
+    span = float(hi) - float(lo)
+
+    def _bucket(c: Column) -> Column:
+        if span <= 0:
+            return F.lit(0)
+        v = c.cast("double")
+        if transform is not None:
+            v = transform(v)
+        raw = F.floor((v - F.lit(float(lo))) / F.lit(span / n)).cast("int")
+        return F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1))
+
+    return _bucket
+
+
 def kth_smallest(
     df: DataFrame,
     value_col: str,
     ks: Sequence[int],
     num_ranges: int = 32,
+    bounds: Sequence[float] | None = None,
+    bucket_of=None,
 ) -> dict[int, float]:
     """Exact kth-smallest VALUES (1-based ranks ``ks``) of a numeric
     column — distributed selection without ranking the whole frame:
@@ -429,6 +452,21 @@ def kth_smallest(
     O(n) scan + O(|hit buckets| * n/num_ranges log(...)) sort, vs the
     full-frame window a rank-then-filter pays. Returns {k: value}.
     Driver traffic is bucket counts + |ks| rows — loop-control scale.
+
+    ``bounds``: caller-supplied split points (e.g. equal-width from an
+    already-known min/max, the distributed_prefix_rank option) — skips
+    the approxQuantile sampling pass, one whole scan of ``df``. Bucket
+    balance only affects the size of the sorted hit bucket, never the
+    selected values.
+
+    ``bucket_of``: caller-supplied MONOTONE bucketizer (Column ->
+    integer Column, non-decreasing in the value, null-free on the
+    non-null domain) — replaces both the sampling pass and the
+    per-row O(num_ranges) split-point array scan with O(1) arithmetic
+    (e.g. clamped ``floor((v - lo) / width)``, or the same on an
+    ``asinh`` transform for heavy-centered values). Monotonicity is
+    the only correctness requirement: equal values share a bucket and
+    global order == (bucket, value) order, exactly as with bounds.
     """
     ks = sorted(set(int(k) for k in ks))
     if not ks:
@@ -439,20 +477,28 @@ def kth_smallest(
     # ignores NULLs, so the counts must too.
     df = df.filter(F.col(value_col).isNotNull())
     n_bounds = max(1, num_ranges) - 1
-    bounds = (
-        df.stat.approxQuantile(
-            value_col, [i / num_ranges for i in range(1, num_ranges)], 0.001
-        )
-        if n_bounds > 0
-        else []
-    )
-    if bounds:
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        bucket = F.size(
-            F.filter(barr, lambda b: b < F.col(value_col).cast("double"))
-        )
+    if bucket_of is not None:
+        bucket = bucket_of(F.col(value_col))
     else:
-        bucket = F.lit(0)
+        if bounds is not None:
+            bounds = [float(b) for b in bounds]
+        else:
+            bounds = (
+                df.stat.approxQuantile(
+                    value_col,
+                    [i / num_ranges for i in range(1, num_ranges)],
+                    0.001,
+                )
+                if n_bounds > 0
+                else []
+            )
+        if bounds:
+            barr = F.array(*[F.lit(float(b)) for b in bounds])
+            bucket = F.size(
+                F.filter(barr, lambda b: b < F.col(value_col).cast("double"))
+            )
+        else:
+            bucket = F.lit(0)
     b = df.select(F.col(value_col), bucket.alias("__kb"))
     counts = {
         r["__kb"]: r["c"]

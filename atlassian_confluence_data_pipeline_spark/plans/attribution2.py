@@ -248,19 +248,23 @@ def markov_attribution_removal(
         .filter((F.col("rn") == F.col("mx")) & (F.col("st") != "CONV"))
         .select(F.col("st").alias("src"), F.lit("NULL").alias("dst"))
     )
+    # cnt/p are <= ~150-row frames over the checkpointed `lab`; the
+    # round-10 shape eagerly checkpointed both, paying two sequential
+    # driver jobs to avoid re-running a sub-second aggregate — the
+    # single collect below evaluates the whole (deterministic, exact-
+    # integer) subtree in one job instead (round 11)
     cnt = (
         starts.union(mids)
         .union(ends)
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint(eager=True)
     )
     rowsum = cnt.groupBy("src").agg(F.sum("c").alias("t"))
     p = cnt.join(rowsum, "src").select(
         "src",
         "dst",
         F.round(F.col("c").cast("double") / F.col("t"), 9).alias("p"),
-    ).localCheckpoint(eager=True)
+    )
 
     # The chain matrix is BOUNDED (|states| <= 7, |scenarios| = 5,
     # <= ~150 cells) — loop-control scale, the k-means-codebook class —

@@ -631,10 +631,30 @@ def bpe_merge_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: session memo for the trained tokenizer, keyed like the BT guard
+#: scan (preference.py): four registry queries (merge table, census,
+#: tokenized packing, per-source fertility) all need the SAME
+#: BPE_MERGES-round fit, and each fit is ~9 sequential driver jobs
+#: (word-count checkpoint + one argmax collect per round) — the
+#: dominant cost of every BPE bench entry (round-11 profile:
+#: tokenized_pack_stats spent 4.0 s of its 5.1 s in fn()). Training
+#: once per (applicationId, sf_dir) is the pq_code_table treatment:
+#: model-sized state, rebuilt from the fixtures by every new session.
+_BPE_MEMO: dict[tuple[str, str], tuple[DataFrame, list]] = {}
+
+
 def _bpe_train(spark: SparkSession, sf_dir: str):
     """Run the BPE training loop; returns (final (word, freq, seq)
     frame with all learned merges applied, merge list) — shared by
-    bpe_merge_iterations and bpe_token_census."""
+    bpe_merge_iterations, bpe_token_census, tokenized_pack_stats and
+    bpe_fertility_by_source via a per-session memo (the fit is a
+    deterministic function of the fixtures; the final frame is an
+    eager localCheckpoint so consumers also skip re-running the
+    BPE_MERGES row-local rewrites)."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BPE_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(
@@ -696,6 +716,8 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     from atlassian_confluence_data_pipeline_spark import iterstats
 
     iterstats.record("bpe_merge_iterations", BPE_MERGES)
+    cur = cur.localCheckpoint(eager=True)
+    _BPE_MEMO[memo_key] = (cur, merges)
     return cur, merges
 
 

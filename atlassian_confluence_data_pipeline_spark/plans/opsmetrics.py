@@ -131,6 +131,19 @@ def littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     window. The area accumulates exact integer level x microsecond
     products in DECIMAL(38,0)."""
     sess = _sessions(spark, sf_dir).localCheckpoint(eager=True)
+    # horizon aggregate FIRST: its min/max double as equal-width split
+    # points for the sweep's prefix pass (every change-point lies in
+    # [lo, hi]), which skips the operator's approxQuantile sampling job
+    # (round-11: fn()-side sequential jobs dominated this query's cost)
+    hz = sess.agg(
+        F.min("t0").cast("bigint").alias("lo"),
+        F.max("t1").cast("bigint").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("t1") - F.col("t0")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("dur"),
+    ).first()
+    lo, hi = int(hz["lo"]), int(hz["hi"])
     deltas = (
         sess.select(F.col("t0").alias("t"), F.lit(1).alias("d"))
         .union(sess.select(F.col("t1").alias("t"), F.lit(-1).alias("d")))
@@ -138,7 +151,11 @@ def littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("d").cast("bigint").alias("net"))
     )
     lv = distributed_prefix_rank(
-        deltas, ["t"], sums={"level": "net"}, rank_col="rk"
+        deltas,
+        ["t"],
+        sums={"level": "net"},
+        rank_col="rk",
+        bounds=[lo + (hi - lo) * i / 32 for i in range(1, 32)],
     ).localCheckpoint(eager=True)
     nxt = lv.select((F.col("rk") - 1).alias("rk"), F.col("t").alias("t_next"))
     seg = lv.join(nxt, "rk")
@@ -151,14 +168,6 @@ def littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("a"),
         F.max("level").cast("bigint").alias("peak"),
-    ).first()
-    hz = sess.agg(
-        F.min("t0").cast("bigint").alias("lo"),
-        F.max("t1").cast("bigint").alias("hi"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum((F.col("t1") - F.col("t0")).cast("decimal(38,0)"))
-        .cast("double")
-        .alias("dur"),
     ).first()
     horizon_us = hz["hi"] - hz["lo"]
     lam = hz["n"] / (float(horizon_us) / 1000000)

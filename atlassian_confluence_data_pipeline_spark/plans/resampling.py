@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from atlassian_confluence_data_pipeline_spark.catalog import load_table
 from atlassian_confluence_data_pipeline_spark.operators.windows import (
+    equal_width_bucketizer,
     kth_smallest,
 )
 from atlassian_confluence_data_pipeline_spark.plans.registry import query
@@ -174,24 +175,43 @@ def hodges_lehmann_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    n_days = daily.count()
-    mean_rev = daily.agg(
+    # ONE loop-control aggregate: day count, the mean (same exact
+    # decimal-sum expression as before), and the cents min/max that
+    # bound every Walsh sum — three driver jobs fused into one
+    # (round-11: the sequential fn()-side jobs were the query's cost)
+    st = daily.agg(
+        F.count(F.lit(1)).alias("n"),
         (
             F.sum(F.col("cents").cast("decimal(38,0)")).cast("double")
             / F.count(F.lit(1))
             / 100
-        ).alias("m")
-    ).first()["m"]
+        ).alias("m"),
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+    ).first()
+    n_days, mean_rev = int(st["n"]), st["m"]
     a = daily.select(
         F.col("dnum").alias("da"), F.col("cents").alias("ca")
     ).repartition(32)
     b = daily.select(F.col("dnum").alias("db"), F.col("cents").alias("cb"))
-    pairs = a.join(F.broadcast(b), F.col("db") >= F.col("da")).select(
-        (F.col("ca") + F.col("cb")).alias("s")
+    pairs = (
+        a.join(F.broadcast(b), F.col("db") >= F.col("da"))
+        .select((F.col("ca") + F.col("cb")).alias("s"))
+        # materialize the ~n^2/2 (calendar-bounded) pair sums once: the
+        # selection's count and hit passes both read them, and without a
+        # checkpoint each pass would re-run the broadcast fan-out
+        .localCheckpoint(eager=True)
     )
     m = n_days * (n_days + 1) // 2
     k1, k2 = (m + 1) // 2, (m + 2) // 2
-    sel = kth_smallest(pairs, "s", [k1, k2])
+    # O(1) equal-width bucketizer over the already-known cents range
+    # (every pair sum lies in [2*mn, 2*mx]): skips the approxQuantile
+    # pass AND the per-row split-point array scan the bounds form pays;
+    # bucket balance only sizes the sorted hit bucket, never the values
+    lo, hi = 2 * int(st["mn"]), 2 * int(st["mx"])
+    sel = kth_smallest(
+        pairs, "s", [k1, k2], bucket_of=equal_width_bucketizer(lo, hi, 32)
+    )
     hl = (sel[k1] + sel[k2]) / 2.0
     return spark.range(1).select(
         F.lit(n_days).cast("bigint").alias("n_days"),

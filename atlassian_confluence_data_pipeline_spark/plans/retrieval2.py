@@ -226,12 +226,29 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_quantity") * 100).cast("bigint").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
     ).localCheckpoint(eager=True)
+    # ONE loop-control min/max aggregate feeds equal-width split points
+    # to BOTH prefix passes — each pass previously paid its own
+    # approxQuantile job (a full groupBy over the fact rows) just to
+    # balance buckets; quantity and price cents are near-uniform, and
+    # bucket balance never changes the exact ranks (round 11)
+    mm = base.agg(
+        F.min("x").alias("xmn"),
+        F.max("x").alias("xmx"),
+        F.min("y").alias("ymn"),
+        F.max("y").alias("ymx"),
+    ).first()
 
     def half_ranks(col: str) -> DataFrame:
         byv = base.groupBy(col).agg(
             F.count(F.lit(1)).cast("bigint").alias("c")
         )
-        cum = distributed_prefix_rank(byv, [col], sums={"cum": "c"})
+        mn, mx = int(mm[f"{col}mn"]), int(mm[f"{col}mx"])
+        cum = distributed_prefix_rank(
+            byv,
+            [col],
+            sums={"cum": "c"},
+            bounds=[mn + (mx - mn) * i / 32 for i in range(1, 32)],
+        )
         return cum.select(
             col,
             (

@@ -209,3 +209,41 @@ def test_pq_adc_recall_consistent_with_audit(spark):
     for q, hits in want.items():
         assert got[q].n_hits == hits
         assert got[q].recall_at_k == round(hits / ADC_TOPK, 6)
+
+
+def test_bpe_train_memoizes_per_session_and_fixture(spark, tmp_path, monkeypatch):
+    """Round-11 optimization: the BPE fit is a deterministic function
+    of the fixtures, so the four consumer queries must share ONE
+    training run per (session, sf_dir) — and distinct fixture dirs
+    must still train independently."""
+    from atlassian_confluence_data_pipeline_spark.plans import curation2
+
+    calls = []
+    real = curation2.load_table
+
+    def counting(spark_, sf_dir_, name):
+        if name == "documents":
+            calls.append(sf_dir_)
+        return real(spark_, sf_dir_, name)
+
+    monkeypatch.setattr(curation2, "load_table", counting)
+    # long varied words: plenty of distinct adjacent pairs, so the
+    # BPE_MERGES-round argmax never runs dry on either corpus
+    sf_a = _mk_docs(
+        spark, tmp_path, ["qwertyuiop qwertyuiop asdfghjkl", "asdfghjkl zxcvbnm"]
+    )
+    (tmp_path / "b").mkdir()
+    sf_b = _mk_docs(
+        spark, tmp_path / "b", ["mnbvcxzlkj mnbvcxzlkj poiuytrewq", "poiuytrewq"]
+    )
+
+    cur1, merges1 = curation2._bpe_train(spark, sf_a)
+    trains_after_first = calls.count(sf_a)
+    cur2, merges2 = curation2._bpe_train(spark, sf_a)
+    assert merges2 == merges1
+    assert cur2 is cur1  # memo hit: the checkpointed frame is shared
+    assert calls.count(sf_a) == trains_after_first  # no re-train
+
+    _cur3, merges3 = curation2._bpe_train(spark, sf_b)
+    assert calls.count(sf_b) == trains_after_first  # b trained once too
+    assert merges3 != merges1  # trained on ITS fixtures, not the memo
