@@ -36,14 +36,21 @@ def brute_force_topk(
     """Exact top-k neighbors per query vector.
 
     ``queries`` is broadcast (assumed small); the corpus never moves.
-    Returns (query_id, neighbor_id, rank, sim)."""
+    Each side's L2 norm is folded ONCE per vector in its own projection
+    (``sqrt(dot(v, v))`` reused across pairs is bit-identical to
+    re-folding it per pair) so the per-pair work is one dot fold
+    instead of three. Returns (query_id, neighbor_id, rank, sim)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
     )
-    sim = cosine_similarity(F.col("__qv"), F.col("__cv"))
+    sim = dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -69,6 +76,7 @@ def assign_nearest_centroid(
     cent_rows: list,
     vec_col: str = "embedding",
     sim_col: str | None = None,
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment as a NARROW map: the centroids are
     embedded as one literal array-of-structs column (a single F.expr
@@ -123,6 +131,11 @@ def assign_nearest_centroid(
     out = [best["cid"].alias("centroid_id")]
     if sim_col is not None:
         out.append(best["s"].alias(sim_col))
+    if norm_col is not None:
+        # the row norm is already folded for the argmax — callers whose
+        # downstream cosines need it reuse the identical value instead
+        # of re-folding it per pair
+        out.append(F.col("__en").alias(norm_col))
     return with_norm.select(*out, *cols)
 
 
@@ -130,10 +143,11 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int,
-    centroids: DataFrame,
+    centroids: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 1,
+    cent_rows: list | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: assign corpus vectors to their nearest
     centroid (coarse quantizer), probe only the query's ``n_probe``
@@ -141,9 +155,14 @@ def ivf_topk(
     small — collected once for the corpus-side literal argmax (narrow
     map, no exchange; see :func:`assign_nearest_centroid`) and broadcast
     for the tiny query side's top-``n_probe`` window. The scan per query
-    drops from N to N * n_probe / n_cells — the ANN scale path."""
+    drops from N to N * n_probe / n_cells — the ANN scale path.
 
-    cent_rows = collect_centroids(centroids)
+    ``cent_rows``: already-collected ``[(centroid_id, vec)]`` rows (the
+    session-staged label centroids) — skips both the centroid
+    aggregation job and the collect."""
+
+    if cent_rows is None:
+        cent_rows = collect_centroids(centroids)
     # rebuild the k collected rows as a LOCAL relation for the query
     # side: referencing the original `centroids` plan here would execute
     # its (corpus-sized) aggregation a second time in the main job
@@ -164,10 +183,17 @@ def ivf_topk(
         )
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c_cells = assign_nearest_centroid(c, cent_rows, "__cv")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    # the corpus-side norm is the argmax's own fold, re-exposed; the
+    # query-side norm folds once per query row — the probe-pair cosine
+    # then pays ONE dot fold per pair instead of three
+    c_cells = assign_nearest_centroid(c, cent_rows, "__cv", norm_col="__cn")
     q_cells = assign(q, "query_id", "__qv", n_probe)
-    sim = cosine_similarity(F.col("__qv"), F.col("__cv"))
+    sim = dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         c_cells.join(F.broadcast(q_cells), "centroid_id")

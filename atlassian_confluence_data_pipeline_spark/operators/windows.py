@@ -435,7 +435,9 @@ def kth_smallest(
     num_ranges: int = 32,
     bounds: Sequence[float] | None = None,
     bucket_of=None,
-) -> dict[int, float]:
+    extra_sums: Mapping[str, str] | None = None,
+    refine_rows: int | None = None,
+) -> dict[int, float] | tuple[dict[int, float], dict[str, object]]:
     """Exact kth-smallest VALUES (1-based ranks ``ks``) of a numeric
     column — distributed selection without ranking the whole frame:
 
@@ -467,6 +469,17 @@ def kth_smallest(
     ``asinh`` transform for heavy-centered values). Monotonicity is
     the only correctness requirement: equal values share a bucket and
     global order == (bucket, value) order, exactly as with bounds.
+
+    ``extra_sums``: ``out_name -> src_col`` global sums the caller
+    needs ANYWAY over the same frame (e.g. the Mann-Kendall sign sum
+    next to the Theil-Sen median) — piggybacked onto the one
+    count-per-bucket aggregate, so they cost zero extra passes; the
+    per-bucket partials are summed exactly on the driver (bounded by
+    num_ranges rows). NOTE: extra sums count NULL-``value_col`` rows
+    only if the caller's source column is null there too — this
+    operator filters to the non-null value domain first, which is the
+    correct frame for its callers (pair frames with no nulls). When
+    given, the return value becomes ``({k: value}, {out_name: sum})``.
     """
     ks = sorted(set(int(k) for k in ks))
     if not ks:
@@ -499,11 +512,34 @@ def kth_smallest(
             )
         else:
             bucket = F.lit(0)
-    b = df.select(F.col(value_col), bucket.alias("__kb"))
-    counts = {
-        r["__kb"]: r["c"]
-        for r in b.groupBy("__kb").agg(F.count(F.lit(1)).alias("c")).collect()
-    }
+    extra_sums = dict(extra_sums or {})
+    b = df.select(
+        F.col(value_col), *extra_sums.values(), bucket.alias("__kb")
+    )
+    count_rows = (
+        b.groupBy("__kb")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(value_col).alias("__bmn"),
+            F.max(value_col).alias("__bmx"),
+            *[
+                F.sum(src).alias(f"__x_{out}")
+                for out, src in extra_sums.items()
+            ],
+        )
+        .collect()
+    )
+    counts = {r["__kb"]: r["c"] for r in count_rows}
+    bmn = {r["__kb"]: r["__bmn"] for r in count_rows}
+    bmx = {r["__kb"]: r["__bmx"] for r in count_rows}
+    extras: dict[str, object] = {}
+    for out in extra_sums:
+        vals = [
+            r[f"__x_{out}"] for r in count_rows if r[f"__x_{out}"] is not None
+        ]
+        # integer partials sum exactly in any order; all-null -> null,
+        # matching SQL sum() over an empty/all-null frame
+        extras[out] = sum(vals) if vals else None
     total = sum(counts.values())
     targets: dict[int, tuple[int, int]] = {}
     for k in ks:
@@ -515,20 +551,120 @@ def kth_smallest(
                 targets[k] = (bk, k - run)
                 break
             run += counts[bk]
-    hit_buckets = {bk for bk, _ in targets.values()}
-    w = Window.partitionBy("__kb").orderBy(value_col)
-    locals_wanted = [
-        (F.col("__kb") == bk) & (F.col("__lr") == lr)
-        for bk, lr in targets.values()
-    ]
-    cond = locals_wanted[0]
-    for c in locals_wanted[1:]:
-        cond = cond | c
-    hits = (
-        b.filter(F.col("__kb").isin(*hit_buckets))
-        .withColumn("__lr", F.row_number().over(w))
-        .filter(cond)
-        .collect()
-    )
-    by_key = {(r["__kb"], r["__lr"]): r[value_col] for r in hits}
-    return {k: by_key[t] for k, t in targets.items()}
+    sel: dict[int, float] = {}
+    # SKEW GUARD (iterative refinement): a value distribution far from
+    # the bucketizer's assumption (e.g. pair slopes massed near 0 under
+    # equal-width buckets) can land a requested rank in a bucket holding
+    # a large share of the frame — and the per-bucket sort below is ONE
+    # task per bucket. Loop: resolve constant buckets directly (every
+    # row equals the bucket min — no sort needed), then re-bucket the
+    # oversized TARGET buckets by equal width over their OWN (min, max)
+    # until every remaining hit bucket is sort-task-sized. Each round is
+    # one narrow count/min/max aggregate over the frame FILTERED to the
+    # surviving target buckets (shrinking ~num_ranges-fold per round),
+    # so even a pathologically centered distribution converges in a few
+    # cheap passes instead of one giant single-task sort.
+    if refine_rows is None:
+        refine_rows = max(100_000, 4 * (total // max(1, num_ranges)))
+    frame = b.select(F.col(value_col), F.col("__kb").alias("__sk"))
+    cur_counts = {bk: counts[bk] for bk in counts}
+    cur_mn = dict(bmn)
+    cur_mx = dict(bmx)
+    targets = {k: (bk, lr) for k, (bk, lr) in targets.items()}
+    for _round in range(8):
+        for k, (bk, _lr) in list(targets.items()):
+            if cur_mn[bk] == cur_mx[bk]:
+                sel[k] = cur_mn[bk]
+                del targets[k]
+        if not targets:
+            break
+        over = sorted(
+            {bk for bk, _ in targets.values() if cur_counts[bk] > refine_rows}
+        )
+        if not over:
+            break
+        kept = sorted(
+            {bk for bk, _ in targets.values() if bk not in over}
+        )
+        kept_map = {old: i for i, old in enumerate(kept)}
+        over_map = {old: len(kept) + j * num_ranges for j, old in enumerate(over)}
+        mn_map = F.create_map(
+            *[x for bk in over for x in (F.lit(bk), F.lit(float(cur_mn[bk])))]
+        )
+        wd_map = F.create_map(
+            *[
+                x
+                for bk in over
+                for x in (
+                    F.lit(bk),
+                    F.lit((float(cur_mx[bk]) - float(cur_mn[bk])) / num_ranges),
+                )
+            ]
+        )
+        base_map = F.create_map(
+            *[x for bk in over for x in (F.lit(bk), F.lit(over_map[bk]))]
+        )
+        kept_expr = (
+            F.create_map(
+                *[x for bk in kept for x in (F.lit(bk), F.lit(kept_map[bk]))]
+            )[F.col("__sk")]
+            if kept
+            else F.lit(None).cast("int")
+        )
+        sub_raw = F.floor(
+            (F.col(value_col).cast("double") - mn_map[F.col("__sk")])
+            / wd_map[F.col("__sk")]
+        ).cast("int")
+        sub = F.least(F.greatest(sub_raw, F.lit(0)), F.lit(num_ranges - 1))
+        new_key = F.when(
+            F.col("__sk").isin(*over), base_map[F.col("__sk")] + sub
+        ).otherwise(kept_expr)
+        frame = frame.filter(
+            F.col("__sk").isin(*(over + kept))
+        ).select(F.col(value_col), new_key.alias("__sk"))
+        rows = (
+            frame.groupBy("__sk")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.min(value_col).alias("__bmn"),
+                F.max(value_col).alias("__bmx"),
+            )
+            .collect()
+        )
+        cur_counts = {r["__sk"]: r["c"] for r in rows}
+        cur_mn = {r["__sk"]: r["__bmn"] for r in rows}
+        cur_mx = {r["__sk"]: r["__bmx"] for r in rows}
+        new_targets: dict[int, tuple[int, int]] = {}
+        for k, (bk, lr) in targets.items():
+            if bk in kept_map:
+                new_targets[k] = (kept_map[bk], lr)
+                continue
+            run = 0
+            lo, hi = over_map[bk], over_map[bk] + num_ranges
+            for sk in sorted(s for s in cur_counts if lo <= s < hi):
+                if lr <= run + cur_counts[sk]:
+                    new_targets[k] = (sk, lr - run)
+                    break
+                run += cur_counts[sk]
+        targets = new_targets
+    if targets:
+        hit_buckets = {bk for bk, _ in targets.values()}
+        w = Window.partitionBy("__sk").orderBy(value_col)
+        locals_wanted = [
+            (F.col("__sk") == bk) & (F.col("__lr") == lr)
+            for bk, lr in targets.values()
+        ]
+        cond = locals_wanted[0]
+        for c in locals_wanted[1:]:
+            cond = cond | c
+        hits = (
+            frame.filter(F.col("__sk").isin(*hit_buckets))
+            .withColumn("__lr", F.row_number().over(w))
+            .filter(cond)
+            .collect()
+        )
+        by_key = {(r["__sk"], r["__lr"]): r[value_col] for r in hits}
+        sel.update({k: by_key[t] for k, t in targets.items()})
+    if extra_sums:
+        return sel, extras
+    return sel

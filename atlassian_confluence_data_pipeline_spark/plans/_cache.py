@@ -62,6 +62,28 @@ def shared_pair_table(
     return df
 
 
+_MODEL_MEMO: dict[tuple[str, str, str], object] = {}
+
+
+def shared_model_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    builder: Callable[[SparkSession, str], object],
+) -> object:
+    """Memoized MODEL-SIZED collected state (a list of centroid rows, a
+    handful of loop-control scalars) per (applicationId, sf_dir, name) —
+    the ``_bpe_train`` / ``_n_sources`` discipline generalized: the
+    memo holds plan-shape or literal-embedding inputs whose size is
+    bounded by the MODEL (k centroids, one min/max pair), never query
+    output or corpus rows, and a fresh session recomputes them from the
+    parquet fixtures by construction."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key not in _MODEL_MEMO:
+        _MODEL_MEMO[key] = builder(spark, sf_dir)
+    return _MODEL_MEMO[key]
+
+
 def srp_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-memoized SRP fingerprint frame ``(vec_id, simhash)`` over
     the embeddings table — the stage every embedding-LSH consumer
@@ -454,6 +476,173 @@ def pq_code_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         return emb.select("vec_id", *dist_cols).select("vec_id", *code_cols)
 
     return shared_pair_table(spark, sf_dir, "pq_codes", _build)
+
+
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized first-order Markov transition-count grid
+    ``(prev_type, event_type, c)`` over the events table — the
+    user-keyed lag window + hash aggregate that
+    ``event_transition_matrix``, ``transition_entropy_rate`` and
+    ``markov_stationary_events`` each re-ran per build (round-11
+    profile: the window pass dominates all three; the grid itself is
+    |event_types|²-bounded — model-sized, the cheapest checkpoint in
+    the cache)."""
+    from atlassian_confluence_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            ev.select(
+                "event_type", F.lag("event_type").over(w).alias("prev_type")
+            )
+            .filter(F.col("prev_type").isNotNull())
+            .groupBy("prev_type", "event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+
+    return shared_pair_table(spark, sf_dir, "event_transition_counts", _build)
+
+
+def preference_duel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized duel frame ``(id_a, id_b, s_a, s_b, winner)`` —
+    the offset-explode + corpus equi-join every preference consumer
+    starts from. ``dpo_pair_construction`` alone inlined it five times
+    (its own pair stream + twice each inside the BT fit and the Wilson
+    matrix); narrow columns, pair-stream cardinality."""
+    from atlassian_confluence_data_pipeline_spark.plans.preference import (
+        _duel_frame,
+    )
+
+    return shared_pair_table(spark, sf_dir, "preference_duels", _duel_frame)
+
+
+def preference_matchups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized matchup sufficient statistics ``(i, j, n, w)``
+    (duel counts and i-wins per ordered matchup) — |sources|²-bounded,
+    the frame both Bradley-Terry fit paths, the Wilson win-rate matrix
+    and the DPO margins reduce to."""
+
+    def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from atlassian_confluence_data_pipeline_spark.plans.preference import (
+            _matchup_matrix,
+        )
+        from pyspark.sql import functions as F
+
+        cmp = preference_duel_frame(spark, sf_dir)
+        duels = cmp.select(
+            F.col("s_a").alias("i"), F.col("s_b").alias("j"), "winner"
+        ).unionByName(
+            cmp.select(
+                F.col("s_b").alias("i"), F.col("s_a").alias("j"), "winner"
+            )
+        )
+        return _matchup_matrix(duels)
+
+    return shared_pair_table(spark, sf_dir, "preference_matchups", _build)
+
+
+def label_centroid_rows(spark: SparkSession, sf_dir: str) -> list:
+    """Session-memoized label-centroid rows ``[(centroid_id, vec)]`` —
+    the deterministic per-label mean vectors (posexplode + two hash
+    aggregates + model-sized collect) that ivf_ann_topk,
+    ivf_recall_audit, kmeans_lloyd_step, kmeans_iterations and
+    semantic_dedup each rebuilt per run. k rows of D doubles — the
+    literal-embedding input of the narrow-map argmax assignment, the
+    same class as the collected k-means loop state."""
+
+    def _build(spark: SparkSession, sf_dir: str) -> list:
+        from atlassian_confluence_data_pipeline_spark.catalog import (
+            load_table,
+        )
+        from atlassian_confluence_data_pipeline_spark.operators.similarity import (
+            collect_centroids,
+        )
+        from atlassian_confluence_data_pipeline_spark.plans.analytics import (
+            _deterministic_mean_vectors,
+        )
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cent = _deterministic_mean_vectors(emb, "label").select(
+            F.col("label").alias("centroid_id"),
+            F.col("mean_vec").alias("centroid"),
+        )
+        return collect_centroids(cent)
+
+    return shared_model_rows(spark, sf_dir, "label_centroid_rows", _build)
+
+
+def seg_price_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized two-cohort price-count domain ``(cents, ca,
+    cb)`` — the orders⋈customer join + distinct-value hash aggregate
+    shared by the KS and Mann-Whitney segment tests (each also paid it
+    a second time inside the prefix operator's approxQuantile pass)."""
+    from atlassian_confluence_data_pipeline_spark.plans.hypothesis import (
+        _seg_prices,
+    )
+
+    return shared_pair_table(spark, sf_dir, "seg_price_counts", _seg_prices)
+
+
+def customer_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized right-censored customer-lifetime frame
+    ``(o_custkey, duration, last_d)`` — the orders-domain aggregate the
+    survival family (kaplan_meier_churn, nelson_aalen_hazard,
+    log_rank_test) each rebuilt and checkpointed per run."""
+    from atlassian_confluence_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        o = load_table(spark, sf_dir, "orders")
+        return o.groupBy("o_custkey").agg(
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias(
+                "duration"
+            ),
+            F.max("o_orderdate").alias("last_d"),
+        )
+
+    return shared_pair_table(spark, sf_dir, "customer_lifetimes", _build)
+
+
+def lifetime_head(spark: SparkSession, sf_dir: str):
+    """Session-memoized corpus head date (max last order date) over
+    :func:`customer_lifetimes` — one loop-control scalar shared by the
+    survival family's censoring labels."""
+    from pyspark.sql import functions as F
+
+    def _build(spark: SparkSession, sf_dir: str):
+        return customer_lifetimes(spark, sf_dir).agg(
+            F.max("last_d")
+        ).first()[0]
+
+    return shared_model_rows(spark, sf_dir, "lifetime_head", _build)
+
+
+def seg_price_summary(spark: SparkSession, sf_dir: str) -> tuple:
+    """Session-memoized ``(na, nb, mn, mx)`` loop-control scalars over
+    :func:`seg_price_counts` — the cohort sizes both tests need anyway
+    plus the cents range that feeds equal-width split points to their
+    prefix passes (skipping each test's approxQuantile sampling job)."""
+
+    def _build(spark: SparkSession, sf_dir: str) -> tuple:
+        from pyspark.sql import functions as F
+
+        row = (
+            seg_price_counts(spark, sf_dir)
+            .agg(
+                F.sum("ca").cast("bigint").alias("na"),
+                F.sum("cb").cast("bigint").alias("nb"),
+                F.min("cents").alias("mn"),
+                F.max("cents").alias("mx"),
+            )
+            .first()
+        )
+        return (row["na"], row["nb"], row["mn"], row["mx"])
+
+    return shared_model_rows(spark, sf_dir, "seg_price_summary", _build)
 
 
 def pq_query_luts(spark: SparkSession, sf_dir: str) -> DataFrame:

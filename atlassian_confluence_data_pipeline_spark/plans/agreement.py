@@ -150,16 +150,14 @@ def transition_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     use log2 ON INTEGERS only (p*log2(1/p) = c/t*(log2 t - log2 c)),
     9-rounded and DECIMAL-summed so the per-state fold is order-free
     and libm-drift-proof."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    cnt = (
-        ev.select(
-            "event_type", F.lag("event_type").over(w).alias("prev_type")
-        )
-        .filter(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", "event_type")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        event_transition_counts,
     )
+
+    # the user-keyed lag window + hash aggregate ride the session-staged
+    # transition grid (shared with event_transition_matrix and
+    # markov_stationary_events); everything below is |event_types|²-sized
+    cnt = event_transition_counts(spark, sf_dir)
     rowt = cnt.groupBy("prev_type").agg(F.sum("c").cast("bigint").alias("t"))
     term = F.round(
         F.col("c").cast("double")

@@ -605,13 +605,19 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     set and top-k ranks reproduce exactly in the DuckDB oracle. Recall
     vs brute force is additionally asserted in tests/test_analytics.py."""
     from atlassian_confluence_data_pipeline_spark.operators.similarity import ivf_topk
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        label_centroid_rows,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = _deterministic_mean_vectors(emb, "label").select(
-        F.col("label").alias("centroid_id"), F.col("mean_vec").alias("centroid")
-    )
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5, centroids=centroids, n_probe=2).select(
+    return ivf_topk(
+        emb,
+        queries,
+        k=5,
+        n_probe=2,
+        cent_rows=label_centroid_rows(spark, sf_dir),
+    ).select(
         "query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim")
     )
 
@@ -687,12 +693,13 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow per-row HOF argmax — zero Exchange between the corpus scan
     and the mean recompute's partial aggregate (was: broadcast
     crossJoin + row_number window, one ~n-row hash exchange)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cent = _deterministic_mean_vectors(emb, "label").select(
-        F.col("label").alias("centroid_id"), F.col("mean_vec").alias("centroid")
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        label_centroid_rows,
     )
+
+    emb = load_table(spark, sf_dir, "embeddings")
     assigned = _assign_nearest_centroid(
-        emb.select("vec_id", "embedding"), _collect_centroids(cent)
+        emb.select("vec_id", "embedding"), label_centroid_rows(spark, sf_dir)
     )
     refined = _deterministic_mean_vectors(assigned, "centroid_id")
     # one scalar row per (cell, dimension): array-valued output columns
@@ -932,13 +939,13 @@ def kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the driver (``_collect_centroids``) replaces the round-2
     localCheckpoint — same job count, but the assignment exchange is
     gone and plan depth stays O(1) per round."""
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        label_centroid_rows,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id", "embedding")
-    cent_rows = _collect_centroids(
-        _deterministic_mean_vectors(emb, "label").select(
-            F.col("label").alias("centroid_id"), F.col("mean_vec").alias("centroid")
-        )
-    )
+    cent_rows = label_centroid_rows(spark, sf_dir)
     assigned = None
     for i in range(KMEANS_ITERS):
         assigned = _assign_nearest_centroid(corpus, cent_rows)
@@ -1075,12 +1082,12 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hot_blocks,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    cent_rows = _collect_centroids(
-        _deterministic_mean_vectors(emb, "label").select(
-            F.col("label").alias("centroid_id"), F.col("mean_vec").alias("centroid")
-        )
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        label_centroid_rows,
     )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = label_centroid_rows(spark, sf_dir)
     n = emb.count()
     n_sub = (n + SEMDEDUP_SUBCELL_ROWS - 1) // SEMDEDUP_SUBCELL_ROWS
     # one norm fold per VECTOR instead of two per candidate pair (the

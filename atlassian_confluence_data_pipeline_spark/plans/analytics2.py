@@ -48,18 +48,16 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition counts between event types per
     user: lag() over a user_id-partitioned window (deterministic
     (ts, event_id) order), then one hash aggregate. The window shuffle
-    is keyed by user_id — bounded partitions at any corpus size."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        ev.select(
-            "user_id",
-            "event_type",
-            F.lag("event_type").over(w).alias("prev_type"),
-        )
-        .filter(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
+    is keyed by user_id — bounded partitions at any corpus size.
+    The grid itself rides the session-staged transition-count stage
+    (plans/_cache.py) shared with the entropy-rate and stationary-
+    distribution consumers — the lag window runs once per session."""
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        event_transition_counts,
+    )
+
+    return event_transition_counts(spark, sf_dir).select(
+        "prev_type", "event_type", F.col("c").alias("n")
     )
 
 

@@ -35,6 +35,8 @@ from atlassian_confluence_data_pipeline_spark.plans.curation4 import (
 )
 from atlassian_confluence_data_pipeline_spark.operators.windows import (
     distributed_prefix_rank,
+    equal_width_bucketizer,
+    kth_smallest,
 )
 from atlassian_confluence_data_pipeline_spark.plans.registry import query
 
@@ -153,21 +155,23 @@ def binned_quantile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         (F.col("cum") - F.col("cnt")).alias("cumprev"),
     )
-    vd = li.groupBy("l_extendedprice").agg(
-        F.count(F.lit(1)).alias("cnt2")
-    ).localCheckpoint(eager=True)
-    # equal-width range bounds from the already-known min/max — skips
-    # the operator's approxQuantile sampling job (prices are ~uniform)
-    vcum = distributed_prefix_rank(
-        vd,
-        ["l_extendedprice"],
-        sums={"cum": "cnt2"},
-        bounds=[mn + (mx - mn) * i / 32 for i in range(1, 32)],
+    # exact audit column: "the first value whose cumulative count
+    # reaches ceil(p*n)" IS the kth order statistic — distributed
+    # SELECTION over the raw column (O(1) equal-width buckets over the
+    # known min/max, only hit buckets sorted) replaces the round-10
+    # shape's distinct-value domain table + checkpointed prefix pass:
+    # at sf0.1 the price domain is ~97% distinct, so that "domain"
+    # table WAS the corpus and its materialization pure overhead
+    ks = sorted({int(math.ceil(p * n)) for p in QPROBS})
+    sel = kth_smallest(
+        li,
+        "l_extendedprice",
+        ks,
+        bucket_of=equal_width_bucketizer(mn, mx, 32),
     )
-    exact = (
-        kdf.join(vcum, F.col("cum") >= F.col("k"))
-        .groupBy("p")
-        .agg(F.min("l_extendedprice").alias("exact_q"))
+    exact = spark.createDataFrame(
+        [(float(p), float(sel[int(math.ceil(p * n))])) for p in QPROBS],
+        "p double, exact_q double",
     )
     est_q = F.round(
         mn

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from atlassian_confluence_data_pipeline_spark.catalog import load_table
 from atlassian_confluence_data_pipeline_spark.operators.windows import (
@@ -186,22 +187,26 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     S(t) = prod over event times <= t of (1 - d_t / n_t) — the standard
     product-limit estimator with right censoring.
 
-    Scale shape: one hash aggregate to the customer domain, one to the
-    duration domain, then TWO distributed prefix sums via
-    distributed_prefix_rank (leaving-counts for the at-risk series, and
-    log-survival terms for the product) — never a single-partition
-    window. The product runs in log space with each ln term rounded to
+    Scale shape (round-11): the lifetime frame and head date ride the
+    session-staged survival stages (plans/_cache.py); everything past
+    the duration-domain aggregate runs as UNPARTITIONED windows over
+    the CALENDAR-BOUNDED duration domain (<= ~2.6k rows for the 7-year
+    fixture — bounded by time span, not corpus size; the
+    daily_revenue_locf discipline, measured-bound allowlisted in
+    tools/plan_audit.py) — replacing two distributed-prefix passes,
+    three checkpoints and two loop-control collects with ONE lazy
+    plan. The product runs in log space with each ln term rounded to
     9 decimals and summed in DECIMAL(28,12): exact, order-independent,
-    and identical in both engines (a 1-ULP libm divergence would need
-    to land within 5e-13 of a rounding boundary to flip a hash). Rows
-    where d_t == n_t (survival hits exact zero) propagate through a
-    prefix max flag instead of ln(0)."""
-    o = load_table(spark, sf_dir, "orders")
-    life = o.groupBy("o_custkey").agg(
-        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("duration"),
-        F.max("o_orderdate").alias("last_d"),
-    ).localCheckpoint(eager=True)
-    head_d = life.agg(F.max("last_d")).first()[0]
+    and identical in both engines. Rows where d_t == n_t (survival
+    hits exact zero) propagate through a prefix max flag instead of
+    ln(0)."""
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        customer_lifetimes,
+        lifetime_head,
+    )
+
+    life = customer_lifetimes(spark, sf_dir)
+    head_d = lifetime_head(spark, sf_dir)
     byd = (
         life.select(
             "duration",
@@ -215,14 +220,23 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event").cast("bigint").alias("n_events"),
             F.count(F.lit(1)).cast("bigint").alias("n_leaving"),
         )
-        .localCheckpoint(eager=True)
     )
-    total = byd.agg(F.sum("n_leaving")).first()[0]
-    cum = distributed_prefix_rank(byd, ["duration"], sums={"cum_leave": "n_leaving"})
-    risk = cum.select(
+    w_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_excl = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_incl = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = byd.select(
         "duration",
         "n_events",
-        (F.lit(total) - (F.col("cum_leave") - F.col("n_leaving"))).alias("n_at_risk"),
+        (
+            F.sum("n_leaving").over(w_tot)
+            - F.coalesce(F.sum("n_leaving").over(w_excl), F.lit(0))
+        ).alias("n_at_risk"),
     )
     frac = F.col("n_events").cast("double") / F.col("n_at_risk")
     terms = risk.select(
@@ -239,23 +253,21 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_events") >= F.col("n_at_risk"), F.lit(1))
         .otherwise(F.lit(0))
         .alias("hit_zero"),
-    ).localCheckpoint(eager=True)
-    # inclusive prefix sum of lnterm + inclusive prefix max of hit_zero:
-    # prefix-rank gives the exclusive max, greatest() folds in the row's own
-    acc = distributed_prefix_rank(
-        terms.withColumn("lnz", F.coalesce("lnterm", F.lit(0).cast("decimal(28,12)"))),
-        ["duration"],
-        sums={"cum_ln": "lnz"},
-        exclusive_maxes={"prev_zero": "hit_zero"},
     )
-    zero = F.greatest(
-        F.coalesce(F.col("prev_zero"), F.lit(0)), F.col("hit_zero")
+    acc = terms.select(
+        "duration",
+        "n_events",
+        "n_at_risk",
+        F.sum(F.coalesce("lnterm", F.lit(0).cast("decimal(28,12)")))
+        .over(w_incl)
+        .alias("cum_ln"),
+        F.max("hit_zero").over(w_incl).alias("zero"),
     )
     return acc.select(
         F.col("duration").cast("bigint").alias("duration_days"),
         F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
         "n_events",
-        F.when(zero == 1, F.lit(0.0))
+        F.when(F.col("zero") == 1, F.lit(0.0))
         .otherwise(F.round(F.exp(F.col("cum_ln").cast("double")), 6))
         .alias("survival"),
     )
@@ -382,15 +394,19 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     product-limit S(t) (H ~ -ln S for small increments; preferred when
     comparing hazard slopes between cohorts). Same right-censored
     customer-lifetime cohort, same distributed machinery: at-risk
-    counts from one prefix pass, the hazard sum from a second, each
-    d/n increment rounded to 9 decimals and summed in DECIMAL(28,12)
-    so partition order cannot move the hash."""
-    o = load_table(spark, sf_dir, "orders")
-    life = o.groupBy("o_custkey").agg(
-        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("duration"),
-        F.max("o_orderdate").alias("last_d"),
-    ).localCheckpoint(eager=True)
-    head_d = life.agg(F.max("last_d")).first()[0]
+    counts and hazard sums both as UNPARTITIONED windows over the
+    CALENDAR-BOUNDED duration domain (round-11, the kaplan_meier_churn
+    treatment: one lazy plan over the session-staged lifetime frame —
+    zero per-build checkpoints/collects), each d/n increment rounded
+    to 9 decimals and summed in DECIMAL(28,12) so partition order
+    cannot move the hash."""
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        customer_lifetimes,
+        lifetime_head,
+    )
+
+    life = customer_lifetimes(spark, sf_dir)
+    head_d = lifetime_head(spark, sf_dir)
     byd = (
         life.select(
             "duration",
@@ -404,20 +420,32 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event").cast("bigint").alias("n_events"),
             F.count(F.lit(1)).cast("bigint").alias("n_leaving"),
         )
-        .localCheckpoint(eager=True)
     )
-    total = byd.agg(F.sum("n_leaving")).first()[0]
-    cum = distributed_prefix_rank(byd, ["duration"], sums={"cum_leave": "n_leaving"})
-    risk = cum.select(
+    w_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_excl = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_incl = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = byd.select(
         "duration",
         "n_events",
-        (F.lit(total) - (F.col("cum_leave") - F.col("n_leaving"))).alias("n_at_risk"),
-    ).localCheckpoint(eager=True)
+        (
+            F.sum("n_leaving").over(w_tot)
+            - F.coalesce(F.sum("n_leaving").over(w_excl), F.lit(0))
+        ).alias("n_at_risk"),
+    )
     inc = F.round(
         F.col("n_events").cast("double") / F.col("n_at_risk"), 9
     ).cast("decimal(28,12)")
-    acc = distributed_prefix_rank(
-        risk.withColumn("inc", inc), ["duration"], sums={"cum_h": "inc"}
+    acc = risk.select(
+        "duration",
+        "n_events",
+        "n_at_risk",
+        F.sum(inc).over(w_incl).alias("cum_h"),
     )
     return acc.select(
         F.col("duration").cast("bigint").alias("duration_days"),

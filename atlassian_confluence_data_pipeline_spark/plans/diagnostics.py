@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from atlassian_confluence_data_pipeline_spark.catalog import load_table
 from atlassian_confluence_data_pipeline_spark.operators.windows import (
     distributed_prefix_rank,
+    equal_width_bucketizer,
     kth_smallest,
 )
 from atlassian_confluence_data_pipeline_spark.plans.registry import query
@@ -404,7 +405,18 @@ def robust_trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev"))
         .localCheckpoint(eager=True)
     )
-    n_days = daily.count()
+    # ONE fused loop-control aggregate: the day count (needed for the
+    # median ranks and the MK variance) and the revenue range (every
+    # pair slope satisfies |slope| <= mx - mn since db - da >= 1), so
+    # the selection pass below gets O(1) equal-width buckets instead of
+    # paying an approxQuantile sampling scan over the ~n²/2 pair frame
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("rev").alias("mn"),
+        F.max("rev").alias("mx"),
+    ).first()
+    n_days = int(stats["n"])
+    span = float(stats["mx"] - stats["mn"]) if n_days else 0.0
     # spread the PROBE side before the broadcast join: the day series
     # arrives in one partition, and a BNLJ streams probe partitions —
     # 32 probe splits parallelize the 2.9M-pair evaluation itself
@@ -439,20 +451,40 @@ def robust_trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     k1, k2 = (n_pairs + 1) // 2, (n_pairs + 2) // 2
     # exact median via distributed SELECTION (kth_smallest): only the
     # bucket(s) containing the middle ranks are ever sorted — ~1/32 of
-    # the pair frame — instead of ranking all ~n^2/2 pairs
-    sel = kth_smallest(pairs, "slope", [k1, k2])
+    # the pair frame — instead of ranking all ~n^2/2 pairs. Bucket
+    # routing is the O(1) equal-width map over the KNOWN slope range
+    # (zero sampling jobs), and the Mann-Kendall sign sum piggybacks on
+    # the bucket-count pass (exact integer partials), so the pair frame
+    # is scanned exactly twice after materialization: counts+S, then
+    # the hit-bucket sort.
+    import math
+
+    # asinh spreads the heavily zero-centered slope distribution across
+    # buckets (equal LINEAR width would drop nearly every pair into the
+    # central bucket); the operator's iterative skew refinement then
+    # converges in at most a round or two
+    sel, extras = kth_smallest(
+        pairs,
+        "slope",
+        [k1, k2],
+        bucket_of=equal_width_bucketizer(
+            -math.asinh(span), math.asinh(span), 32, transform=F.asinh
+        ),
+        extra_sums={"s": "sgn"},
+    )
     ts_slope = (sel[k1] + sel[k2]) / 2.0
-    mk = pairs.agg(F.sum("sgn").cast("bigint").alias("s"))
+    s = int(extras["s"])
     var = n_days * (n_days - 1.0) * (2.0 * n_days + 5.0) / 18.0
-    corr = F.when(F.col("s") > 0, F.lit(1)).when(F.col("s") < 0, F.lit(-1)).otherwise(F.lit(0))
-    return (
-        mk.select(
-            F.lit(n_days).cast("bigint").alias("n_days"),
-            F.lit(n_pairs).cast("bigint").alias("n_pairs"),
-            F.round(F.lit(ts_slope), 6).alias("theil_sen_slope"),
-            F.col("s").alias("mk_s"),
-            F.round((F.col("s") - corr) / float(var) ** 0.5, 6).alias("mk_z"),
-        )
+    corr = 1 if s > 0 else (-1 if s < 0 else 0)
+    out = spark.createDataFrame(
+        [(n_days, n_pairs, s)], "n_days bigint, n_pairs bigint, mk_s bigint"
+    )
+    return out.select(
+        "n_days",
+        "n_pairs",
+        F.round(F.lit(ts_slope), 6).alias("theil_sen_slope"),
+        F.col("mk_s"),
+        F.round(F.lit((s - corr) / float(var) ** 0.5), 6).alias("mk_z"),
     )
 
 

@@ -118,8 +118,8 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         brute_force_topk,
         ivf_topk,
     )
-    from atlassian_confluence_data_pipeline_spark.plans.analytics import (
-        _deterministic_mean_vectors,
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        label_centroid_rows,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -127,11 +127,12 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = brute_force_topk(emb, queries, k=_K).select(
         "query_id", "neighbor_id"
     )
-    centroids = _deterministic_mean_vectors(emb, "label").select(
-        F.col("label").alias("centroid_id"), F.col("mean_vec").alias("centroid")
-    )
     approx = ivf_topk(
-        emb, queries, k=_K, centroids=centroids, n_probe=2
+        emb,
+        queries,
+        k=_K,
+        n_probe=2,
+        cent_rows=label_centroid_rows(spark, sf_dir),
     ).select("query_id", F.col("neighbor_id").alias("a_neighbor"))
     hit = approx.withColumn("hit", F.lit(1))
     return (
@@ -365,7 +366,8 @@ def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from atlassian_confluence_data_pipeline_spark.operators.similarity import (
-        cosine_similarity,
+        dot,
+        l2_norm,
     )
     from atlassian_confluence_data_pipeline_spark.plans.similarity import (
         N_QUERIES,
@@ -373,17 +375,22 @@ def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # fold each side's norm ONCE per vector (sqrt(dot(v, v)) reused
+    # across pairs is bit-identical to re-folding per pair) — the
+    # brute-force pair stream then pays one dot fold instead of three
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlab"),
         F.col("embedding").alias("qv"),
+        l2_norm(F.col("embedding")).alias("__qn"),
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("nlab"),
         F.col("embedding").alias("cv"),
+        l2_norm(F.col("embedding")).alias("__cn"),
     )
-    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    sim = dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from atlassian_confluence_data_pipeline_spark.catalog import load_table
 from atlassian_confluence_data_pipeline_spark.operators.windows import (
@@ -130,28 +131,22 @@ def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(28,12); the variance product is kept in float form
     (d*n1/n * n0/n * ...) so no intermediate exceeds bigint range at
     any corpus size."""
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    life = (
-        o.groupBy("o_custkey")
-        .agg(
-            F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias(
-                "duration"
-            ),
-            F.max("o_orderdate").alias("last_d"),
-        )
-        .join(
-            c.select(
-                F.col("c_custkey").alias("o_custkey"),
-                F.when(F.col("c_mktsegment") == _SEG_A, F.lit(1))
-                .otherwise(F.lit(0))
-                .alias("grp"),
-            ),
-            "o_custkey",
-        )
-        .localCheckpoint(eager=True)
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        customer_lifetimes,
+        lifetime_head,
     )
-    head_d = life.agg(F.max("last_d")).first()[0]
+
+    c = load_table(spark, sf_dir, "customer")
+    life = customer_lifetimes(spark, sf_dir).join(
+        c.select(
+            F.col("c_custkey").alias("o_custkey"),
+            F.when(F.col("c_mktsegment") == _SEG_A, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("grp"),
+        ),
+        "o_custkey",
+    )
+    head_d = lifetime_head(spark, sf_dir)
     event = F.when(
         F.datediff(F.lit(head_d), F.col("last_d")) > _HORIZON_DAYS, F.lit(1)
     ).otherwise(F.lit(0))
@@ -166,28 +161,40 @@ def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("grp").cast("bigint").alias("l1"),
             F.sum(F.lit(1) - F.col("grp")).cast("bigint").alias("l0"),
         )
-        .localCheckpoint(eager=True)
     )
-    tot = byd.agg(
-        F.sum("l1").alias("t1"), F.sum("l0").alias("t0")
-    ).first()
-    n1_total, n0_total = tot["t1"], tot["t0"]
-    cum = distributed_prefix_rank(
-        byd, ["duration"], sums={"cl1": "l1", "cl0": "l0"}
+    # both at-risk series + both cohort totals as UNPARTITIONED windows
+    # over the CALENDAR-BOUNDED duration domain (round-11, the
+    # kaplan_meier_churn treatment — zero per-build checkpoints and
+    # loop-control collects; measured-bound allowlisted in plan_audit)
+    w_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    risk = cum.select(
+    w_excl = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = byd.select(
         "d1",
         "d0",
-        (F.lit(n1_total) - (F.col("cl1") - F.col("l1"))).alias("n1"),
-        (F.lit(n0_total) - (F.col("cl0") - F.col("l0"))).alias("n0"),
+        (
+            F.sum("l1").over(w_tot)
+            - F.coalesce(F.sum("l1").over(w_excl), F.lit(0))
+        ).alias("n1"),
+        (
+            F.sum("l0").over(w_tot)
+            - F.coalesce(F.sum("l0").over(w_excl), F.lit(0))
+        ).alias("n0"),
+        F.sum("l1").over(w_tot).alias("__t1"),
+        F.sum("l0").over(w_tot).alias("__t0"),
     )
     terms = risk.select(
         "d1",
         "n1",
         "n0",
+        "__t1",
+        "__t0",
         (F.col("d1") + F.col("d0")).alias("dt"),
         (F.col("n1") + F.col("n0")).alias("nt"),
-    ).filter(F.col("dt") > 0)
+    )
     e1_term = F.col("dt").cast("double") * F.col("n1") / F.col("nt")
     v_term = F.when(
         F.col("nt") > 1,
@@ -197,21 +204,27 @@ def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("nt") - F.col("dt"))
         / (F.col("nt") - 1),
     ).otherwise(F.lit(0.0))
+    # the dt > 0 event filter lives INSIDE the aggregates (null-skipped
+    # terms == filtered rows) so the cohort totals — constants carried
+    # on every duration row — survive even when no duration has events
+    ev = F.col("dt") > 0
     acc = terms.agg(
-        F.sum("d1").cast("bigint").alias("o1"),
-        F.sum(F.round(e1_term, 9).cast("decimal(28,12)"))
+        F.sum(F.when(ev, F.col("d1"))).cast("bigint").alias("o1"),
+        F.sum(F.when(ev, F.round(e1_term, 9).cast("decimal(28,12)")))
         .cast("double")
         .alias("e1"),
-        F.sum(F.round(v_term, 9).cast("decimal(28,12)"))
+        F.sum(F.when(ev, F.round(v_term, 9).cast("decimal(28,12)")))
         .cast("double")
         .alias("v"),
+        F.max("__t1").alias("__n1t"),
+        F.max("__t0").alias("__n0t"),
     )
     chi2 = (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1")) / F.col(
         "v"
     )
     return acc.select(
-        F.lit(n1_total).cast("bigint").alias("n_group"),
-        F.lit(n0_total).cast("bigint").alias("n_other"),
+        F.col("__n1t").cast("bigint").alias("n_group"),
+        F.col("__n0t").cast("bigint").alias("n_other"),
         F.col("o1").alias("observed_events"),
         F.round("e1", 6).alias("expected_events"),
         F.round("v", 6).alias("variance"),
@@ -311,14 +324,23 @@ def ks_test_price_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a 1-row max. The CDF ratios are doubles of exact bigints —
     bit-identical across engines — and max() is order-independent, so
     only the final exp() touches libm (rounded to 6)."""
-    byv = _seg_prices(spark, sf_dir).localCheckpoint(eager=True)
-    tot = byv.agg(
-        F.sum("ca").cast("bigint").alias("na"),
-        F.sum("cb").cast("bigint").alias("nb"),
-    ).first()
-    na, nb = tot["na"], tot["nb"]
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        seg_price_counts,
+        seg_price_summary,
+    )
+
+    # session-staged cohort domain + its loop-control summary (shared
+    # with mann_whitney_price); equal-width split points from the known
+    # cents range replace the prefix pass's approxQuantile sampling job
+    byv = seg_price_counts(spark, sf_dir)
+    na, nb, mn, mx = seg_price_summary(spark, sf_dir)
     cdf = distributed_prefix_rank(
-        byv, ["cents"], sums={"cum_a": "ca", "cum_b": "cb"}
+        byv,
+        ["cents"],
+        sums={"cum_a": "ca", "cum_b": "cb"},
+        bounds=[mn + (mx - mn) * i / 32 for i in range(1, 32)]
+        if na or nb
+        else None,
     )
     diff = F.abs(
         F.col("cum_a").cast("double") / na - F.col("cum_b").cast("double") / nb
@@ -385,11 +407,23 @@ def mann_whitney_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size; the per-row product fits bigint up to ~10^9 rows per
     distinct value). One hash aggregate + one distributed prefix pass;
     floats appear only in the final 1-row closed form."""
-    byv = _seg_prices(spark, sf_dir)
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        seg_price_counts,
+        seg_price_summary,
+    )
+
+    # session-staged cohort domain (shared with ks_test_price_segments);
+    # equal-width split points from the memoized cents range replace the
+    # prefix pass's approxQuantile job AND its rebuild of the join+agg
+    byv = seg_price_counts(spark, sf_dir)
+    na_, nb_, mn, mx = seg_price_summary(spark, sf_dir)
     pre = distributed_prefix_rank(
         byv.withColumn("c", F.col("ca") + F.col("cb")),
         ["cents"],
         sums={"cum": "c"},
+        bounds=[mn + (mx - mn) * i / 32 for i in range(1, 32)]
+        if na_ or nb_
+        else None,
     ).withColumn("before", F.col("cum") - F.col("c"))
     acc = pre.agg(
         F.sum("ca").cast("bigint").alias("n1"),

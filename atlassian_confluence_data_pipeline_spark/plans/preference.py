@@ -116,8 +116,15 @@ def _duel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duels_both(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(i, j, winner) with each duel emitted in both orientations."""
-    cmp = _duel_frame(spark, sf_dir)
+    """(i, j, winner) with each duel emitted in both orientations —
+    riding the session-staged duel frame (plans/_cache.py) so the
+    offset-explode corpus join runs once per session, not once per
+    preference consumer."""
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        preference_duel_frame,
+    )
+
+    cmp = preference_duel_frame(spark, sf_dir)
     return cmp.select(
         F.col("s_a").alias("i"), F.col("s_b").alias("j"), "winner"
     ).unionByName(
@@ -146,12 +153,18 @@ def preference_winrate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw win rates (a 2/2 sweep must not outrank a 40/50 record). One
     hash aggregate over the duel stream; the Wilson bound is a closed
     form of the two integers, so it reproduces bit-for-bit."""
-    duels = _duels_both(spark, sf_dir)
-    m = duels.groupBy(F.col("i").alias("src"), F.col("j").alias("opponent")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_duels"),
-        F.sum(F.when(F.col("winner") == F.col("i"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_wins"),
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        preference_matchups,
+    )
+
+    # same (count, i-wins) hash aggregate as _matchup_matrix — read the
+    # session-staged |sources|²-bounded grid instead of re-aggregating
+    # the duel stream per build
+    m = preference_matchups(spark, sf_dir).select(
+        F.col("i").alias("src"),
+        F.col("j").alias("opponent"),
+        F.col("n").alias("n_duels"),
+        F.col("w").alias("n_wins"),
     )
     p = F.col("n_wins").cast("double") / F.col("n_duels")
     n = F.col("n_duels").cast("double")
@@ -231,12 +244,14 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders (denominator ORDER BY j, normalization ORDER BY i), so they
     are bit-identical to each other and to the oracle's unrolled CTE
     chain — pytest crosses the bound both ways and asserts equality."""
-    duels = _duels_both(spark, sf_dir)
-    n_contestants = _n_sources(spark, sf_dir)
     from atlassian_confluence_data_pipeline_spark import iterstats
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        preference_matchups,
+    )
 
+    n_contestants = _n_sources(spark, sf_dir)
     iterstats.record("bradley_terry_strengths", BT_ITERS)
-    mg = _matchup_matrix(duels)
+    mg = preference_matchups(spark, sf_dir)
     if n_contestants <= BT_PACKED_MAX_CONTESTANTS:
         return _bt_fit_packed(mg)
     return _bt_fit_joined(mg)
@@ -681,11 +696,14 @@ def dpo_pair_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/|cluster| weights (corpus-sized equi-join on chosen_doc_id). All
     floats are rounded engine-side at the part boundaries, so the
     composition is deterministic across engines."""
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        preference_duel_frame,
+    )
     from atlassian_confluence_data_pipeline_spark.plans.curation import (
         dedup_aware_sample_weights,
     )
 
-    cmp = _duel_frame(spark, sf_dir)
+    cmp = preference_duel_frame(spark, sf_dir)
     chosen = F.when(F.col("winner") == F.col("s_a"), F.col("id_a")).otherwise(
         F.col("id_b")
     )

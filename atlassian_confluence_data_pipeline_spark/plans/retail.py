@@ -282,56 +282,78 @@ def hierarchy_path_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosions and tree-breadcrumb UIs consume, and the column a
     LIKE-prefix query can then answer subtree membership with.
 
-    Scale shape: the frontier loop carries (node, root, depth, path)
-    and joins the CHECKPOINTED edge list once per level — O(depth)
-    shuffles total, each proportional to the frontier, with lineage
-    cut per level; path strings grow linearly with depth (bounded by
-    the key-length geometry)."""
+    Scale shape (round-11): the adjacency is ARITHMETIC (k -> k div 10),
+    so a node's entire candidate ancestor chain is its <= 18 decimal
+    prefixes — the recursive frontier walk (O(depth) sequential
+    join+checkpoint+isEmpty driver jobs, ~16 jobs on the fixtures)
+    collapses to ONE plan: explode each node's prefixes (bounded
+    fan-out, narrow rows), one ANTI-join against the key set finds each
+    node's first MISSING ancestor, and the walk's reachability is
+    exactly the contiguous run below that gap (the node under the gap
+    is its chain's root, because its parent key is absent — the same
+    stopping rule the frontier walk applies level by level), so
+    depth = first gap - 1 via a plain min aggregate. root and path are
+    decimal-string prefixes of the key itself (exact integer
+    arithmetic, no list collection). Two narrow shuffles, zero driver
+    loops."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
-    keys = orders.select(F.col("o_orderkey").alias("key"))
-    parent = (F.col("o_orderkey") / 10).cast("bigint")
-    edges = (
-        orders.withColumn("parent_id", parent)
-        .filter(F.col("parent_id") != F.col("o_orderkey"))
-        .join(keys, F.col("parent_id") == F.col("key"), "left_semi")
-        .select("parent_id", F.col("o_orderkey").alias("child_id"))
-        .localCheckpoint(eager=True)
+    nodes = orders.select(F.col("o_orderkey").alias("node_id"))
+    # candidate ancestors p_i = k div 10^i for i = 1..digits(k): the
+    # chain stops at p = 0's self-loop (the edge relation's parent !=
+    # child clause), so exactly digits(k) candidates exist and the LAST
+    # one is 0 — a legitimate parent when key 0 is present (it is in
+    # the fixtures). k = 0 itself has no candidates (its only edge is
+    # the excluded self-loop). p_19 is 0 for any int64, hence the
+    # literal tail slot; slice keeps positions aligned with i - 1.
+    digits = F.when(
+        F.col("o_orderkey") >= 1,
+        F.length(F.col("o_orderkey").cast("string")).cast("int"),
+    ).otherwise(F.lit(0))
+    anc = F.slice(
+        F.array(
+            *[F.expr(f"o_orderkey div {10 ** i}") for i in range(1, 19)],
+            F.expr("CAST(0 AS BIGINT)"),
+        ),
+        F.lit(1),
+        digits,
     )
-    roots = orders.join(
-        edges.select(F.col("child_id").alias("o_orderkey")),
-        "o_orderkey",
-        "left_anti",
-    ).select(F.col("o_orderkey").alias("node_id"))
-
-    frontier = roots.select(
+    pref = orders.select(
+        F.col("o_orderkey").alias("node_id"),
+        F.posexplode(anc).alias("i0", "p"),
+    ).select("node_id", (F.col("i0") + 1).cast("int").alias("i"), "p")
+    keys = orders.select(F.col("o_orderkey").alias("p"))
+    # depth = (first MISSING prefix) - 1, or the full candidate count
+    # when every prefix exists: one anti-join + a plain min aggregate —
+    # no per-group list collection, map-side partials all the way
+    miss = (
+        pref.join(keys, "p", "left_anti")
+        .groupBy("node_id")
+        .agg((F.min("i") - 1).cast("int").alias("dm"))
+    )
+    enriched = nodes.join(miss, "node_id", "left")
+    s = F.col("node_id").cast("string")
+    ln = F.when(F.col("node_id") >= 1, F.length(s).cast("int")).otherwise(
+        F.lit(0)
+    )
+    d_col = F.coalesce(F.col("dm"), ln)
+    # ancestors are decimal-string prefixes: p_j = the first L - j
+    # characters of str(k) for j < L, and 0 at j = L (k div 10^L) —
+    # exact integer arithmetic via substring, no float pow anywhere
+    root = F.when(
+        d_col < ln, F.substring(s, 1, ln - d_col).cast("bigint")
+    ).otherwise(F.lit(0).cast("bigint"))
+    path = F.concat_ws(
+        "/",
+        F.transform(
+            F.sequence(d_col, F.lit(0), F.lit(-1)),
+            lambda j: F.when(j < ln, F.substring(s, F.lit(1), ln - j)).otherwise(
+                F.lit("0")
+            ),
+        ),
+    )
+    return enriched.select(
         "node_id",
-        F.col("node_id").alias("root_id"),
-        F.lit(0).alias("depth"),
-        F.col("node_id").cast("string").alias("path"),
-    ).localCheckpoint(eager=True)
-    levels = [frontier]
-    depth = 0
-    while True:
-        depth += 1
-        nxt = (
-            frontier.join(edges, frontier["node_id"] == edges["parent_id"])
-            .select(
-                F.col("child_id").alias("node_id"),
-                "root_id",
-                F.lit(depth).alias("depth"),
-                F.concat_ws(
-                    "/", F.col("path"), F.col("child_id").cast("string")
-                ).alias("path"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        if nxt.isEmpty():
-            break
-        levels.append(nxt)
-        frontier = nxt
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionAll(lv)
-    return out.select(
-        "node_id", "root_id", F.col("depth").cast("int").alias("depth"), "path"
+        root.alias("root_id"),
+        d_col.alias("depth"),
+        path.alias("path"),
     )

@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from atlassian_confluence_data_pipeline_spark.catalog import load_table
 from atlassian_confluence_data_pipeline_spark.operators.similarity import (
     cosine_similarity,
+    dot,
+    l2_norm,
 )
 from atlassian_confluence_data_pipeline_spark.operators.windows import (
     distributed_prefix_rank,
@@ -98,17 +100,20 @@ def ndcg_label_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums (log2 on small integers is the only libm). The ideal DCG uses
     the corpus-wide per-label relevant count, one bounded aggregate."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms fold once per vector, not per pair (bit-identical reuse)
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("embedding").alias("qv"),
+        l2_norm(F.col("embedding")).alias("__qn"),
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("clabel"),
         F.col("embedding").alias("cv"),
+        l2_norm(F.col("embedding")).alias("__cn"),
     )
-    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    sim = dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from atlassian_confluence_data_pipeline_spark.catalog import load_table
 from atlassian_confluence_data_pipeline_spark.operators.similarity import (
     cosine_similarity,
+    dot,
+    l2_norm,
 )
 from atlassian_confluence_data_pipeline_spark.plans.registry import query
 
@@ -52,11 +54,18 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned and only k rows per query survive the per-partition
     window; the broadcast side is the (small) query set."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms fold once per vector, not per pair (bit-identical reuse)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        l2_norm(F.col("embedding")).alias("__qn"),
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
-    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        l2_norm(F.col("embedding")).alias("__cn"),
+    )
+    sim = dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(

@@ -299,17 +299,17 @@ def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     |event_types|²-bounded matrix — constant-size frames regardless of
     corpus. Each product is 9-rounded and DECIMAL-summed, so Spark and
     DuckDB iterate through bit-identical vectors."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    cnt = (
-        ev.select(
-            "event_type",
-            F.lag("event_type").over(w).alias("prev_type"),
-        )
-        .filter(F.col("prev_type").isNotNull())
-        .groupBy(F.col("prev_type").alias("i"), F.col("event_type").alias("j"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        event_transition_counts,
+    )
+
+    # the session-staged transition grid (shared with
+    # event_transition_matrix / transition_entropy_rate) replaces both
+    # the per-build lag window AND the per-build localCheckpoint
+    cnt = event_transition_counts(spark, sf_dir).select(
+        F.col("prev_type").alias("i"),
+        F.col("event_type").alias("j"),
+        "c",
     )
     rowt = cnt.groupBy("i").agg(F.sum("c").alias("t"))
     p = cnt.join(rowt, "i").select(

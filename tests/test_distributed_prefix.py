@@ -198,3 +198,47 @@ def test_kth_smallest_ignores_nulls(spark):
     df = spark.createDataFrame([(v,) for v in vals], "v double")
     got = kth_smallest(df, "v", [1, 3, 5])
     assert got == {1: 1.0, 3: 3.0, 5: 5.0}
+
+
+def test_kth_smallest_skew_refinement_and_extra_sums(spark):
+    """Round-11 internals: (a) a zero-centered heavy distribution under
+    an equal-width bucketizer lands the median rank in one giant bucket
+    — the iterative refinement (forced here by a tiny refine_rows
+    threshold) must still return the exact order statistics; (b) the
+    constant-bucket shortcut answers duplicate plateaus without a sort;
+    (c) extra_sums piggybacks exact integer sums on the count pass."""
+    import random
+
+    from atlassian_confluence_data_pipeline_spark.operators.windows import (
+        equal_width_bucketizer,
+        kth_smallest,
+    )
+
+    rng = random.Random(11)
+    # heavy-centered: most mass within +-1, tails to +-1e6 (the pair-
+    # slope profile that collapsed equal-width buckets in robust_trend)
+    vals = [rng.gauss(0.0, 0.5) for _ in range(3000)] + [
+        rng.uniform(-1e6, 1e6) for _ in range(60)
+    ]
+    sgns = [1 if v > 0 else (-1 if v < 0 else 0) for v in vals]
+    df = spark.createDataFrame(list(zip(vals, sgns)), "v double, sgn int")
+    ref = sorted(vals)
+    ks = [1, len(vals) // 2, len(vals) // 2 + 1, len(vals)]
+    got, extras = kth_smallest(
+        df,
+        "v",
+        ks,
+        bucket_of=equal_width_bucketizer(-1e6, 1e6, 32),
+        extra_sums={"s": "sgn"},
+        refine_rows=100,  # force the skew-refinement loop on test data
+    )
+    for k in ks:
+        assert got[k] == ref[k - 1], k
+    assert extras["s"] == sum(sgns)
+
+    # constant plateau: every rank resolves from the count pass alone
+    plateau = spark.createDataFrame([(7.5,)] * 40, "v double")
+    got2 = kth_smallest(
+        plateau, "v", [1, 20, 40], bucket_of=equal_width_bucketizer(0, 10, 8)
+    )
+    assert got2 == {1: 7.5, 20: 7.5, 40: 7.5}

@@ -62,6 +62,9 @@ INTENTIONAL_BNLJ = {
     # a non-equi cum>=k condition onto the 256-bin / distinct-value cumsums
     "hll_distinct_orders",  # 1-row estimate x 1-row exact scalar attach
     "hll_merge_users",  # three 1-row scalar frames crossed into the report
+    "kendall_tau_qty_discount",  # three 1-row scalar aggregates (n, tx, ty)
+    # broadcast-crossed onto the 1-row pair-count frame (round 11: the
+    # literal-key equi-join folds to true, which IS a bounded cross)
     "kmv_intersection_users",  # four 1-row sketch-threshold scalars crossed
     "cusum_drift_daily_revenue",  # 1-row moment frame broadcast onto |days|
     "ab_test_value_ztest",  # two 1-row variant-moment frames crossed
@@ -159,6 +162,24 @@ BOUNDED_GLOBAL_WINDOW_OK: dict[str, tuple[int, str]] = {
         "LOCF carry over the calendar-day spine"
         " (~2.6k rows for the 7-year fixture — bounded by time span, not"
         " corpus size; revenue is pre-aggregated to the day domain)",
+    ),
+    # round-11: the survival family's at-risk/hazard/survival cumsums
+    # run over the customer-lifetime DURATION domain — days between
+    # first and last order, bounded by the corpus time span exactly
+    # like the daily_revenue_locf spine (<= ~2.6k distinct durations
+    # for the 7-year fixture at ANY corpus size; lifetimes are
+    # pre-aggregated to the duration domain first)
+    "kaplan_meier_churn": (
+        3200,
+        "product-limit cumsums over the calendar-bounded duration domain",
+    ),
+    "nelson_aalen_hazard": (
+        3200,
+        "hazard cumsums over the calendar-bounded duration domain",
+    ),
+    "log_rank_test": (
+        3200,
+        "two at-risk cumsums over the calendar-bounded duration domain",
     ),
 }
 
