@@ -587,6 +587,31 @@ def seg_price_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_pair_table(spark, sf_dir, "seg_price_counts", _seg_prices)
 
 
+def doc_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized whitespace-token stream ``(doc_id, source,
+    lang, pos, word)`` over the documents table — the regex-split +
+    posexplode that ~16 text queries (tfidf, NLL scores, vocabulary
+    curves/OOV, stylometry, postings, Bloom sizing, DSIR buckets…)
+    each re-ran per build. Narrow columns at token cardinality — the
+    minhash_doc_hashes class; consumers that only need (doc_id, word)
+    project it down, and the empty-text convention (one '' token per
+    empty document) is exactly what every inline explode produced."""
+    from atlassian_confluence_data_pipeline_spark.catalog import load_table
+    from atlassian_confluence_data_pipeline_spark.plans.textops import _words
+    from pyspark.sql import functions as F
+
+    def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.posexplode(_words(F.col("text"))).alias("pos", "word"),
+        )
+
+    return shared_pair_table(spark, sf_dir, "doc_word_positions", _build)
+
+
 def customer_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-memoized right-censored customer-lifetime frame
     ``(o_custkey, duration, last_d)`` — the orders-domain aggregate the

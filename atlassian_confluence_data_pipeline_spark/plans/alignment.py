@@ -159,10 +159,15 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments are 9-rounded doubles summed in DECIMAL(28,12) (the exact-
     moment regression discipline of brand_price_regression), so the
     closed-form slope/intercept/r2 are bit-identical across engines."""
-    docs = load_table(spark, sf_dir, "documents")
-    exploded = docs.select(
-        "doc_id", F.explode(_words(F.col("text"))).alias("word")
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        doc_word_positions,
     )
+
+    # both the first-occurrence table and the per-doc token counts ride
+    # the session-staged token stream — the two regex explodes this
+    # query re-ran per build (every doc yields >= 1 token, so the
+    # per-doc count == size(words) and the left join covers all docs)
+    exploded = doc_word_positions(spark, sf_dir).select("doc_id", "word")
     newt = (
         exploded.groupBy("word")
         .agg(F.min("doc_id").alias("doc_id"))
@@ -170,10 +175,8 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("newt"))
     )
     perdoc = (
-        docs.select(
-            "doc_id",
-            F.size(_words(F.col("text"))).cast("bigint").alias("toks"),
-        )
+        exploded.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("toks"))
         .join(newt, "doc_id", "left")
         .select(
             "doc_id", "toks", F.coalesce("newt", F.lit(0)).alias("newt")

@@ -105,11 +105,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     document frequencies (broadcast back) -> tf*ln(N/df) -> per-doc
     ranking. Two HashAggregates + one broadcast join + one window; the
     N scalar comes from a distributed count, not a collect of data rows."""
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        doc_word_positions,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # scalar cardinality (A3), computed distributed
-    words = docs.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
-    )
+    # session-staged token stream (round 11) — the per-build regex
+    # split + explode was this query's scan cost
+    words = doc_word_positions(spark, sf_dir).select("doc_id", "word")
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df_t = words.distinct().groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
@@ -805,10 +809,12 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolling_hash,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        doc_word_positions,
     )
+
+    # session-staged token stream (round 11)
+    words = doc_word_positions(spark, sf_dir).select("word")
     wh = words.select("word", rolling_hash(F.col("word")).alias("wh"))
     bucket_cols = [
         (((F.lit(a) * F.col("wh") + F.lit(b)) % ROLLING_MOD) % CMS_WIDTH).alias(

@@ -345,34 +345,48 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the normal-consistency constant). The outlier detector that
     survives the heavy-tailed length distributions z-scores choke on.
 
-    Scale shape: both medians ride distributed prefix sums over
-    DISTINCT values (distributed_prefix_rank — never a global sort or
-    single-partition window); the two selected scalars are
-    loop-control reads (binned_quantile's mm discipline), and the
-    final flag pass is one narrow scan."""
+    Scale shape (round-11): both medians are kth-order statistics via
+    kth_smallest DISTRIBUTED SELECTION with O(1) equal-width bucket
+    routing over the known value ranges (never a global sort or
+    single-partition window; the operator's skew-refinement loop
+    bounds the sorted task for any length distribution) — replacing
+    two distinct-value domain checkpoints + prefix passes; the final
+    flag pass is one narrow scan."""
+    from atlassian_confluence_data_pipeline_spark.operators.windows import (
+        equal_width_bucketizer,
+        kth_smallest,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    n = docs.count()
+    st = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_chars").alias("mn"),
+        F.max("n_chars").alias("mx"),
+    ).first()
+    n = int(st["n"])
+    mn, mx = int(st["mn"]), int(st["mx"])
     half = -(-n // 2)  # ceil(n/2), integer
-
-    def _select_median(values: DataFrame, col: str) -> int:
-        vd = (
-            values.groupBy(col)
-            .agg(F.count(F.lit(1)).alias("c"))
-            .localCheckpoint(eager=True)
-        )
-        vc = distributed_prefix_rank(vd, [col], sums={"cum": "c"})
-        row = (
-            vc.filter(F.col("cum") >= half)
-            .agg(F.min(col).alias("m"))
-            .first()
-        )
-        return int(row["m"])
-
-    med = _select_median(docs.select("n_chars"), "n_chars")
+    med = int(
+        kth_smallest(
+            docs.select("n_chars"),
+            "n_chars",
+            [half],
+            bucket_of=equal_width_bucketizer(mn, mx, 32),
+        )[half]
+    )
     devs = docs.select(
         F.abs(F.col("n_chars") - F.lit(med)).alias("dev")
     )
-    mad = _select_median(devs, "dev")
+    # every deviation lies in [0, max(|mn - med|, |mx - med|)]
+    dev_hi = max(abs(mn - med), abs(mx - med))
+    mad = int(
+        kth_smallest(
+            devs,
+            "dev",
+            [half],
+            bucket_of=equal_width_bucketizer(0, dev_hi, 32),
+        )[half]
+    )
     thr = MAD_SIGMA * MAD_CONSISTENCY * mad
     fl = docs.filter(
         F.abs(F.col("n_chars") - F.lit(med)) > F.lit(thr)

@@ -69,10 +69,15 @@ def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax — the "did demand shift, and when" monitoring primitive
     (recurse on the halves to find further breaks).
 
-    Scale shape: day-domain aggregate (exact integer cents), ONE
-    distributed prefix pass carrying rank and cumulative revenue,
-    closed-form score projection, TakeOrderedAndProject(1). No global
-    sort, no per-candidate rescans."""
+    Scale shape (round-11): day-domain aggregate (exact integer cents,
+    CALENDAR-BOUNDED — the daily_revenue_locf discipline), then rank,
+    running sum AND series totals as one UNPARTITIONED window chain
+    over that bounded domain (measured-bound allowlisted in
+    plan_audit) — replacing the prefix pass and its loop-control
+    collects; closed-form score projection, TakeOrderedAndProject(1).
+    No global sort, no per-candidate rescans."""
+    from pyspark.sql.window import Window
+
     o = load_table(spark, sf_dir, "orders")
     daily = (
         o.groupBy(
@@ -85,30 +90,39 @@ def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cents")
         )
+        # the windowed frame feeds BOTH the argmax and the winner
+        # re-select below — one corpus aggregate job, everything after
+        # runs over the bounded day domain
         .localCheckpoint(eager=True)
     )
-    tot = daily.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
+    w_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_incl = Window.orderBy("dnum").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "dnum",
+        F.row_number().over(Window.orderBy("dnum")).cast("bigint").alias("k"),
+        F.sum("cents").over(w_incl).cast("bigint").alias("s"),
+        F.count(F.lit(1)).over(w_tot).cast("bigint").alias("n"),
         F.sum(F.col("cents").cast("decimal(38,0)"))
+        .over(w_tot)
         .cast("bigint")
         .alias("t"),
-    ).first()
-    n, t = tot["n"], tot["t"]
-    cum = distributed_prefix_rank(
-        daily, ["dnum"], sums={"s": "cents"}, rank_col="k"
-    ).withColumn("k", F.col("k").cast("bigint"))
+    )
     mean_l = F.col("s").cast("double") / F.col("k")
-    mean_r = (F.lit(t) - F.col("s")).cast("double") / (
-        F.lit(n) - F.col("k")
+    mean_r = (F.col("t") - F.col("s")).cast("double") / (
+        F.col("n") - F.col("k")
     )
     score = (
         F.col("k").cast("double")
-        * (F.lit(n) - F.col("k"))
-        / F.lit(n)
+        * (F.col("n") - F.col("k"))
+        / F.col("n")
         * (mean_l - mean_r)
         * (mean_l - mean_r)
     )
-    scored = cum.filter(F.col("k") < n).select(
+    scored = cum.filter(F.col("k") < F.col("n")).select(
         "dnum", "k", score.alias("score")
     )
     best = scored.orderBy(F.col("score").desc(), "dnum").limit(1)

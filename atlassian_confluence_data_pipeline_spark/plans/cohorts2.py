@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from atlassian_confluence_data_pipeline_spark.catalog import load_table
 from atlassian_confluence_data_pipeline_spark.operators.windows import (
+    equal_width_bucketizer,
     kth_smallest,
 )
 from atlassian_confluence_data_pipeline_spark.plans.registry import query
@@ -161,12 +162,28 @@ def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
     def bounds(df: DataFrame) -> list[int]:
-        n = df.count()
+        # ONE fused count/min/max aggregate feeds O(1) equal-width
+        # bucket routing to the selection — no approxQuantile sampling
+        # pass (round 11; the operator's skew-refinement loop bounds
+        # the sorted task if spend mass concentrates)
+        st = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("mn"),
+            F.max("cents").alias("mx"),
+        ).first()
+        n = int(st["n"])
         # keep the FULL boundary list (duplicate ranks produce repeated
         # boundary values — the oracle's list indexing does the same,
         # and tier = 1 + #(boundaries strictly below) must agree)
         ks = [max(1, (n * i) // _N_TIERS) for i in range(1, _N_TIERS)]
-        sel = kth_smallest(df, "cents", ks)
+        sel = kth_smallest(
+            df,
+            "cents",
+            ks,
+            bucket_of=equal_width_bucketizer(
+                float(st["mn"]), float(st["mx"]), 32
+            ),
+        )
         return [int(sel[k]) for k in ks]
 
     be, bl = bounds(early), bounds(late)

@@ -145,6 +145,10 @@ def kfold_cv_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE fact scan into a {_N_FOLDS}-row moment aggregate;
     everything after is constant driver/oracle algebra — k-fold model
     selection at 100 TB costs exactly one pass."""
+    from atlassian_confluence_data_pipeline_spark.operators.skew import (
+        spread_scan,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     fold = (
@@ -157,6 +161,13 @@ def kfold_cv_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         % _N_FOLDS
     ).cast("int")
+    # ten decimal(38,0) moment sums are BigDecimal-path per-row work; a
+    # single-split source serializes them onto one core, so the narrow
+    # fact projection is spread first (guide §2.5 — no-op at
+    # cluster-scale split counts; the brand_price_regression treatment)
+    li = spread_scan(
+        li.select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    )
     x = li.join(
         F.broadcast(
             p.select(F.col("p_partkey").alias("l_partkey"), "p_retailprice")

@@ -808,10 +808,13 @@ def unigram_nll_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-ordered left-to-right fold (collect_list sorted by position) so
     the float total is deterministic and oracle-reproducible — the same
     discipline as the kmeans/IVF mean folds."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "word")
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        doc_word_positions,
     )
+
+    # session-staged token stream (round 11) — three passes over the
+    # regex explode (freq, count, join side) become checkpoint scans
+    tok = doc_word_positions(spark, sf_dir).select("doc_id", "pos", "word")
     freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     total = tok.count()  # scalar cardinality, computed distributed
     nll = -F.log(F.col("c").cast("double") / F.lit(float(total)))
@@ -982,8 +985,13 @@ def pmi_bigram_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.x", "p.y")
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        doc_word_positions,
+    )
+
     bc = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
-    uni = docs.select(F.explode(_words(F.col("text"))).alias("word"))
+    # unigram side rides the session-staged token stream (round 11)
+    uni = doc_word_positions(spark, sf_dir).select("word")
     uc = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     n_bi = bc.agg(F.sum("c_xy")).collect()[0][0]  # scalar aggregate
     n_uni = uni.count()

@@ -282,13 +282,16 @@ def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix (20 x 50 rows) before any pairwise work, so the all-pairs
     join is over tiny aggregates; per-term contributions are summed in
     DECIMAL for order-independence."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source",
-        F.explode(
-            F.filter(F.split(F.trim("text"), WS), lambda x: x != F.lit(""))
-        ).alias("term"),
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        doc_word_positions,
     )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # session-staged token stream (round 11); post-explode filter of ''
+    # tokens == pre-explode array filter
+    toks = doc_word_positions(spark, sf_dir).select(
+        "source", F.col("word").alias("term")
+    ).filter(F.col("term") != "")
     vocab = (
         toks.groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -490,16 +493,23 @@ def bigram_nll_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     warr = F.filter(F.split(F.trim("text"), WS), lambda x: x != F.lit(""))
     w = docs.select("doc_id", warr.alias("w"))
     n = F.greatest(F.size("w") - 1, F.lit(0))
-    bg = w.select(
-        "doc_id",
-        F.posexplode(
-            F.zip_with(
-                F.slice("w", 1, n),
-                F.slice("w", 2, n),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("pos0", "b"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "b.w1", "b.w2")
+    bg = (
+        w.select(
+            "doc_id",
+            F.posexplode(
+                F.zip_with(
+                    F.slice("w", 1, n),
+                    F.slice("w", 2, n),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("pos0", "b"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "b.w1", "b.w2")
+        # the bigram stream feeds BOTH the count model and the scoring
+        # join — materialize the regex split + zip + explode once
+        # instead of twice per build (round 11, guide §1.2)
+        .localCheckpoint(eager=True)
+    )
     c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     ctx = c.groupBy("w1").agg(F.sum("c").alias("ctx"))
     nll = -F.log(F.col("c").cast("double") / F.col("ctx"))

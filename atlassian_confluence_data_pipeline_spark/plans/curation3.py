@@ -127,9 +127,14 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinalities are scalar count() actions (loop-control scalars, not
     data collects). The per-document sum is a position-ordered left
     fold so the float total is deterministic and oracle-identical."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", "lang", F.posexplode(_words(F.col("text"))).alias("pos", "word")
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        doc_word_positions,
+    )
+
+    # session-staged token stream (round 11) replaces the per-build
+    # regex explode feeding the hashed-bucket checkpoint below
+    tok = doc_word_positions(spark, sf_dir).select(
+        "doc_id", "lang", "pos", "word"
     )
     # The hashed token stream feeds FOUR consumers (raw buckets, target
     # buckets, two corpus scalars, final per-doc fold); materialize it
@@ -216,10 +221,12 @@ def linear_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: everything up to the per-document aggregate is a
     narrow projection; one wide exchange (doc_id), position-ordered
     fold for the deterministic float mean."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "word")
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        doc_word_positions,
     )
+
+    # session-staged token stream (round 11)
+    tok = doc_word_positions(spark, sf_dir).select("doc_id", "pos", "word")
     wgt = (
         ((rolling_hash(F.col("word")) % N_BUCKETS) * _W_MULT + _W_ADD) % _W_MOD
     ).cast("double") / _W_MOD - 0.5
@@ -287,8 +294,12 @@ def word_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id for the per-document reduce; the entropy sum folds terms in
     word-sorted order (words are unique per document after the count
     aggregate) so the float total is deterministic cross-engine."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        doc_word_positions,
+    )
+
+    # session-staged token stream (round 11)
+    tok = doc_word_positions(spark, sf_dir).select("doc_id", "word")
     c = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
     t = c.groupBy("doc_id").agg(
         F.sum("c").cast("bigint").alias("n_tokens"),

@@ -215,8 +215,12 @@ def vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TakeOrderedAndProject, never a full sort); membership is a
     BROADCAST left join of a {N}-row table onto the token stream, then
     one per-document aggregate — the corpus shuffles once, on doc_id."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        doc_word_positions,
+    )
+
+    # session-staged token stream (round 11)
+    tok = doc_word_positions(spark, sf_dir).select("doc_id", "word")
     dfreq = tok.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
     vocab = (
         dfreq.orderBy(F.col("df").desc(), "word")

@@ -58,10 +58,14 @@ def lexical_diversity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id(+word): no hot keys beyond single-document size, which the
     explode already bounds per row batch. Integer counts and exact
     ratios of integers: cross-engine bit-equal."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.col("text")), r"\s+")
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        doc_word_positions,
+    )
+
+    # session-staged token stream (round 11)
     c = (
-        docs.select("doc_id", F.explode(words).alias("word"))
+        doc_word_positions(spark, sf_dir)
+        .select("doc_id", "word")
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

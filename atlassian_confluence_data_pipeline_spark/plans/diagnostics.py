@@ -310,10 +310,15 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-bucketed pass — no single-partition window over the
     vocabulary, which grows with the corpus); the checkpoint filter
     collapses output to <= 21 rows."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.col("text")), r"\s+")
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        doc_word_positions,
+    )
+
+    # session-staged token stream (round 11) feeds the word-count
+    # aggregate — the regex explode was this query's dominant cost
     c = (
-        docs.select(F.explode(words).alias("word"))
+        doc_word_positions(spark, sf_dir)
+        .select("word")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .withColumn("neg_freq", -F.col("freq"))
@@ -674,12 +679,19 @@ def categorical_mutual_information(spark: SparkSession, sf_dir: str) -> DataFram
 
     def one(table: str, x: str, y: str, label: str) -> DataFrame:
         t = load_table(spark, sf_dir, table)
-        n = t.count()
-        j = t.groupBy(F.col(x).alias("xv"), F.col(y).alias("yv")).agg(
-            F.count(F.lit(1)).alias("cxy")
+        # ONE corpus aggregate to the |x|·|y|-bounded joint grid; the
+        # total, both marginals, both cardinalities and both entropies
+        # all derive from it (exact integer sums of joint counts ==
+        # direct marginal counts) — before, each was its own corpus
+        # scan: 6 sequential corpus jobs per pair (round-11, guide §1.2)
+        j = (
+            t.groupBy(F.col(x).alias("xv"), F.col(y).alias("yv"))
+            .agg(F.count(F.lit(1)).alias("cxy"))
+            .localCheckpoint(eager=True)
         )
-        mx = t.groupBy(F.col(x).alias("xv")).agg(F.count(F.lit(1)).alias("cx"))
-        my = t.groupBy(F.col(y).alias("yv")).agg(F.count(F.lit(1)).alias("cy"))
+        n = int(j.agg(F.sum("cxy")).first()[0] or 0)
+        mx = j.groupBy("xv").agg(F.sum("cxy").alias("cx"))
+        my = j.groupBy("yv").agg(F.sum("cxy").alias("cy"))
 
         def entropy(marg: DataFrame, c: str) -> float:
             e = marg.select(

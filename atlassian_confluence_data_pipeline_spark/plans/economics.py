@@ -66,11 +66,19 @@ def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
     whole seconds. The funnel-timing headline a conversion report
     leads with; integer microsecond arithmetic throughout.
 
-    Scale shape: two hash aggregates (first click per user; min
-    latency per converter), then the two-pass distributed prefix sum
-    over DISTINCT latency values (distributed_prefix_rank — per-range
-    cumulative counts + boundary-offset add, no single-partition
-    window), and a 2-row probe."""
+    Scale shape (round-11): two hash aggregates (first click per user;
+    min latency per converter), then the exact percentiles as
+    kth-order statistics via kth_smallest DISTRIBUTED SELECTION with
+    O(1) equal-width bucket routing over the known latency range (the
+    operator's skew-refinement loop bounds the sorted task) —
+    replacing the distinct-value prefix pass and its sampling job."""
+    import math
+
+    from atlassian_confluence_data_pipeline_spark.operators.windows import (
+        equal_width_bucketizer,
+        kth_smallest,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     fc = (
         ev.filter(F.col("event_type") == "click")
@@ -89,24 +97,28 @@ def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .localCheckpoint(eager=True)
     )
-    n_conv = fp.count()
-    vc = fp.groupBy("lat_us").agg(F.count(F.lit(1)).alias("c"))
-    cum = distributed_prefix_rank(vc, ["lat_us"], sums={"cum": "c"}).select(
+    st = fp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("lat_us").alias("mn"),
+        F.max("lat_us").alias("mx"),
+    ).first()
+    n_conv = int(st["n"])
+    schema = "p double, n_converters bigint, latency_s bigint"
+    if n_conv == 0:
+        # the oracle's probe cross-joins an EMPTY cumsum: no rows
+        return spark.createDataFrame([], schema)
+    ks = {p: int(math.ceil(p * n_conv)) for p in LATENCY_PROBS}
+    sel = kth_smallest(
+        fp,
         "lat_us",
-        "cum",
-        F.lit(n_conv).alias("n"),
+        sorted(set(ks.values())),
+        bucket_of=equal_width_bucketizer(
+            float(st["mn"]), float(st["mx"]), 32
+        ),
     )
-    probs = spark.createDataFrame([(p,) for p in LATENCY_PROBS], "p double")
-    hit = F.when(
-        F.col("cum") >= F.ceil(F.col("p") * F.col("n")), F.col("lat_us")
-    )
-    return (
-        probs.crossJoin(cum)
-        .groupBy("p")
-        .agg(
-            F.lit(n_conv).cast("bigint").alias("n_converters"),
-            F.floor(F.min(hit) / 1_000_000).cast("bigint").alias("latency_s"),
-        )
+    return spark.createDataFrame(
+        [(float(p), n_conv, int(sel[k]) // 1_000_000) for p, k in ks.items()],
+        schema,
     )
 
 
@@ -305,26 +317,58 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    head = m.agg(F.max("last_d")).first()[0]
-    n = m.count()
+    # ONE fused loop-control aggregate (head date, n, and the value
+    # ranges of all three rank keys) — its min/max feed equal-width
+    # split points to the three rank passes, replacing three
+    # approxQuantile sampling jobs AND the separate head/count jobs
+    # (round 11; bucket balance only sizes per-bucket windows, never
+    # the exact global ranks)
+    st = m.agg(
+        F.max("last_d").alias("head"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("last_d").alias("old_d"),
+        F.min("freq").alias("f_lo"),
+        F.max("freq").alias("f_hi"),
+        F.min("money").alias("m_lo"),
+        F.max("money").alias("m_hi"),
+    ).first()
+    head, n = st["head"], int(st["n"])
+
+    def eq_bounds(lo: float, hi: float) -> list[float] | None:
+        return (
+            [lo + (hi - lo) * i / 32 for i in range(1, 32)]
+            if n and hi > lo
+            else None
+        )
+
+    max_rec = (
+        (head - st["old_d"]).days if n and head and st["old_d"] else 0
+    )
     base = m.select(
         "o_custkey",
         F.datediff(F.lit(head), F.col("last_d")).alias("recency_days"),
         "freq",
         "money",
-    ).localCheckpoint(eager=True)
+    )
     # recency rank ascends with MORE recent (fewer days): order by
     # -recency so rank share maps 5 -> most recent, like freq/money
     ranked = distributed_prefix_rank(
         base.withColumn("neg_rec", -F.col("recency_days")),
         ["neg_rec", "o_custkey"],
         rank_col="r_rank",
+        bounds=eq_bounds(-float(max_rec), 0.0),
     )
     ranked = distributed_prefix_rank(
-        ranked, ["freq", "o_custkey"], rank_col="f_rank"
+        ranked,
+        ["freq", "o_custkey"],
+        rank_col="f_rank",
+        bounds=eq_bounds(float(st["f_lo"] or 0), float(st["f_hi"] or 0)),
     )
     ranked = distributed_prefix_rank(
-        ranked, ["money", "o_custkey"], rank_col="m_rank"
+        ranked,
+        ["money", "o_custkey"],
+        rank_col="m_rank",
+        bounds=eq_bounds(float(st["m_lo"] or 0), float(st["m_hi"] or 0)),
     )
 
     def score(rank_col: str):

@@ -260,9 +260,16 @@ def simpsons_paradox_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pooled slope re-aggregates those group moments (6-rounded
     DECIMAL sums — order-independent); the verdict is bounded-domain
     arithmetic."""
+    from atlassian_confluence_data_pipeline_spark.operators.skew import (
+        spread_scan,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    pts = li.join(
+    # per-row decimal moment products serialize on a single-split scan;
+    # spread the NARROW fact projection first (guide §2.5 — no-op at
+    # cluster-scale split counts; the brand_price_regression treatment)
+    pts = spread_scan(li.select("l_partkey", "l_quantity")).join(
         F.broadcast(
             p.select(
                 F.col("p_partkey").alias("l_partkey"),

@@ -137,27 +137,31 @@ def uplift_qini_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         "t",
     )
-    per = (
-        d.groupBy("decile")
-        .agg(
-            F.sum("t").cast("bigint").alias("n_t"),
-            F.sum(1 - F.col("t")).cast("bigint").alias("n_c"),
-            F.sum(F.col("y") * F.col("t")).cast("bigint").alias("conv_t"),
-            F.sum(F.col("y") * (1 - F.col("t")))
-            .cast("bigint")
-            .alias("conv_c"),
-        )
-        .localCheckpoint(eager=True)
+    per = d.groupBy("decile").agg(
+        F.sum("t").cast("bigint").alias("n_t"),
+        F.sum(1 - F.col("t")).cast("bigint").alias("n_c"),
+        F.sum(F.col("y") * F.col("t")).cast("bigint").alias("conv_t"),
+        F.sum(F.col("y") * (1 - F.col("t"))).cast("bigint").alias("conv_c"),
     )
-    cum = distributed_prefix_rank(
-        per,
-        ["decile"],
-        sums={
-            "ct": "conv_t",
-            "cc": "conv_c",
-            "nt": "n_t",
-            "nc": "n_c",
-        },
+    # the Qini cumsum domain is the FIXED 10-decile frame — a bounded
+    # unpartitioned window (allowlisted with a measured 16-row bound)
+    # replaces a full distributed_prefix_rank pass (approxQuantile +
+    # checkpoint + totals collect over ten rows) per build
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.sum("conv_t").over(w).alias("ct"),
+        F.sum("conv_c").over(w).alias("cc"),
+        F.sum("n_t").over(w).alias("nt"),
+        F.sum("n_c").over(w).alias("nc"),
     )
     return cum.select(
         "decile",
@@ -211,11 +215,14 @@ def bloom_sizing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one distinct-count aggregate per source (the only
     corpus-sized work), closed-form arithmetic after."""
-    docs = load_table(spark, sf_dir, "documents")
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        doc_word_positions,
+    )
+
+    # session-staged token stream (round 11)
     card = (
-        docs.select(
-            "source", F.explode(_words(F.col("text"))).alias("w")
-        )
+        doc_word_positions(spark, sf_dir)
+        .select("source", F.col("word").alias("w"))
         .groupBy("source")
         .agg(F.countDistinct("w").cast("bigint").alias("n_distinct"))
     )

@@ -77,13 +77,17 @@ def cusum_drift_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bit-identical cross-engine; sigma comes from the same
     DECIMAL-exact moment discipline as the z-score family.
 
-    Scale shape: one hash aggregate to |days| rows, then the two-pass
-    distributed prefix sum/rank over the day series (the day domain
-    grows with retention, so even the metric series gets the
-    distributed_prefix_rank treatment: per-range DECIMAL partial sums
-    + boundary-offset add, no single-partition window), scalar moments
-    cross-attached. Day ordering is by epoch-day number — identical to
-    the lexical yyyy-MM-dd order the oracle uses."""
+    Scale shape (round-11): one hash aggregate to the CALENDAR-BOUNDED
+    day domain (<= the corpus time span in days at any corpus size —
+    the daily_revenue_locf discipline), then the running DECIMAL sum,
+    the rank AND the global moments all as one UNPARTITIONED window
+    chain over that bounded domain (measured-bound allowlisted in
+    plan_audit) — replacing the per-build checkpoint, the prefix pass
+    (sampling job + checkpoint + totals collect) and the moment cross
+    join with ONE lazy plan. Day ordering is by epoch-day number —
+    identical to the lexical yyyy-MM-dd order the oracle uses."""
+    from pyspark.sql.window import Window
+
     o = load_table(spark, sf_dir, "orders")
     daily = (
         o.groupBy(F.col("o_orderdate").alias("d"))
@@ -94,29 +98,31 @@ def cusum_drift_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("dnum", F.datediff(F.col("d"), F.lit("1970-01-01")))
         .withColumn("rev_dec", F.col("rev").cast(_DEC))
-        .localCheckpoint(eager=True)
     )
-    st = daily.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("rev").cast(_DEC)).cast("double").alias("s1"),
-        F.sum((F.col("rev") * F.col("rev")).cast("decimal(38,6)"))
-        .cast("double")
-        .alias("s2"),
+    w_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    cum = distributed_prefix_rank(
-        daily, ["dnum"], sums={"c_dec": "rev_dec"}, rank_col="t"
-    ).select(
+    w_incl = Window.orderBy("dnum").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         "rev",
-        F.col("c_dec").cast("double").alias("c"),
-        F.col("t").cast("bigint").alias("t"),
+        F.sum("rev_dec").over(w_incl).cast("double").alias("c"),
+        F.row_number().over(Window.orderBy("dnum")).cast("bigint").alias("t"),
+        F.count(F.lit(1)).over(w_tot).alias("n"),
+        F.sum("rev_dec").over(w_tot).cast("double").alias("s1"),
+        F.sum((F.col("rev") * F.col("rev")).cast("decimal(38,6)"))
+        .over(w_tot)
+        .cast("double")
+        .alias("s2"),
     )
     dev = F.col("c") - F.col("t") * F.col("s1") / F.col("n")
     sigma = F.sqrt(
         (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
         / (F.col("n") - 1)
     )
-    return cum.crossJoin(F.broadcast(st)).select(
+    return cum.select(
         "day",
         F.round("rev", 2).alias("revenue"),
         F.round(dev, 4).alias("cusum"),

@@ -120,36 +120,47 @@ def int8_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 128
         ),
     )
-    base = emb.select("vec_id", "embedding", codes.alias("q"))
-
-    def _cos(a, b):
-        dot = F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
-        )
-        n1 = F.sqrt(
+    # each side's norm folds once per VECTOR instead of twice per pair
+    # (bit-identical reuse — same fold, same division shape; round 11.
+    # A localCheckpoint of the coded frame was measured WORSE: the
+    # materialization costs more than re-evaluating the cheap code
+    # transform per ranking.)
+    def _nrm(a):
+        return F.sqrt(
             F.aggregate(
                 a,
                 F.lit(0.0).cast("double"),
                 lambda acc, x: acc + x.cast("double") * x,
             )
         )
-        n2 = F.sqrt(
-            F.aggregate(
-                b,
-                F.lit(0.0).cast("double"),
-                lambda acc, x: acc + x.cast("double") * x,
-            )
+
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        codes.alias("q"),
+        _nrm(F.col("embedding")).alias("__ne"),
+        _nrm(codes).alias("__nq"),
+    )
+    norm_col = {"embedding": "__ne", "q": "__nq"}
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
         )
-        return dot / (n1 * n2)
 
     def _topk(col: str) -> DataFrame:
+        nc = norm_col[col]
         qs = base.filter(F.col("vec_id") < Q8_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col(col).alias("qa")
+            F.col("vec_id").alias("query_id"),
+            F.col(col).alias("qa"),
+            F.col(nc).alias("__na"),
         )
         cs = base.select(
-            F.col("vec_id").alias("neighbor_id"), F.col(col).alias("cb")
+            F.col("vec_id").alias("neighbor_id"),
+            F.col(col).alias("cb"),
+            F.col(nc).alias("__nb"),
         )
         pairs = (
             F.broadcast(qs)
@@ -157,7 +168,10 @@ def int8_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "query_id",
                 "neighbor_id",
-                _cos(F.col("qa"), F.col("cb")).alias("sim"),
+                (
+                    _dot(F.col("qa"), F.col("cb"))
+                    / (F.col("__na") * F.col("__nb"))
+                ).alias("sim"),
             )
         )
         w = Window.partitionBy("query_id").orderBy(

@@ -165,10 +165,14 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped and rendered as a joined string so the driver's scalar
     value-hash applies; at scale the uncapped lists would be written
     per-term to a partitioned sink instead of returned."""
-    docs = load_table(spark, sf_dir, "documents")
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        doc_word_positions,
+    )
+
+    # session-staged token stream (round 11)
     td = (
-        docs.select("doc_id", F.explode(_words(F.col("text"))).alias("term"))
-        .select("term", "doc_id")
+        doc_word_positions(spark, sf_dir)
+        .select(F.col("word").alias("term"), "doc_id")
         .distinct()
     )
     return td.groupBy("term").agg(

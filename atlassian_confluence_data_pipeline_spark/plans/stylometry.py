@@ -168,10 +168,13 @@ def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything after runs on the |sources| x {_DELTA_WORDS} bounded
     frequency grid (moments, z-scores, and the pairwise rollup) with
     9-rounded DECIMAL sums."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        "source", F.explode(_words(F.col("text"))).alias("word")
-    ).localCheckpoint(eager=True)
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        doc_word_positions,
+    )
+
+    # session-staged token stream (round 11) — replaces both the
+    # per-build regex explode AND the per-build localCheckpoint
+    words = doc_word_positions(spark, sf_dir).select("source", "word")
     top = (
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -282,11 +285,14 @@ def yule_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one (source, word) count aggregate, one source-domain
     rollup with exact integer spectrum moments (m² summed in
     DECIMAL(38,0)), closed-form finish."""
-    docs = load_table(spark, sf_dir, "documents")
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        doc_word_positions,
+    )
+
+    # session-staged token stream (round 11)
     wc = (
-        docs.select(
-            "source", F.explode(_words(F.col("text"))).alias("word")
-        )
+        doc_word_positions(spark, sf_dir)
+        .select("source", "word")
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     )

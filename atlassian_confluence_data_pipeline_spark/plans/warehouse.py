@@ -341,10 +341,14 @@ def postings_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms concentrate df in few groups — at 100 TB the build would
     range-bucket postings per term (doc-id splits), summing the same
     per-bucket varint counts."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(_words(F.col("text"))).alias("word")
-    ).distinct()
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        doc_word_positions,
+    )
+
+    # session-staged token stream (round 11)
+    tok = (
+        doc_word_positions(spark, sf_dir).select("doc_id", "word").distinct()
+    )
     post = tok.groupBy("word").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ids")
     )

@@ -181,6 +181,18 @@ BOUNDED_GLOBAL_WINDOW_OK: dict[str, tuple[int, str]] = {
         3200,
         "two at-risk cumsums over the calendar-bounded duration domain",
     ),
+    "uplift_qini_deciles": (
+        16,
+        "Qini cumsum over the fixed 10-decile frame",
+    ),
+    "cusum_drift_daily_revenue": (
+        3200,
+        "CUSUM running sum + moments over the calendar-bounded day domain",
+    ),
+    "revenue_changepoint": (
+        3200,
+        "split-scan cumsum + totals over the calendar-bounded day domain",
+    ),
 }
 
 
