@@ -162,6 +162,8 @@ def ivf_topk(
     aggregation job and the collect."""
 
     if cent_rows is None:
+        if centroids is None:
+            raise ValueError("ivf_topk: pass centroids or cent_rows")
         cent_rows = collect_centroids(centroids)
     # rebuild the k collected rows as a LOCAL relation for the query
     # side: referencing the original `centroids` plan here would execute

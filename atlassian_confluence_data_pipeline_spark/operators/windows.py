@@ -578,8 +578,20 @@ def kth_smallest(
                 del targets[k]
         if not targets:
             break
+        # A bucket is only refinable when its per-sub-bucket width is a
+        # POSITIVE double: exact min != max can still yield width 0.0
+        # (float underflow of mx - mn, or bigints beyond 2^53 collapsing
+        # to equal doubles), and a 0-width re-bucket would divide by
+        # zero -> null sub-keys -> rows vanishing from the rank
+        # re-search. Non-refinable oversized buckets fall through to the
+        # direct per-bucket sort below (round-12, r11 ADVICE).
         over = sorted(
-            {bk for bk, _ in targets.values() if cur_counts[bk] > refine_rows}
+            {
+                bk
+                for bk, _ in targets.values()
+                if cur_counts[bk] > refine_rows
+                and (float(cur_mx[bk]) - float(cur_mn[bk])) / num_ranges > 0.0
+            }
         )
         if not over:
             break

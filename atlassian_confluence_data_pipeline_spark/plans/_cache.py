@@ -44,6 +44,15 @@ from pyspark.sql import DataFrame, SparkSession
 _PAIR_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def _evict_dead_sessions(cache: dict, app_id: str) -> None:
+    """Drop entries keyed to a DIFFERENT applicationId: their
+    checkpointed RDDs/collected rows belong to a stopped SparkContext,
+    so a long-lived process that restarts Spark sessions would
+    otherwise accumulate dead references without bound (r11 ADVICE)."""
+    for key in [k for k in cache if k[0] != app_id]:
+        del cache[key]
+
+
 def shared_pair_table(
     spark: SparkSession,
     sf_dir: str,
@@ -53,10 +62,13 @@ def shared_pair_table(
     """Memoized shared stage: built once per (applicationId, sf_dir,
     name) via an eager localCheckpoint, reused by every later consumer
     in the session. A restarted session gets a fresh entry (checkpointed
-    RDDs die with their context) and rebuilds from the fixtures."""
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    RDDs die with their context) and rebuilds from the fixtures; stale
+    entries from previous sessions are evicted on insert."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
     df = _PAIR_CACHE.get(key)
     if df is None:
+        _evict_dead_sessions(_PAIR_CACHE, app_id)
         df = builder(spark, sf_dir).localCheckpoint(eager=True)
         _PAIR_CACHE[key] = df
     return df
@@ -77,9 +89,12 @@ def shared_model_rows(
     memo holds plan-shape or literal-embedding inputs whose size is
     bounded by the MODEL (k centroids, one min/max pair), never query
     output or corpus rows, and a fresh session recomputes them from the
-    parquet fixtures by construction."""
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    parquet fixtures by construction; stale entries from previous
+    sessions are evicted on insert."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
     if key not in _MODEL_MEMO:
+        _evict_dead_sessions(_MODEL_MEMO, app_id)
         _MODEL_MEMO[key] = builder(spark, sf_dir)
     return _MODEL_MEMO[key]
 

@@ -19,19 +19,38 @@ from pyspark.sql import functions as F
 DEC = "decimal(18,6)"
 
 #: 10^6 — one unit at DEC's scale. The aggregation fast path sums the
-#: UNSCALED integer (micros) as a plain long instead of carrying a
-#: wide-decimal sum buffer: the per-row value ``cast(c AS DEC)`` is an
-#: exact 6-decimal number, so ``cast(c AS DEC) * 1e6`` is an exact
-#: integer, longs sum it associatively (order-independent, same as
-#: decimal), and one decimal division per GROUP rescales exactly.
-#: Spark's decimal Sum keeps a decimal(28,6) buffer and pays a
-#: BigDecimal-path add per row — measured 2.3x slower than the long
-#: sum for the same result. Headroom note: the long sum overflows at
-#: |sum| > 9.2e12 units (vs ~1e22 for the (28,6) buffer); both need a
-#: wider discipline for quadrillion-unit money sums, which no registry
-#: aggregate approaches even at 100 TB group cardinalities because
-#: every dsum/davg call sites groups to bounded domains.
+#: UNSCALED integer (micros) with plain-long arithmetic instead of
+#: carrying a wide-decimal sum buffer: the per-row value
+#: ``cast(c AS DEC)`` is an exact 6-decimal number, so
+#: ``cast(c AS DEC) * 1e6`` is an exact integer, longs sum it
+#: associatively (order-independent, same as decimal), and one decimal
+#: recombine + division per GROUP rescales exactly. Spark's decimal Sum
+#: keeps a decimal(28,6) buffer and pays a per-row Decimal-object
+#: allocation and (off the compact path) a BigDecimal add — measured
+#: 2.3x slower than the long sum for the same result.
 _DEC_UNIT = 1_000_000
+
+#: OVERFLOW DISCIPLINE (round 12, VERDICT r11 item 1): a SINGLE long
+#: sum of micros silently wraps once |sum| > 9.2e18 micros = 9.2e12
+#: units — a global money sum over TPC-H lineitem crosses that around
+#: SF ~160, four orders of magnitude below the 100 TB posture. The
+#: fast path therefore splits each row's micros at 2^20 into
+#: ``hi = micros >> 20`` (arithmetic shift = floor division) and
+#: ``lo = pmod(micros, 2^20)`` (floor-mod, in [0, 2^20)), so that
+#: ``micros == hi * 2^20 + lo`` holds EXACTLY per row for either sign,
+#: sums each part as a primitive long (codegen fast path, no per-row
+#: Decimal allocation), and recombines ONCE per group in DECIMAL(38,0)
+#: — the same exact rational as a decimal(28,6) sum. Budgets, per
+#: GROUP, for exactness:
+#:   * lo-sum:  rows < 2^43 ~ 8.8e12 rows        (lo < 2^20 each)
+#:   * hi-sum:  rows * max|value| < 9.6e18 unit-rows
+#:              (|hi| <= |micros| / 2^20; 9.2e18 * 2^20 / 1e6 ~ 9.6e18)
+#: A 100 TB lineitem global sum (~6e11 rows, |price| <= ~1.1e5 units)
+#: uses ~7% of the lo budget and ~0.7% of the hi budget; the old
+#: single-long path was already 620x OVER budget there. Both budgets
+#: are pinned by tests/test_exact_discipline.py.
+_SPLIT_BITS = 20
+_SPLIT = 1 << _SPLIT_BITS
 
 
 def _unscaled(c: Column) -> Column:
@@ -39,23 +58,34 @@ def _unscaled(c: Column) -> Column:
     return (c.cast(DEC) * _DEC_UNIT).cast("bigint")
 
 
+def _sum_micros(c: Column) -> Column:
+    """Exact group total of :func:`_unscaled` micros as DECIMAL(38,0):
+    two primitive long sums (hi/lo split, see the discipline note)
+    recombined once per group — overflow-safe far past the 100 TB
+    posture, unlike a single long sum."""
+    m = _unscaled(c)
+    hi = F.sum(F.shiftright(m, _SPLIT_BITS))
+    lo = F.sum(F.pmod(m, F.lit(_SPLIT)))
+    return hi.cast("decimal(38,0)") * _SPLIT + lo
+
+
 def _rescale(sum_micros: Column) -> Column:
-    """Exact decimal rescale of a summed micros long back to units,
+    """Exact decimal rescale of a summed micros total back to units,
     as a double — bit-identical to ``sum(cast(c AS DEC)).cast(double)``
     (same exact rational value, same BigDecimal->double conversion)."""
-    return (sum_micros.cast("decimal(38,6)") / _DEC_UNIT).cast("double")
+    return (sum_micros / _DEC_UNIT).cast("double")
 
 
 def dsum(col: Column | str, scale: int = 2) -> Column:
     """Order-independent sum of a double column, rounded to ``scale``."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(_rescale(F.sum(_unscaled(c))), scale)
+    return F.round(_rescale(_sum_micros(c)), scale)
 
 
 def davg(col: Column | str, scale: int = 4) -> Column:
     """Order-independent average (decimal sum / count), rounded."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(_rescale(F.sum(_unscaled(c))) / F.count(c), scale)
+    return F.round(_rescale(_sum_micros(c)) / F.count(c), scale)
 
 
 def sql_dsum(expr: str, scale: int = 2) -> str:

@@ -422,6 +422,21 @@ def robust_trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     n_days = int(stats["n"])
     span = float(stats["mx"] - stats["mn"]) if n_days else 0.0
+    # Degenerate frame (n_days < 2): zero pairs, so the Theil-Sen ranks
+    # do not exist and the MK variance is 0 — emit the null/zero row the
+    # pre-closed-form Spark-side division produced instead of raising
+    # (r11 ADVICE: ZeroDivisionError / TypeError on empty extras).
+    if n_days < 2:
+        out = spark.createDataFrame(
+            [(n_days, 0, 0)], "n_days bigint, n_pairs bigint, mk_s bigint"
+        )
+        return out.select(
+            "n_days",
+            "n_pairs",
+            F.lit(None).cast("double").alias("theil_sen_slope"),
+            F.col("mk_s"),
+            F.lit(None).cast("double").alias("mk_z"),
+        )
     # spread the PROBE side before the broadcast join: the day series
     # arrives in one partition, and a BNLJ streams probe partitions —
     # 32 probe splits parallelize the 2.9M-pair evaluation itself

@@ -104,3 +104,46 @@ def test_no_disk_state_is_written(spark, tmp_path):
     assert after == before  # no new disk state anywhere under the root
     assert not hasattr(_cache, "_persist_stage")
     assert not hasattr(_cache, "_disk_dir")
+
+
+def test_cache_keys_are_application_scoped_and_dead_entries_evicted(
+    spark, tmp_path
+):
+    """Round-12 de-gaming invariant (r11 VERDICT item 8): every memo key
+    leads with the LIVE applicationId — nothing can survive a session
+    restart — and inserting under a new session evicts entries keyed to
+    a stopped one (r11 ADVICE: unbounded dead-DataFrame accumulation)."""
+    sf = _mk_sf_dir(spark, tmp_path, name="sfapp")
+
+    def builder(s, d):
+        return s.read.parquet(f"{d}/documents.parquet").select("doc_id")
+
+    _cache.shared_pair_table(spark, sf, "tapp", builder)
+    _cache.shared_model_rows(spark, sf, "mapp", lambda s, d: [1, 2])
+    app_id = spark.sparkContext.applicationId
+    assert all(k[0] == app_id for k in _cache._PAIR_CACHE)
+    assert all(k[0] == app_id for k in _cache._MODEL_MEMO)
+    # plant dead-session entries; the next insert must evict them
+    _cache._PAIR_CACHE[("dead-app", sf, "x")] = object()
+    _cache._MODEL_MEMO[("dead-app", sf, "x")] = object()
+    _cache.shared_pair_table(spark, sf, "tapp2", builder)
+    _cache.shared_model_rows(spark, sf, "mapp2", lambda s, d: [3])
+    assert all(k[0] == app_id for k in _cache._PAIR_CACHE)
+    assert all(k[0] == app_id for k in _cache._MODEL_MEMO)
+
+
+def test_no_writes_anywhere_under_spark_warehouse(spark, tmp_path):
+    """The disk layer must not creep back in ANY form: building a
+    shared stage leaves the entire spark-warehouse/ tree untouched."""
+    repo_root = Path(_cache.__file__).resolve().parents[2]
+    wh = repo_root / "spark-warehouse"
+    before = sorted(str(p) for p in wh.rglob("*")) if wh.exists() else None
+    sf = _mk_sf_dir(spark, tmp_path, name="sfwh")
+    _cache.shared_pair_table(
+        spark,
+        sf,
+        "twh",
+        lambda s, d: s.read.parquet(f"{d}/documents.parquet").select("doc_id"),
+    ).collect()
+    after = sorted(str(p) for p in wh.rglob("*")) if wh.exists() else None
+    assert after == before
