@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from atlassian_confluence_data_pipeline_spark.catalog import load_table
@@ -64,45 +64,71 @@ cents AS (
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * float(_QSCALE)).cast("bigint"),
+    """Session-staged quantized embedding frame (round 12): confusion,
+    silhouette and Fisher all start from the identical (vec_id, label,
+    q) projection, so it is built once per session via the shared-stage
+    cache instead of one eager localCheckpoint per consumer."""
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        shared_pair_table,
     )
-    return emb.select(
-        "vec_id", F.col("label").cast("int").alias("label"), q.alias("q")
-    ).localCheckpoint(eager=True)
+
+    def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * float(_QSCALE)).cast(
+                "bigint"
+            ),
+        )
+        return emb.select(
+            "vec_id", F.col("label").cast("int").alias("label"), q.alias("q")
+        )
+
+    return shared_pair_table(spark, sf_dir, "embed_quantized", _build)
 
 
-def _centroids(qdf: DataFrame) -> dict[int, list[float]]:
+def _centroids(spark: SparkSession, sf_dir: str) -> dict[int, list[float]]:
     """Per-label centroid components in quantized units — exact DECIMAL
     sums reduced with the oracle's own s1/n double expression; 10 x 64
-    doubles of loop-control scale (the k-means codebook class)."""
-    st = (
-        qdf.select("label", F.posexplode("q").alias("dim", "qv"))
-        .groupBy("label", "dim")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("qv").cast("decimal(38,0)")).alias("s1"),
-        )
-        .collect()
+    doubles of loop-control scale (the k-means codebook class),
+    session-memoized (round 12) so the confusion/silhouette pair pays
+    the aggregate + collect once."""
+    from atlassian_confluence_data_pipeline_spark.plans._cache import (
+        shared_model_rows,
     )
-    comp: dict[int, dict[int, float]] = {}
-    for r in st:
-        comp.setdefault(r["label"], {})[r["dim"]] = float(r["s1"]) / float(
-            r["n"]
+
+    def _build(spark: SparkSession, sf_dir: str) -> dict[int, list[float]]:
+        st = (
+            _quantized(spark, sf_dir)
+            .select("label", F.posexplode("q").alias("dim", "qv"))
+            .groupBy("label", "dim")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("qv").cast("decimal(38,0)")).alias("s1"),
+            )
+            .collect()
         )
-    return {
-        lab: [dims[d] for d in sorted(dims)] for lab, dims in comp.items()
-    }
+        comp: dict[int, dict[int, float]] = {}
+        for r in st:
+            comp.setdefault(r["label"], {})[r["dim"]] = float(
+                r["s1"]
+            ) / float(r["n"])
+        return {
+            lab: [dims[d] for d in sorted(dims)] for lab, dims in comp.items()
+        }
+
+    return shared_model_rows(spark, sf_dir, "embed_quant_centroids", _build)
 
 
-def _dist_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, label, pred, d2): squared distance of every vector to
-    every label centroid — the centroids ride along as literal arrays
-    (corpus never moves; a 10-way explode replaces any join)."""
-    qdf = _quantized(spark, sf_dir)
-    cents = _centroids(qdf)
+def _dist_structs(cents: dict[int, list[float]]):
+    """array<struct<pred,d2>> of the squared distance to EVERY label
+    centroid, as a per-row column — the centroids ride along as literal
+    arrays (corpus never moves). Round 12: the per-(vector, label) rows
+    consumed by confusion/silhouette used to come from exploding this
+    array and shuffling 10x corpus rows into a vec_id-keyed aggregate /
+    window; both consumers now reduce the array IN PLACE (array_min /
+    filter — same doubles, same comparisons), so neither query shuffles
+    corpus rows at all."""
 
     def _d(v: float) -> str:
         return f"CAST('{v!r}' AS DOUBLE)"
@@ -122,9 +148,7 @@ def _dist_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         entries.append(
             F.struct(F.lit(lab).alias("pred"), d2.alias("d2"))
         )
-    return qdf.select(
-        "vec_id", "label", F.explode(F.array(*entries)).alias("e")
-    ).select("vec_id", "label", F.col("e.pred"), F.col("e.d2").alias("d2"))
+    return F.array(*entries)
 
 
 @query(
@@ -157,15 +181,21 @@ def centroid_classifier_confusion(
     Scale shape: centroids are exact quantized moments collected as a
     10 x 64 literal codebook (the k-means/IVF broadcast-centroid
     discipline — the corpus never moves); per-vector distances are 10
-    index-ordered array folds exploded to (vector, label) rows; the
-    argmin is a vec_id-partitioned rank window (bounded 10-row
-    partitions); the confusion matrix is one |labels|²-bounded
-    aggregate."""
-    dists = _dist_frame(spark, sf_dir)
-    w = Window.partitionBy("vec_id").orderBy("d2", "pred")
+    index-ordered array folds held in ONE per-row array; the argmin is
+    an in-place array_min over (d2, pred) structs (struct comparison ==
+    the window's ORDER BY d2, pred — round 12: this replaces the 10x
+    explode + vec_id-keyed rank window, so the only exchange left is
+    the |labels|²-bounded confusion aggregate)."""
+    qdf = _quantized(spark, sf_dir)
+    ds = _dist_structs(_centroids(spark, sf_dir))
+    best = F.array_min(
+        F.transform(
+            ds,
+            lambda e: F.struct(e["d2"].alias("d2"), e["pred"].alias("pred")),
+        )
+    )
     return (
-        dists.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        qdf.select("label", best["pred"].alias("pred"))
         .groupBy(
             F.col("label").cast("int").alias("true_label"),
             F.col("pred").cast("int").alias("pred_label"),
@@ -209,19 +239,32 @@ def centroid_silhouette_by_label(
     score (negative s = the vector sits closer to a foreign centroid =
     label noise or genuine overlap; n_negative counts them).
 
-    Scale shape: reuses the broadcast-codebook distance frame (10
-    bounded rows per vector, no join); a/b are one 10-row-per-vector
-    conditional aggregate; the label rollup sums 9-rounded DECIMAL
-    terms. The full pass is two hash aggregates over linear frames."""
-    dists = _dist_frame(spark, sf_dir)
-    ab = dists.groupBy("vec_id", "label").agg(
-        F.sqrt(
-            F.min(F.when(F.col("pred") == F.col("label"), F.col("d2")))
-        ).alias("a"),
-        F.sqrt(
-            F.min(F.when(F.col("pred") != F.col("label"), F.col("d2")))
-        ).alias("b"),
+    Scale shape: reuses the broadcast-codebook distance array (10
+    bounded entries per vector, no join); a/b reduce IN PLACE per row
+    (filter + array_min over the same doubles the oracle's
+    min(CASE...) aggregates — round 12: this replaces the 10x explode
+    + (vec_id, label) hash aggregate, leaving the |labels|-bounded
+    label rollup as the only exchange); the label rollup sums
+    9-rounded DECIMAL terms."""
+    qdf = _quantized(spark, sf_dir)
+    ds = _dist_structs(_centroids(spark, sf_dir))
+    a = F.sqrt(
+        F.array_min(
+            F.transform(
+                F.filter(ds, lambda e: e["pred"] == F.col("label")),
+                lambda e: e["d2"],
+            )
+        )
     )
+    b = F.sqrt(
+        F.array_min(
+            F.transform(
+                F.filter(ds, lambda e: e["pred"] != F.col("label")),
+                lambda e: e["d2"],
+            )
+        )
+    )
+    ab = qdf.select("label", a.alias("a"), b.alias("b"))
     s = F.when(F.greatest("a", "b") == 0, F.lit(0.0)).otherwise(
         (F.col("b") - F.col("a")) / F.greatest("a", "b")
     )

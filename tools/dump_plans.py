@@ -1,7 +1,8 @@
 #!/usr/bin/env python
-"""Dump .explain('formatted') for named queries to plans/r11/<q>_<tag>.txt.
+"""Dump .explain('formatted') for named queries to plans/<round>/<q>_<tag>.txt.
 
     python tools/dump_plans.py before q1 q2 ...
+    ACDP_PLAN_ROUND=r12 python tools/dump_plans.py after q1 q2 ...
 """
 
 from __future__ import annotations
@@ -21,7 +22,9 @@ SF_DIR = "/root/testdata/sf0.1"
 def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
-    out_dir = REPO / "plans" / "r11"
+    import os
+
+    out_dir = REPO / "plans" / os.environ.get("ACDP_PLAN_ROUND", "r12")
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_session("acdp-plans", cpus=32)
     for name in names:
