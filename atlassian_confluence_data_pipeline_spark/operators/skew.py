@@ -221,4 +221,22 @@ def spread_scan(df: DataFrame, min_ratio: int = 2) -> DataFrame:
             _SPREAD_MEMO[memo_key] = current
     if current * min_ratio >= target:
         return df
-    return df.repartition(target)
+    # Spread on a DETERMINISTIC hash key rather than round-robin
+    # (round 12): keyless repartition(n) first pays a local sort of the
+    # single-split input (sortBeforeRepartition, on one core — measured
+    # ~2x the whole exchange here), and rows shuffled by a
+    # non-deterministic assignment can duplicate or vanish when a fetch
+    # failure re-runs map tasks (SPARK-38388). Hashing the row's own
+    # values into 100x more key values than partitions spreads evenly,
+    # needs no sort, and re-runs reproduce the same assignment.
+    from pyspark.sql.types import MapType
+
+    hashable = [
+        f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)
+    ]
+    if not hashable:
+        return df.repartition(target)
+    key = F.pmod(
+        F.xxhash64(*[F.col(c) for c in hashable]), F.lit(100 * target)
+    )
+    return df.repartition(target, key)

@@ -81,21 +81,48 @@ def numeric_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: built-in ``corr()`` accumulates doubles in partition
     order, so Spark and DuckDB drift in the last ULP; instead ONE hash
     aggregate collects all raw moments (sums, squares, cross products)
-    in DECIMAL(38,8) — exact and associative — and Pearson r is the
-    identical closed form on those identical scalars: bit-equal output.
+    exactly, and Pearson r is the identical closed form on those
+    identical scalars: bit-equal output. Round 12: the 2-decimal
+    fixture values convert ONCE per row to exact integer cents, so
+    every product is a primitive long multiply and every sum a
+    compact-representation DECIMAL(38,0) fold (no per-row BigDecimal
+    multiply); the exact rescale back to units happens once per moment
+    in DECIMAL before the double cast — the identical rational, hence
+    the identical double, as the former DECIMAL(38,8) arithmetic. The
+    single-split fixture scan is spread over the cores (spread_scan,
+    conditional — a no-op whenever the source supplies real splits).
     Scale: a single map-side-combined aggregate over the fact table;
     the 6-row matrix assembly is driver-free column arithmetic on a
     1-row frame."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from atlassian_confluence_data_pipeline_spark.operators.skew import (
+        spread_scan,
+    )
+
+    li = spread_scan(
+        load_table(spark, sf_dir, "lineitem").select(*_CORR_COLS)
+    )
+
+    def _dec(col: Column) -> Column:
+        return col.cast("decimal(38,0)")
+
+    cents = {
+        c: (F.col(c).cast("decimal(18,2)") * 100).cast("bigint")
+        for c in _CORR_COLS
+    }
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
     for c in _CORR_COLS:
-        d = F.col(c).cast(_DECM)
-        aggs.append(F.sum(d).cast("double").alias(f"s_{c}"))
-        aggs.append(F.sum(d * d).cast("double").alias(f"q_{c}"))
+        aggs.append(
+            (F.sum(_dec(cents[c])) / 100).cast("double").alias(f"s_{c}")
+        )
+        aggs.append(
+            (F.sum(_dec(cents[c] * cents[c])) / 10000)
+            .cast("double")
+            .alias(f"q_{c}")
+        )
     for i, x in enumerate(_CORR_COLS):
         for y in _CORR_COLS[i + 1:]:
             aggs.append(
-                F.sum(F.col(x).cast(_DECM) * F.col(y).cast(_DECM))
+                (F.sum(_dec(cents[x] * cents[y])) / 10000)
                 .cast("double")
                 .alias(f"p_{x}_{y}")
             )
@@ -113,16 +140,24 @@ def numeric_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = [
         (x, y) for i, x in enumerate(_CORR_COLS) for y in _CORR_COLS[i + 1:]
     ]
-    rows = [
-        m.select(
-            F.lit(x).alias("col_x"), F.lit(y).alias("col_y"), r(x, y).alias("corr")
-        )
-        for x, y in pairs
-    ]
-    out = rows[0]
-    for frame in rows[1:]:
-        out = out.unionByName(frame)
-    return out
+    # one explode over a per-pair struct array instead of a 6-branch
+    # union: the union form re-planned the whole moment aggregate per
+    # branch (6 copies of the scan subtree in the plan, held together
+    # only by runtime exchange reuse); this keeps ONE aggregate subtree
+    # and emits the same 6 rows from a single projection (round 12)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                r(x, y).alias("corr"),
+            )
+            for x, y in pairs
+        ]
+    )
+    return m.select(F.explode(entries).alias("e")).select(
+        "e.col_x", "e.col_y", "e.corr"
+    )
 
 
 # ---------------------------------------------------------------------------

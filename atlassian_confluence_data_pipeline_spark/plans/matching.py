@@ -164,31 +164,48 @@ def frequent_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (brand_1 < brand_2 < brand_3 canonicalizes each set to
     exactly one row, the Apriori candidate construction in join form).
 
-    Scale shape: the basket table dedups to (order, brand) first; both
-    self-joins are ORDER-keyed equi-joins whose fan-out is bounded by
-    per-order basket size (TPC-H orders hold <= 7 lines, so <= 35
-    triples per order); the report is a TakeOrdered top-{_TRIPLE_TOPK}."""
+    Scale shape (round 12): ONE order-keyed hash aggregate both dedups
+    (order, brand) and assembles each order's brand set (collect_set);
+    the ordered-triple candidates are then an IN-PLACE per-basket
+    combination expression (z > y > x over the set — fan-out bounded by
+    basket size: TPC-H orders hold <= 7 lines, so <= 35 triples), which
+    replaces the former distinct + two order-keyed self-joins, so
+    corpus rows cross exactly one exchange; the report is a TakeOrdered
+    top-{_TRIPLE_TOPK}."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    ob = (
+    baskets = (
         li.join(
             F.broadcast(
                 p.select(F.col("p_partkey").alias("l_partkey"), "p_brand")
             ),
             "l_partkey",
         )
-        .select("l_orderkey", "p_brand")
-        .distinct()
-        .localCheckpoint(eager=True)
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("brands"))
+        .select("brands")
     )
-    a = ob.select("l_orderkey", F.col("p_brand").alias("brand_1"))
-    b = ob.select("l_orderkey", F.col("p_brand").alias("brand_2"))
-    c = ob.select("l_orderkey", F.col("p_brand").alias("brand_3"))
+    triples = F.flatten(
+        F.transform(
+            F.col("brands"),
+            lambda x: F.flatten(
+                F.transform(
+                    F.filter(F.col("brands"), lambda y: y > x),
+                    lambda y: F.transform(
+                        F.filter(F.col("brands"), lambda z: z > y),
+                        lambda z: F.struct(
+                            x.alias("brand_1"),
+                            y.alias("brand_2"),
+                            z.alias("brand_3"),
+                        ),
+                    ),
+                )
+            ),
+        )
+    )
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("brand_2") > F.col("brand_1"))
-        .join(c, "l_orderkey")
-        .filter(F.col("brand_3") > F.col("brand_2"))
+        baskets.select(F.explode(triples).alias("t"))
+        .select("t.brand_1", "t.brand_2", "t.brand_3")
         .groupBy("brand_1", "brand_2", "brand_3")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
         .orderBy(

@@ -68,28 +68,42 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     confidence (a -> b over the a<b orientation) and lift — the
     co-purchase analysis behind recommendations and shelf placement.
 
-    Scale shape: baskets dedup to distinct (order, part); the pair
-    generator is an equi-join ON THE BASKET KEY (pairs grow with the
-    square of basket size, ~7 lines here — bounded fan-out, never a
-    cross join); item supports broadcast back onto the surviving
-    pairs, and the basket count attaches as one literal scalar
-    (loop-control collect). The support floor prunes before the
-    metric joins."""
+    Scale shape (round 12): ONE order-keyed hash aggregate both dedups
+    the (order, part) pairs (collect_set) and assembles each basket as
+    an array — the pair generator is then an IN-PLACE per-basket
+    combination expression (y > x over the set; fan-out bounded by the
+    square of basket size, ~7 lines here), replacing the former
+    distinct + basket-keyed self-join, so corpus rows cross exactly one
+    exchange. Item supports come from exploding the same staged basket
+    frame; the basket count attaches as one literal scalar
+    (loop-control collect). The support floor prunes before the metric
+    joins."""
     li = load_table(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
-        eager=True
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .select("parts")
+        .localCheckpoint(eager=True)
     )
-    n_orders = b.select("l_orderkey").distinct().count()
-    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
-    left = b.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    n_orders = baskets.count()
+    item = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_item"))
     )
-    right = b.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    combos = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x: F.transform(
+                F.filter(F.col("parts"), lambda y: y > x),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
     )
     pair = (
-        left.join(right, "k")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(combos).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= BASKET_MIN_SUP)
