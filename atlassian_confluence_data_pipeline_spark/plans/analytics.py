@@ -444,8 +444,11 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not consult DuckDB's own approx_count_distinct: that sketch
     has no accuracy knob and measurably exceeds 5%% on one brand at
     sf0.1 — found by the full sf0.1 parity sweep.) Spark runs at
-    rsd=0.01 so the band has 5x margin; absolute estimate accuracy is
-    additionally asserted in tests/test_analytics.py.
+    rsd=0.015 (round 12; measured worst relative error 1.2/1.6/1.5%%
+    at sf0.001/0.01/0.1 — a deterministic >= 3x margin inside the band
+    at every fixture SF, for about half the rsd=0.01 sketch cost);
+    absolute estimate accuracy is additionally asserted in
+    tests/test_analytics.py.
 
     PLAN NOTE: the exact and approx aggregates run as SEPARATE
     aggregations joined on the (tiny) group key. Mixing count_distinct
@@ -456,24 +459,34 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     At sf0.1 that is ~40x slower (98 s vs 2.5 s) and GC-poisons the JVM;
     at 100 TB it is an OOM. Two lean aggs + a 25-row broadcast join keep
     both plans in their fast shape."""
-    # NOTE on spread_scan: measured WORSE here (2.6 s -> 4.6 s). The
-    # rsd=0.01 HLL sketches keep a ~2^14-register buffer per (group,
-    # partition) partial, so multiplying input partitions multiplies
-    # partial-aggregate state and its merge traffic — the one aggregate
-    # family where more map-side parallelism is a net loss on a small
-    # group domain. Left on the single-split scan deliberately.
+    # spread_scan is applied to the EXACT side only (round 12): its
+    # Expand-based multi-distinct partial dedup parallelizes cleanly
+    # (measured 2.0 -> 1.3 s warm). The HLL side stays on the unspread
+    # scan deliberately — the sketches keep a multi-KB register buffer
+    # per (group, partition) partial, so multiplying input partitions
+    # multiplies partial-aggregate state and its merge traffic
+    # (measured WORSE under spread at both rsd=0.01 and rsd=0.015).
+    from atlassian_confluence_data_pipeline_spark.operators.skew import (
+        spread_scan,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
         "p_brand", "l_orderkey", "l_suppkey"
     )
-    exact = joined.groupBy("p_brand").agg(
+    spread = (
+        spread_scan(li.select("l_partkey", "l_orderkey", "l_suppkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select("p_brand", "l_orderkey", "l_suppkey")
+    )
+    exact = spread.groupBy("p_brand").agg(
         F.count_distinct(F.col("l_orderkey")).alias("exact_orders"),
         F.count_distinct(F.col("l_suppkey")).alias("exact_suppliers"),
     )
     approx = joined.groupBy("p_brand").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("__ao"),
-        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("__as"),
+        F.approx_count_distinct("l_orderkey", rsd=0.015).alias("__ao"),
+        F.approx_count_distinct("l_suppkey", rsd=0.015).alias("__as"),
     )
     return (
         exact.join(F.broadcast(approx), "p_brand")

@@ -357,13 +357,28 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # Integer-micros weights (round 12): the quantity weight is an exact
+    # 6-decimal rational, so summing its unscaled micros as a PLAIN LONG
+    # keeps the domain aggregate and both per-brand windows on the
+    # primitive codegen path instead of per-row Decimal buffers; the
+    # 2*cw >= tw crossing compares the same exact integers, and the
+    # reported total rescales once per brand in DECIMAL (same rational,
+    # same double). Per-group budgets: micros <= 5e7/row, so a
+    # (brand, price) cell overflows only past ~1.8e11 rows and a brand's
+    # window total only past ~3.7e11 rows — a 100 TB lineitem holds
+    # ~2.4e10 rows per brand (15x headroom).
     w = (
         spread_scan(
             li.select("l_partkey", "l_extendedprice", "l_quantity")
         )
         .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
         .groupBy("p_brand", F.col("l_extendedprice").alias("price"))
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("wt"))
+        .agg(
+            F.sum(
+                (F.col("l_quantity").cast("decimal(18,6)") * 1_000_000)
+                .cast("bigint")
+            ).alias("wt")
+        )
     )
     win = (
         Window.partitionBy("p_brand")
@@ -382,7 +397,12 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.round(F.min("price"), 2).alias("weighted_median_price"),
-            F.round(F.max("tw").cast("double"), 2).alias("total_weight"),
+            F.round(
+                (F.max("tw").cast("decimal(38,6)") / 1_000_000).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_weight"),
         )
     )
 
