@@ -35,17 +35,25 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query vector.
 
-    ``queries`` is broadcast (assumed small); the corpus never moves.
+    ``queries`` is broadcast (assumed small); the corpus never moves
+    ACROSS the cluster (the conditional spread_scan only engages on a
+    source that yields fewer splits than the session's parallelism —
+    the single-row-group fixture case, where the |queries| dot folds
+    per corpus row would otherwise serialize onto one core; round 12).
     Each side's L2 norm is folded ONCE per vector in its own projection
     (``sqrt(dot(v, v))`` reused across pairs is bit-identical to
     re-folding it per pair) so the per-pair work is one dot fold
     instead of three. Returns (query_id, neighbor_id, rank, sim)."""
+    from atlassian_confluence_data_pipeline_spark.operators.skew import (
+        spread_scan,
+    )
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         l2_norm(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(
+    c = spread_scan(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         l2_norm(F.col(vec_col)).alias("__cn"),
@@ -184,7 +192,15 @@ def ivf_topk(
             .drop("__csim", "__crank", "centroid")
         )
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    from atlassian_confluence_data_pipeline_spark.operators.skew import (
+        spread_scan,
+    )
+
+    # conditional spread (round 12): the k-way centroid argmax below is
+    # a per-row fold chain that serializes on a single-split source
+    c = spread_scan(corpus.select(id_col, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),

@@ -154,44 +154,86 @@ def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram phrase dominates).
 
     Stage sharing: the per-word rolling hashes are folded ONCE (the
-    checkpointed ``wh`` column); the three n-gram arms are positional
-    zip_with slices of that same array — no second char-level fold
-    appears in the plan (the oracle mirrors this with a MATERIALIZED
-    word-hash CTE). Scale shape unchanged from doc_repetition_scores:
-    explode -> one (doc_id, n, h) hash aggregate -> one per-(doc, n)
-    rollup; rows triple, corpus passes don't."""
-    docs = load_table(spark, sf_dir, "documents")
-    wh = (
-        docs.select("doc_id", _words(F.col("text")).alias("w"))
-        .select("doc_id", F.transform(F.col("w"), rolling_hash).alias("wh"))
-        .localCheckpoint(eager=False)
+    ``wh`` column); the three n-gram arms are positional zip_with
+    slices of that same array — no second char-level fold appears in
+    the plan (the oracle mirrors this with a MATERIALIZED word-hash
+    CTE). Round 12: every statistic is a WITHIN-ROW multiplicity
+    (counts of each n-gram hash inside ONE document's array), so the
+    former explode -> 3x-token-cardinality (doc, n, h) hash aggregate
+    -> per-(doc, n) rollup is replaced by in-place array folds —
+    size / array_distinct / a max-run-length fold over the SORTED hash
+    array (identical integer counts, identical doubles) — so the only
+    exchange left is the conditional spread of the single-split fixture
+    scan that parallelizes the per-row folds (a no-op on real multi-
+    split sources, where the plan is exchange-free)."""
+    from atlassian_confluence_data_pipeline_spark.operators.skew import (
+        spread_scan,
     )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wh = spread_scan(docs.select("doc_id", "text")).select(
+        "doc_id", _words(F.col("text")).alias("w")
+    ).select("doc_id", F.transform(F.col("w"), rolling_hash).alias("wh"))
+
+    def _top_count(hs):
+        # max multiplicity == longest equal-run in the sorted array
+        zero = F.struct(
+            F.lit(None).cast("bigint").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+        )
+
+        def _step(acc, x):
+            run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                F.lit(1).cast("bigint")
+            )
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        return F.aggregate(
+            F.sort_array(hs), zero, _step, lambda acc: acc["best"]
+        )
+
     arms = F.array(
         *[
-            F.struct(
-                F.lit(n).cast("int").alias("n"),
+            (
+                lambda hs, n: F.struct(
+                    F.lit(n).cast("int").alias("n"),
+                    F.size(hs).cast("bigint").alias("n_grams"),
+                    F.size(F.array_distinct(hs)).cast("bigint").alias(
+                        "n_distinct"
+                    ),
+                    _top_count(hs).alias("top_count"),
+                )
+            )(
                 shingle_hashes_from_word_hashes(
                     F.col("wh"), n=n, distinct=False
-                ).alias("hs"),
+                ),
+                n,
             )
             for n in (2, 3, 4)
         ]
     )
     e = (
         wh.select("doc_id", F.explode(arms).alias("a"))
-        .select("doc_id", F.col("a.n").alias("n"), F.explode("a.hs").alias("h"))
+        .filter(F.col("a.n_grams") > 0)
+        .select("doc_id", "a.n", "a.n_grams", "a.n_distinct", "a.top_count")
     )
-    g = e.groupBy("doc_id", "n", "h").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
-    return g.groupBy("doc_id", "n").agg(
-        F.sum("c").cast("bigint").alias("n_grams"),
-        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
-        F.max("c").cast("bigint").alias("top_count"),
+    return e.select(
+        "doc_id",
+        "n",
+        "n_grams",
+        "n_distinct",
+        "top_count",
         F.round(
-            1.0 - F.count(F.lit(1)).cast("double") / F.sum("c"), 6
+            1.0 - F.col("n_distinct").cast("double") / F.col("n_grams"), 6
         ).alias("dup_frac"),
-        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_share"),
+        F.round(
+            F.col("top_count").cast("double") / F.col("n_grams"), 6
+        ).alias("top_share"),
     )
 
 

@@ -311,17 +311,28 @@ def interpolated_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     / wrong-language candidates a quality gate drops.
 
     Scale shape: unigram and bigram count tables are hash aggregates
-    (vocab / vocab²-bounded); scoring is equi-joins of the exploded
-    corpus against them; the per-document average is the id-ordered
-    positional fold (deterministic, oracle-reproducible). No corpus
-    window, no UDF."""
+    (vocab / vocab²-bounded) BROADCAST back onto the exploded corpus
+    (round 12: the bigram table was attached with a shuffle join that
+    moved the whole bigram stream; all three model tables are
+    vocab-bounded, so every scoring attach is now broadcast-hash by
+    construction instead of by AQE's runtime estimate, and corpus rows
+    shuffle only into the final per-document rollup); the corpus-total
+    scalar folds per-row sizes without an explode. (spread_scan on the
+    text projection was measured here and REJECTED: shuffling the text
+    payload costs more than the single-split explode saves.) The
+    per-document average is the id-ordered positional fold
+    (deterministic, oracle-reproducible). No corpus window, no UDF."""
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select("doc_id", _words(F.col("text")).alias("w"))
     tok = w.select("doc_id", F.posexplode("w").alias("pos", "word")).select(
         "doc_id", F.col("pos").cast("bigint").alias("pos"), "word"
     )
     freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cu"))
-    total = tok.count()  # scalar cardinality, computed distributed
+    # scalar corpus cardinality: one size() fold per document — the same
+    # exact integer the former tok.count() re-explosion produced
+    total = (
+        docs.agg(F.sum(F.size(_words(F.col("text"))))).first()[0]
+    )
     n = F.greatest(F.size("w") - 1, F.lit(0))
     bgd = w.select(
         "doc_id",
@@ -343,7 +354,7 @@ def interpolated_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     lam = F.lit(LM_LAMBDA)
     pu = F.col("cu").cast("double") / F.lit(float(total))
     s1 = (
-        bgd.join(bc, ["w1", "w2"])
+        bgd.join(F.broadcast(bc), ["w1", "w2"])
         .join(F.broadcast(ctx), "w1")
         .join(F.broadcast(freq.withColumnRenamed("word", "w2")), "w2")
         .select(
