@@ -1113,20 +1113,39 @@ def containment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     are dropped BEFORE the pair join — the guard that keeps the
     fingerprint equi-join linear at corpus scale (without it one viral
     phrase creates a quadratic bucket)."""
-    fps = winnowing_fingerprints(spark, sf_dir).localCheckpoint(eager=True)
-    rare = (
+    # Round 12 (the market_basket_lift treatment): ONE fingerprint-keyed
+    # collect_set aggregate both computes each fingerprint's document
+    # frequency (the 2..FP_MAX_DF stop-fingerprint gate = a size filter
+    # on the set) and assembles its posting list; pair candidates are
+    # an in-place combination expression (y > x over the df-bounded
+    # set) and per-doc kept-fingerprint counts explode from the same
+    # staged groups — replacing the former rare-aggregate + broadcast
+    # join + kept checkpoint + fingerprint self-join.
+    fps = winnowing_fingerprints(spark, sf_dir)
+    groups = (
         fps.groupBy("fingerprint")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= FP_MAX_DF))
-        .select("fingerprint")
+        .agg(F.collect_set("doc_id").alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= FP_MAX_DF))
+        .select("docs")
+        .localCheckpoint(eager=True)
     )
-    kept = fps.join(F.broadcast(rare), "fingerprint").localCheckpoint(eager=True)
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
-    a = kept.select(F.col("doc_id").alias("doc_a"), "fingerprint")
-    b = kept.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    sizes = (
+        groups.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fp"))
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x: F.transform(
+                F.filter(F.col("docs"), lambda y: y > x),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     shared = (
-        a.join(b, "fingerprint")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        groups.select(F.explode(combos).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

@@ -90,21 +90,32 @@ def fifo_quantity_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
+    # ONE (part, flag)-keyed window pass builds BOTH cumulative axes
+    # (round 12): partitioning by (l_partkey, l_returnflag) gives each
+    # flag its own partitions with the identical within-partition
+    # order, so one scan + one exchange + one window sort + one
+    # checkpoint replaces the former per-side pair of each.
     w = (
-        Window.partitionBy("l_partkey")
+        Window.partitionBy("l_partkey", "l_returnflag")
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    lo = F.coalesce(F.sum("q").over(w), F.lit(0))
+    both = li.select(
+        "l_partkey",
+        "l_returnflag",
+        "q",
+        lo.alias("lo"),
+        (lo + F.col("q")).alias("hi"),
+    ).localCheckpoint(eager=True)
 
     def axis(flag: str) -> DataFrame:
-        side = li.filter(F.col("l_returnflag") == flag)
-        lo = F.coalesce(F.sum("q").over(w), F.lit(0))
-        return side.select(
-            "l_partkey", "q", lo.alias("lo"), (lo + F.col("q")).alias("hi")
+        return both.filter(F.col("l_returnflag") == flag).select(
+            "l_partkey", "q", "lo", "hi"
         )
 
-    buys = axis("N").localCheckpoint(eager=True)
-    sells = axis("R").localCheckpoint(eager=True)
+    buys = axis("N")
+    sells = axis("R")
     seg = buys.alias("b").join(
         sells.alias("s"),
         (F.col("b.l_partkey") == F.col("s.l_partkey"))

@@ -206,7 +206,26 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_suppkey").alias("l_suppkey"), "s_name", "n_name")
     )
 
-    supply = li.select("l_partkey", "l_suppkey").distinct()
+    # Round 12: the part predicate prunes BEFORE the wide exchange (the
+    # per-part arg-min is independent across parts, so filtering parts
+    # first cannot change any winner) — the distinct and the arg-min
+    # now see only small-ECONOMY rows instead of the whole supplying
+    # relation; and the arg-min itself is a min(struct) hash aggregate
+    # (map-side partials) instead of a row_number window (full
+    # shuffle + sort) — min over (cost, suppkey, ...) structs picks the
+    # identical totally-ordered winner.
+    small_econ = part.filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 10)
+    ).select("p_partkey", "p_name")
+    supply = (
+        li.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(small_econ.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
     cost_cents = (
         F.lit(5000)
         + (F.col("l_partkey") * 31 + F.col("l_suppkey") * 17) % 2000
@@ -218,19 +237,19 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name",
         "n_name",
     )
-    w = Window.partitionBy("p_partkey").orderBy("cost_cents", "s_suppkey")
-    winners = cand.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
+    best = cand.groupBy("p_partkey").agg(
+        F.min(
+            F.struct("cost_cents", "s_suppkey", "s_name", "n_name")
+        ).alias("w")
     )
-    small_econ = part.filter(
-        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 10)
-    ).select("p_partkey", "p_name")
-    return winners.join(F.broadcast(small_econ), "p_partkey").select(
+    return best.join(F.broadcast(small_econ), "p_partkey").select(
         "p_partkey",
         "p_name",
-        "s_name",
-        "n_name",
-        F.round(F.col("cost_cents").cast("double") / 100, 2).alias("supply_cost"),
+        F.col("w.s_name").alias("s_name"),
+        F.col("w.n_name").alias("n_name"),
+        F.round(F.col("w.cost_cents").cast("double") / 100, 2).alias(
+            "supply_cost"
+        ),
     )
 
 
