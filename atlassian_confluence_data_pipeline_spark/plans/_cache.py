@@ -610,7 +610,18 @@ def doc_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     each re-ran per build. Narrow columns at token cardinality — the
     minhash_doc_hashes class; consumers that only need (doc_id, word)
     project it down, and the empty-text convention (one '' token per
-    empty document) is exactly what every inline explode produced."""
+    empty document) is exactly what every inline explode produced.
+
+    Storage bound (r11 ADVICE, documented round 12): the checkpoint
+    holds ~5 small columns per TOKEN — id + pos (16 B) + word (avg
+    ~8 B) + source/lang dictionary-encoded — i.e. roughly 0.3-0.4x the
+    raw text bytes, pinned in executor storage for the session. A
+    (doc_id, pos, word)-only variant with source/lang joined back from
+    the documents dimension was considered and rejected: two consumers
+    would trade a ~30% narrower checkpoint for a corpus-by-corpus join,
+    and the round-12 near_dup_pairs experiment measured exactly this
+    class of trade (move materialized payload vs recompute/carry) as a
+    net loss."""
     from atlassian_confluence_data_pipeline_spark.catalog import load_table
     from atlassian_confluence_data_pipeline_spark.plans.textops import _words
     from pyspark.sql import functions as F

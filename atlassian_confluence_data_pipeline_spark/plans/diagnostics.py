@@ -698,33 +698,40 @@ def categorical_mutual_information(spark: SparkSession, sf_dir: str) -> DataFram
         # total, both marginals, both cardinalities and both entropies
         # all derive from it (exact integer sums of joint counts ==
         # direct marginal counts) — before, each was its own corpus
-        # scan: 6 sequential corpus jobs per pair (round-11, guide §1.2)
+        # scan: 6 sequential corpus jobs per pair (round-11, guide §1.2).
+        # Round 12: the derived scalars (n, entropies, cardinalities)
+        # stay IN THE PLAN as 1-row frames cross-joined back instead of
+        # 6 per-pair driver collect jobs — one action per invocation,
+        # identical expressions on identical values (the double/n and
+        # ln terms now read n from a column rather than a literal).
         j = (
             t.groupBy(F.col(x).alias("xv"), F.col(y).alias("yv"))
             .agg(F.count(F.lit(1)).alias("cxy"))
             .localCheckpoint(eager=True)
         )
-        n = int(j.agg(F.sum("cxy")).first()[0] or 0)
+        total = j.agg(F.sum("cxy").alias("nn"))
         mx = j.groupBy("xv").agg(F.sum("cxy").alias("cx"))
         my = j.groupBy("yv").agg(F.sum("cxy").alias("cy"))
 
-        def entropy(marg: DataFrame, c: str) -> float:
-            e = marg.select(
-                F.round(
-                    -(F.col(c).cast("double") / n)
-                    * F.log(F.col(c).cast("double") / n),
-                    12,
+        def entropy(marg: DataFrame, c: str, out: str) -> DataFrame:
+            return (
+                marg.crossJoin(F.broadcast(total))
+                .select(
+                    F.round(
+                        -(F.col(c).cast("double") / F.col("nn"))
+                        * F.log(F.col(c).cast("double") / F.col("nn")),
+                        12,
+                    )
+                    .cast("decimal(28,14)")
+                    .alias("t")
                 )
-                .cast("decimal(28,14)")
-                .alias("t")
-            ).agg(F.sum("t").cast("double")).first()[0]
-            return float(e)
+                .agg(F.sum("t").cast("double").alias(out))
+            )
 
-        hx, hy = entropy(mx, "cx"), entropy(my, "cy")
         term = F.round(
-            (F.col("cxy").cast("double") / n)
+            (F.col("cxy").cast("double") / F.col("nn"))
             * F.log(
-                F.col("cxy").cast("double") * n
+                F.col("cxy").cast("double") * F.col("nn")
                 / (F.col("cx").cast("double") * F.col("cy"))
             ),
             12,
@@ -732,17 +739,27 @@ def categorical_mutual_information(spark: SparkSession, sf_dir: str) -> DataFram
         mi = (
             j.join(F.broadcast(mx), "xv")
             .join(F.broadcast(my), "yv")
+            .crossJoin(F.broadcast(total))
             .agg(F.sum(term).cast("double").alias("mi"))
         )
-        return mi.select(
-            F.lit(label).alias("pair_name"),
-            F.lit(n).cast("bigint").alias("n"),
-            F.lit(mx.count()).cast("int").alias("card_x"),
-            F.lit(my.count()).cast("int").alias("card_y"),
-            F.round("mi", 6).alias("mutual_info"),
-            F.round(F.col("mi") / float((hx * hy) ** 0.5), 6).alias(
-                "normalized_mi"
-            ),
+        cards = mx.agg(F.count(F.lit(1)).alias("nx")).crossJoin(
+            my.agg(F.count(F.lit(1)).alias("ny"))
+        )
+        return (
+            mi.crossJoin(F.broadcast(total))
+            .crossJoin(F.broadcast(cards))
+            .crossJoin(F.broadcast(entropy(mx, "cx", "hx")))
+            .crossJoin(F.broadcast(entropy(my, "cy", "hy")))
+            .select(
+                F.lit(label).alias("pair_name"),
+                F.col("nn").cast("bigint").alias("n"),
+                F.col("nx").cast("int").alias("card_x"),
+                F.col("ny").cast("int").alias("card_y"),
+                F.round("mi", 6).alias("mutual_info"),
+                F.round(
+                    F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6
+                ).alias("normalized_mi"),
+            )
         )
 
     return one(
