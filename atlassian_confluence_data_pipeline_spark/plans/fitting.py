@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from atlassian_confluence_data_pipeline_spark.catalog import load_table
 from atlassian_confluence_data_pipeline_spark.operators.windows import (
+    equal_width_bucketizer,
     kth_smallest,
 )
 from atlassian_confluence_data_pipeline_spark.plans.registry import query
@@ -372,18 +373,33 @@ def split_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pred")
         )
     )
+    # Round 12: the part-domain model BROADCASTS onto the calibration
+    # and test splits (both sides were shuffled by partkey to meet a
+    # domain-bounded frame); the calibration count fuses with a max
+    # scan so kth_smallest gets O(1) equal-width buckets over the known
+    # [0, max] score range instead of paying its approxQuantile
+    # sampling pass (selection is exact under ANY monotone bucketizer;
+    # the operator's skew refinement bounds the sorted bucket).
     cal = (
         base.filter(F.col("split") == 2)
-        .join(model, "l_partkey")
+        .join(F.broadcast(model), "l_partkey")
         .select(F.abs(F.col("y") - F.col("pred")).alias("score"))
         .localCheckpoint(eager=True)
     )
-    n_cal = cal.count()
+    st = cal.agg(
+        F.count(F.lit(1)).alias("n"), F.max("score").alias("mx")
+    ).first()
+    n_cal = int(st["n"])
     k = min(int(math.ceil((n_cal + 1) * (1 - _ALPHA))), n_cal)
-    q = kth_smallest(cal, "score", [k])[k]
+    q = kth_smallest(
+        cal,
+        "score",
+        [k],
+        bucket_of=equal_width_bucketizer(0.0, float(st["mx"] or 0.0), 32),
+    )[k]
     test = (
         base.filter(F.col("split") == 3)
-        .join(model, "l_partkey")
+        .join(F.broadcast(model), "l_partkey")
         .select(F.abs(F.col("y") - F.col("pred")).alias("score"))
     )
     return test.agg(
